@@ -1,0 +1,156 @@
+"""Vectorized (JVM-side) canonicalization — the match-key definition.
+
+Column-expression re-creations of the reference's string pipeline
+(utils/StringTransformer.java:11-45, services/RecordValidationUtilService.java:16-32,
+services/UploadsService.java:148-163). Everything here is built from native
+``pyspark.sql.functions`` so it stays inside whole-stage codegen — no Python
+in the hot path. The pure-Python oracle in ``pyoracle.py`` is the source of
+truth; property tests assert agreement.
+
+Each function also has a ``*_sql`` twin that emits the equivalent DuckDB SQL
+expression, used by ``__spark_entry__.oracle_sql()`` so the driver's
+correctness gate compares identical semantics.
+
+Unicode delta (documented): tokens consisting solely of exotic unicode
+whitespace (e.g. U+2028) are dropped by the Java reference's ``isBlank`` but
+kept here; the test alphabet excludes them. ASCII + quotes + common
+whitespace — the entire match-key domain in practice — agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Java String.trim() strips chars <= U+0020.
+_JTRIM = r"[\x00-\x20]"
+# StringTokenizer default delimiters.
+_DELIMS = r"[ \t\n\r\f]"
+# trimQuotes net effect on a token: strip both ends of quotes + ctrl chars.
+_STRIP = "[\\x00-\\x20'\"]"
+
+
+def java_trim(col: Column) -> Column:
+    """Java String.trim(): strip chars <= U+0020 from both ends."""
+    return F.regexp_replace(
+        F.regexp_replace(col, f"^{_JTRIM}+", ""), f"{_JTRIM}+$", ""
+    )
+
+
+def tlc(col: Column) -> Column:
+    return F.lower(col)
+
+
+def tuc(col: Column) -> Column:
+    return F.upper(col)
+
+
+def nrm(col: Column) -> Column:
+    """StringTransformer.normalize (StringTransformer.java:35-45).
+
+    Whitespace-tokenize, strip quote/ctrl chars from token ends, drop blank
+    tokens, rejoin with single spaces. Pure column expression — codegen'd.
+    """
+    tokens = F.split(col, f"{_DELIMS}+")
+    stripped = F.transform(
+        tokens,
+        lambda t: F.regexp_replace(
+            F.regexp_replace(t, f"^{_STRIP}+", ""), f"{_STRIP}+$", ""
+        ),
+    )
+    return F.array_join(F.filter(stripped, lambda t: t != F.lit("")), " ")
+
+
+_TRANSFORMS = {"TLC": tlc, "TUC": tuc, "TRIM": java_trim, "NRM": nrm}
+
+
+def transform_chain(col: Column, transformations: list[str]) -> Column:
+    """StringTransformer.transform (:11-22): null -> '', ordered chain."""
+    result = F.coalesce(col, F.lit(""))
+    for t in transformations:
+        result = _TRANSFORMS[t.upper()](result)
+    return result
+
+
+def phone_rule(col: Column) -> Column:
+    """Phone branch (RecordValidationUtilService.java:24-31)."""
+    only = F.regexp_replace(col, r"[^0-9.]", "")
+    only = F.regexp_replace(only, r"\.", "")
+    return F.when(F.length(only) < 5, F.lit("")).otherwise(only)
+
+
+# Same regex as pyoracle.EMAIL_RE (commons EmailValidator(true,true) port).
+EMAIL_REGEX = (
+    r"^[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+(\.[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+)*"
+    r"@[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+    r"(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$"
+)
+
+
+def email_is_valid(col: Column) -> Column:
+    return (
+        col.rlike(EMAIL_REGEX)
+        & (F.length(col) <= 254)
+        & ~col.endswith(".")
+    )
+
+
+def email_rule(col: Column) -> Column:
+    """Mail branch (RecordValidationUtilService.java:17-23)."""
+    return F.when(email_is_valid(col), col).otherwise(F.lit(""))
+
+
+def extract_and_validate(col: Column, source_col_name: str, transformations: list[str]) -> Column:
+    """RecordValidationUtilService.extractAndValidate (:16-32)."""
+    name_lc = source_col_name.lower()
+    result = transform_chain(col, transformations)
+    if "mail" in name_lc:
+        return email_rule(result)
+    if "phone" in name_lc:
+        return phone_rule(result)
+    return result
+
+
+def map_and_concat(cols: list[Column], source_names: list[str], transformations: list[str]) -> Column:
+    """Mapping projection P1 (UploadsService.java:148-163): validate each
+    source, space-join, re-apply the chain to the concatenation."""
+    parts = [extract_and_validate(c, n, transformations) for c, n in zip(cols, source_names)]
+    return transform_chain(F.concat_ws(" ", *parts), transformations)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL twins — return SQL expression strings over a column expression.
+# ---------------------------------------------------------------------------
+
+def java_trim_sql(expr: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace({expr}, '^[\\x00-\\x20]+', ''),"
+        f" '[\\x00-\\x20]+$', '')"
+    )
+
+
+def nrm_sql(expr: str) -> str:
+    strip = "[\\x00-\\x20''\"]"  # duckdb escapes ' by doubling
+    tok = (
+        f"list_transform(string_split_regex({expr}, '[ \\t\\n\\r\\f]+'),"
+        f" t -> regexp_replace(regexp_replace(t, '^{strip}+', ''), '{strip}+$', ''))"
+    )
+    return f"array_to_string(list_filter({tok}, t -> t <> ''), ' ')"
+
+
+def tlc_nrm_sql(expr: str) -> str:
+    return nrm_sql(f"lower({expr})")
+
+
+def phone_rule_sql(expr: str) -> str:
+    only = f"regexp_replace(regexp_replace({expr}, '[^0-9.]', '', 'g'), '\\.', '', 'g')"
+    return f"CASE WHEN length({only}) < 5 THEN '' ELSE {only} END"
+
+
+def email_is_valid_sql(expr: str) -> str:
+    # RE2 needs the literal regex; same pattern as EMAIL_REGEX.
+    pat = EMAIL_REGEX.replace("'", "''")
+    return (
+        f"(regexp_matches({expr}, '{pat}') AND length({expr}) <= 254"
+        f" AND NOT suffix({expr}, '.'))"
+    )

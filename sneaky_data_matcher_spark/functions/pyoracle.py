@@ -1,0 +1,168 @@
+"""Pure-Python executable oracle of the reference's canonicalization.
+
+Exact ports (same observable behavior) of:
+  - StringTransformer.transform / normalize / trimQuotes
+    (reference: utils/StringTransformer.java:11-45)
+  - phone rule (reference: services/RecordValidationUtilService.java:24-31)
+  - email rule (reference: services/RecordValidationUtilService.java:17-23,
+    commons-validator EmailValidator.getInstance(true, true)) — re-implemented
+    from the documented grammar; see ``email_is_valid`` for noted deltas.
+  - the query mini-language parser
+    (reference: repositories/SearchRepository.java:302-341)
+
+These run row-at-a-time in plain Python and exist ONLY as the comparison
+oracle for unit/property tests — the engine itself uses vectorized Spark
+column expressions (functions/canonicalize.py) that must agree with these.
+
+Java semantics notes baked in:
+  - ``String.trim()`` strips chars <= U+0020 from both ends.
+  - ``StringTokenizer`` default delimiters are " \\t\\n\\r\\f".
+  - ``\\d`` in Java regex is ASCII [0-9] only.
+"""
+
+from __future__ import annotations
+
+import re
+
+JAVA_TRIM_CHARS = "".join(chr(c) for c in range(0x21))  # <= U+0020
+_TOKEN_DELIMS = " \t\n\r\f"
+_QUOTES = "'\""
+
+
+def java_trim(s: str) -> str:
+    return s.strip(JAVA_TRIM_CHARS)
+
+
+def trim_quotes(s: str) -> str:
+    """Port of StringTransformer.trimQuotes (StringTransformer.java:24-33).
+
+    Loop-strip leading then trailing quote chars, re-java-trimming after each
+    strip. Net effect: strip both ends of the class [\\x00-\\x20'\"].
+    """
+    res = java_trim(s)
+    while res.startswith(("'", '"')):
+        res = java_trim(res[1:])
+    while res.endswith(("'", '"')):
+        res = java_trim(res[:-1])
+    return res
+
+
+def _java_is_whitespace(c: str) -> bool:
+    """Character.isWhitespace: unicode space separators except the
+    non-breaking ones (\\u00a0 \\u2007 \\u202f), plus \\t \\n \\x0B \\f \\r \\x1C-\\x1F."""
+    if c in "\t\n\x0b\f\r\x1c\x1d\x1e\x1f":
+        return True
+    if c in "\u00a0\u2007\u202f":
+        return False
+    import unicodedata
+
+    return unicodedata.category(c) in ("Zs", "Zl", "Zp")
+
+
+def _java_is_blank(s: str) -> bool:
+    return all(_java_is_whitespace(c) for c in s)
+
+
+def normalize(s: str) -> str:
+    """Port of StringTransformer.normalize (StringTransformer.java:35-45)."""
+    out = []
+    for token in re.split(f"[{re.escape(_TOKEN_DELIMS)}]+", s):
+        if not token:
+            continue
+        t = trim_quotes(java_trim(token))
+        if t and not _java_is_blank(t):
+            out.append(t)
+    return " ".join(out)
+
+
+def transform(src: str | None, transformations: list[str]) -> str:
+    """Port of StringTransformer.transform (StringTransformer.java:11-22)."""
+    result = "" if src is None else src
+    for t in transformations:
+        t = t.upper()
+        if t == "TLC":
+            result = result.lower()
+        elif t == "TUC":
+            result = result.upper()
+        elif t == "TRIM":
+            result = java_trim(result)
+        elif t == "NRM":
+            result = normalize(result)
+        else:
+            raise ValueError(f"unknown transformation: {t}")
+    return result
+
+
+def phone_rule(result: str) -> str:
+    """Port of the phone branch (RecordValidationUtilService.java:24-31)."""
+    only = re.sub(r"[^0-9.]", "", result).replace(".", " ").replace(" ", "")
+    return "" if len(only) < 5 else only
+
+
+# EmailValidator.getInstance(true, true): allowLocal (single-label domains
+# like "localhost") and allowTld (address may end at a TLD). Re-implemented
+# from the Apache commons-validator documented grammar. Known deltas
+# (documented, not load-bearing for the blocking key): no IP-literal
+# domains ([1.2.3.4]), no quoted local-parts — both rejected here,
+# accepted by commons-validator.
+_EMAIL_LOCAL = r"[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+(?:\.[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+)*"
+_EMAIL_LABEL = r"[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+EMAIL_RE = re.compile(rf"^{_EMAIL_LOCAL}@{_EMAIL_LABEL}(?:\.{_EMAIL_LABEL})*$")
+
+
+def email_is_valid(s: str) -> bool:
+    if not s or len(s) > 254 or s.endswith("."):
+        return False
+    return EMAIL_RE.match(s) is not None
+
+
+def email_rule(result: str) -> str:
+    """Port of the mail branch (RecordValidationUtilService.java:17-23)."""
+    return result if email_is_valid(result) else ""
+
+
+def extract_and_validate(value: str | None, source_col_name: str, transformations: list[str]) -> str:
+    """Port of RecordValidationUtilService.extractAndValidate (:16-32)."""
+    name_lc = source_col_name.lower()
+    result = transform(value, transformations)
+    if "mail" in name_lc:
+        return email_rule(result)
+    if "phone" in name_lc:
+        return phone_rule(result)
+    return result
+
+
+def map_and_concat(values: list[str | None], source_names: list[str], transformations: list[str]) -> str:
+    """Port of the mapping projection P1 (UploadsService.java:148-163).
+
+    Validate each source column value, join with a single space, then apply
+    the transformation chain AGAIN to the concatenation.
+    """
+    parts = [extract_and_validate(v, n, transformations) for v, n in zip(values, source_names)]
+    return transform(" ".join(parts), transformations)
+
+
+def parse_search_query(query: str) -> tuple[str, str, str]:
+    """Port of SearchRepository.SearchQuery (SearchRepository.java:302-341).
+
+    Returns (column, query, type) with type in
+    {STARTS_WITH, ENDS_WITH, CONTAINS, MATCHES}.
+    Java ``String.split(":")`` keeps only parts [0] and [1] — values with a
+    second colon are silently truncated (reproduced on purpose).
+    """
+    split = query.split(":")
+    if len(split) < 2:
+        raise ValueError("Search query must be in form: <column:query>")
+    node = transform(split[0], ["TLC", "TRIM"])
+    if not node:
+        raise ValueError("Column name must not be empty.")
+    qp = transform(split[1], ["TLC", "TRIM"])
+    if not qp:
+        raise ValueError("Query must not be empty.")
+    if qp.startswith(">"):
+        if qp.endswith("<"):
+            return node, qp[1:-1], "CONTAINS"
+        return node, qp[1:], "ENDS_WITH"
+    if qp.endswith("<"):
+        return node, qp[:-1], "STARTS_WITH"
+    return node, qp, "MATCHES"

@@ -1,0 +1,117 @@
+"""Vectorized string- and vector-similarity kernels.
+
+The reference matches on *exact* canonical-key equality
+(services/SearchService.java:165 — EQUALS probe lookups). The north-star
+generalization scores candidate pairs with Jaro-Winkler + Levenshtein; Spark
+has a native codegen'd ``levenshtein`` but no Jaro-Winkler, so Jaro-Winkler
+runs in an Arrow-batched pandas UDF.
+
+Implementation choice: inside the pandas UDF each Arrow batch is handed to
+an in-process DuckDB instance (`jaro_winkler_similarity`, vectorized C++).
+That keeps the kernel out of per-row Python (the batch loop is C++) AND is
+bit-identical to the DuckDB oracle the driver compares against. A pure-numpy
+fallback is included in case duckdb is absent on executors.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # executor-side import guard
+    import duckdb as _duckdb
+except Exception:  # pragma: no cover
+    _duckdb = None
+
+
+def _jaro_winkler_py(s1: str, s2: str) -> float:
+    """Plain-Python Jaro-Winkler (standard algorithm, prefix scale 0.1,
+    prefix cap 4) — fallback + test oracle for the DuckDB kernel."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    match_dist = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - match_dist)
+        hi = min(l2, i + match_dist + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = True
+                m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    jaro = (matches / l1 + matches / l2 + (matches - t / 2) / matches) / 3
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a == b:
+            prefix += 1
+        else:
+            break
+    return jaro + prefix * 0.1 * (1.0 - jaro)
+
+
+def _jw_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    sa = a.fillna("")
+    sb = b.fillna("")
+    if _duckdb is not None:
+        batch = pd.DataFrame({"a": sa, "b": sb})
+        out = _duckdb.query_df(
+            batch, "batch",
+            "SELECT jaro_winkler_similarity(a, b) AS jw FROM batch",
+        ).df()
+        out.index = a.index
+        return out["jw"]
+    return pd.Series([_jaro_winkler_py(x, y) for x, y in zip(sa, sb)], index=a.index)
+
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:  # pragma: no cover (runs on executors)
+    return _jw_batch(a, b)
+
+
+def levenshtein_ratio(a: Column, b: Column) -> Column:
+    """1 - lev(a,b)/max(len) — native codegen'd expression."""
+    ml = F.greatest(F.length(a), F.length(b))
+    return F.when(ml == 0, F.lit(1.0)).otherwise(
+        1.0 - F.levenshtein(a, b).cast("double") / ml.cast("double")
+    )
+
+
+def token_jaccard(a: Column, b: Column) -> Column:
+    """Jaccard over whitespace token sets — native array ops."""
+    ta = F.array_distinct(F.split(a, r"\s+"))
+    tb = F.array_distinct(F.split(b, r"\s+"))
+    inter = F.size(F.array_intersect(ta, tb))
+    un = F.size(F.array_union(ta, tb))
+    return F.when(un == 0, F.lit(1.0)).otherwise(inter.cast("double") / un.cast("double"))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine over two array<float|double> columns — native higher-order fns
+    (F.zip_with + F.aggregate), stays JVM-side for 100 TB scans."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
