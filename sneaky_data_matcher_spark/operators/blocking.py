@@ -1,0 +1,126 @@
+"""Multi-pass blocking with salted hot-block defusal.
+
+Generalizes the reference's per-column exact-match index lookup
+(repositories/IndexManager.java:29-38 + SearchService.java:165 probe
+EQUALS) into scalable candidate generation: several independent blocking-key
+passes (positional token prefixes, sorted-token neighborhood keys, exact
+media_ref buckets), a block-size census, and deterministic salting of
+over-sized blocks BEFORE pair generation so the O(n²) within-block pair
+explosion is bounded (AQE skew-join alone cannot help — it splits shuffle
+partitions, not the quadratic pair count).
+
+Scale notes (100 TB / 10^12 docs):
+  - keys frame is long-format (doc_id, pass, block_key): one shuffle on
+    block_key for the census, one for the self-join. Both are map-side
+    combinable aggregations / equi-joins Catalyst handles natively.
+  - salting may only DROP cross-salt pairs within a hot block; recall is
+    preserved by the *multi-pass* design — a true duplicate pair that loses
+    its shared hot key still meets under its other keys (sorted-token pass,
+    media pass). The skew test asserts cluster-output equivalence.
+  - pair dedup across passes is a `distinct` on (a, b) — one shuffle,
+    map-side partial dedup applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Defaults chosen so a block never yields more than ~max_block_size * cap
+# pairs per member; production values are config, these are sane for tests.
+DEFAULT_MAX_BLOCK_SIZE = 50
+
+
+def blocking_keys(
+    canon: DataFrame,
+    prefix_tokens: int = 2,
+    prefix_chars: int = 4,
+    sorted_tokens: int = 3,
+) -> DataFrame:
+    """canon(doc_id, doc_text, media_refs) -> (doc_id, pass, block_key).
+
+    Pass A 'pfx': first `prefix_tokens` tokens, `prefix_chars` chars each —
+          positional prefix key (sorted-neighborhood flavor on leading text).
+    Pass B 'srt': smallest `sorted_tokens` of the distinct token set —
+          robust to token reorder and to leading-token typos.
+    Pass C 'med': one key per media_ref — exact shared-asset blocking.
+    """
+    toks = F.filter(F.split(F.col("doc_text"), " "), lambda t: t != F.lit(""))
+    pfx_key = F.concat(
+        F.lit("pfx:"),
+        F.array_join(
+            F.transform(
+                F.slice(toks, 1, prefix_tokens),
+                lambda t: F.substring(t, 1, prefix_chars),
+            ),
+            "_",
+        ),
+    )
+    srt_key = F.concat(
+        F.lit("srt:"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, sorted_tokens), "_"),
+    )
+    text_keys = canon.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("pfx").alias("pass"), pfx_key.alias("block_key")),
+                F.struct(F.lit("srt").alias("pass"), srt_key.alias("block_key")),
+            )
+        ).alias("k"),
+    ).select("doc_id", F.col("k.pass").alias("pass"), F.col("k.block_key").alias("block_key"))
+    media_keys = canon.select(
+        "doc_id",
+        F.lit("med").alias("pass"),
+        F.explode("media_refs").alias("block_key"),
+    )
+    keys = text_keys.unionByName(media_keys)
+    return keys.where(
+        F.col("block_key").isNotNull()
+        & (F.col("block_key") != "")
+        & (F.col("block_key") != "pfx:")
+        & (F.col("block_key") != "srt:")
+    )
+
+
+def salt_keys(keys: DataFrame, max_block_size: int = DEFAULT_MAX_BLOCK_SIZE) -> DataFrame:
+    """Census block sizes, split blocks over `max_block_size` into
+    ceil(size/max_block_size) deterministic salted sub-blocks.
+
+    Salt is pmod(xxhash64(doc_id), n_salts): content-independent, stable
+    across runs (resumability), and uniform. Output adds (salt, n_salts,
+    block_size) so downstream metrics can report hot-block handling.
+    """
+    census = keys.groupBy("pass", "block_key").agg(F.count("*").alias("block_size"))
+    keyed = keys.join(census, ["pass", "block_key"])
+    n_salts = F.when(
+        F.col("block_size") > max_block_size,
+        F.ceil(F.col("block_size") / F.lit(max_block_size)).cast("int"),
+    ).otherwise(F.lit(1))
+    return keyed.withColumn("n_salts", n_salts).withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int")
+    )
+
+
+def candidate_pairs(
+    salted: DataFrame,
+    repartition_on_block: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Self-join within (pass, block_key, salt) -> distinct (doc_id_a < doc_id_b).
+
+    The explicit repartition on the salted block key is the 'salted
+    repartitioning' of the north rule: it co-locates each sub-block in one
+    shuffle partition sized by the salt cap, so no single task owns a hot
+    block's quadratic work.
+    """
+    cols = ["pass", "block_key", "salt"]
+    left = salted.select(*cols, F.col("doc_id").alias("doc_id_a"))
+    if repartition_on_block:
+        if num_partitions:
+            left = left.repartition(num_partitions, *cols)
+        else:
+            left = left.repartition(*cols)
+    right = salted.select(*cols, F.col("doc_id").alias("doc_id_b"))
+    pairs = left.join(right, cols).where(F.col("doc_id_a") < F.col("doc_id_b"))
+    return pairs.select("doc_id_a", "doc_id_b").distinct()

@@ -1,0 +1,107 @@
+"""Transitive clustering: large-star/small-star connected components.
+
+The set-oriented generalization of the reference's join-by-shared-value
+enrichment (repositories/SearchRepository.java:249-297): instead of merging
+rows that share a column value one seed at a time (capped at maxJoinDepth),
+we take the full match graph and compute connected components, assigning
+every doc the min doc_id of its component.
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014) — O(log n) rounds, each
+round two groupBy/join stages; proven convergent. Each iteration is
+localCheckpoint()ed to cut lineage (a driver-side fixpoint loop is the one
+thing Catalyst cannot express).
+
+Scale notes:
+  - edge frames are (u, v) string pairs; every round shuffles on u — at
+    10^12 docs this is the dominant shuffle, so rounds matter more than
+    per-round constants; large/small-star's O(log n) rounds beat naive
+    label propagation's O(diameter).
+  - high-degree hubs (a celebrity doc matched by millions) are exactly what
+    large-star handles: it re-attaches large neighbors to the min, splitting
+    the star across partitions next round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Both directions, self-loops dropped."""
+    e = edges.select(F.col("u"), F.col("v"))
+    return (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u."""
+    nbrs = _sym(edges)
+    m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        nbrs.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges small->large: for each u over neighbors v <= u:
+    m = min(N ∪ {u}); emit (v, m) for v in N plus (u, m)."""
+    nbrs = _sym(edges).where(F.col("v") < F.col("u"))
+    m = nbrs.groupBy("u").agg(F.min("v").alias("m"))
+    attach = nbrs.join(m, "u")
+    out = attach.select(F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
+        attach.select(F.col("u"), F.col("m").alias("v")).distinct()
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        # bit_xor: order-insensitive, overflow-free (ANSI mode safe)
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def connected_components(
+    matches: DataFrame,
+    max_iterations: int = 25,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """matches(doc_id_a, doc_id_b, ...) -> (doc_id, cluster_id).
+
+    cluster_id = min doc_id of the component. Docs absent from `matches`
+    are not emitted — callers left-join and coalesce to doc_id for
+    singleton clusters (see pipeline.assign_clusters).
+    """
+    edges = matches.select(
+        F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v")
+    ).distinct()
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=True)
+    prev = _edge_checksum(edges)
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges))
+        if checkpoint:
+            edges = edges.localCheckpoint(eager=True)
+        cur = _edge_checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # Fixpoint: every edge is (node, root). Emit both node->root and
+    # root->root so component representatives appear in the output.
+    assign = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
+    return (
+        assign.unionByName(roots)
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )

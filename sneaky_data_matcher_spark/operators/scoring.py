@@ -1,0 +1,84 @@
+"""Candidate-pair similarity scoring — vectorized, threshold to matches.
+
+Generalizes the reference's exact-equality probe match
+(services/SearchService.java:165, LIMIT-1 EQUALS lookups) to threshold
+similarity over candidate pairs:
+
+  score = w_jw * JaroWinkler(text_a, text_b)          (pandas UDF, Arrow)
+        + w_lev * (1 - lev/maxlen)                    (native codegen)
+        + w_tok * token-set Jaccard                   (native array ops)
+        + w_med * exact media_ref agreement           (native array ops)
+
+Scale notes:
+  - pairs ⋈ docs twice (sides a and b) — two shuffle hash joins on doc_id;
+    at warehouse scale bucket the canonical docs table by doc_id to make
+    these co-located. The joined frame carries only (ids, texts, media) —
+    spans never travel through scoring.
+  - the one Python-adjacent kernel (Jaro-Winkler) runs per Arrow batch
+    inside DuckDB's vectorized C++ implementation; everything else is
+    whole-stage-codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.similarity import jaro_winkler, levenshtein_ratio, token_jaccard
+
+DEFAULT_WEIGHTS = {"jw": 0.4, "lev": 0.2, "tok": 0.3, "med": 0.1}
+DEFAULT_THRESHOLD = 0.62
+
+
+def media_agreement(a: Column, b: Column) -> Column:
+    """1.0 when the two docs share at least one media_ref; 0.5 when neither
+    has media (no evidence either way); 0.0 on disjoint non-empty sets."""
+    inter = F.size(F.array_intersect(a, b))
+    both_empty = (F.size(a) == 0) & (F.size(b) == 0)
+    return (
+        F.when(inter > 0, F.lit(1.0))
+        .when(both_empty, F.lit(0.5))
+        .otherwise(F.lit(0.0))
+    )
+
+
+def attach_texts(pairs: DataFrame, canon: DataFrame) -> DataFrame:
+    """pairs(doc_id_a, doc_id_b) ⋈ canon(doc_id, doc_text, media_refs) x2."""
+    a = canon.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("doc_text").alias("text_a"),
+        F.col("media_refs").alias("media_a"),
+    )
+    b = canon.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("doc_text").alias("text_b"),
+        F.col("media_refs").alias("media_b"),
+    )
+    return pairs.join(a, "doc_id_a").join(b, "doc_id_b")
+
+
+def score_pairs(
+    pairs_with_text: DataFrame,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    w = weights or DEFAULT_WEIGHTS
+    return pairs_with_text.select(
+        "doc_id_a",
+        "doc_id_b",
+        jaro_winkler(F.col("text_a"), F.col("text_b")).alias("jw"),
+        levenshtein_ratio(F.col("text_a"), F.col("text_b")).alias("lev_ratio"),
+        token_jaccard(F.col("text_a"), F.col("text_b")).alias("tok_jaccard"),
+        media_agreement(F.col("media_a"), F.col("media_b")).alias("media_agree"),
+    ).withColumn(
+        "score",
+        w["jw"] * F.col("jw")
+        + w["lev"] * F.col("lev_ratio")
+        + w["tok"] * F.col("tok_jaccard")
+        + w["med"] * F.col("media_agree"),
+    )
+
+
+def matches(scored: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
+    return scored.where(F.col("score") >= threshold).select(
+        "doc_id_a", "doc_id_b", "score"
+    )

@@ -1,0 +1,96 @@
+"""End-to-end record-linkage pipeline: canonicalize → block → score → cluster.
+
+Five pure DataFrame→DataFrame stages, each independently checkpointable to a
+table (plans/runs.py handles persistence/resume/metrics). This module is the
+logical plan only — no I/O — so the same code runs in tests (in-memory), in
+bench.py (parquet stages), and on a real cluster (Iceberg stages).
+
+Reference lineage: the whole file generalizes matchAndExport
+(services/SearchService.java:104-199): canonicalization = P1-P6, blocking =
+the per-column index probe, scoring = the EQUALS match generalized to
+threshold similarity, clustering = join-by-shared-value enrichment
+(SearchRepository.java:249-297) generalized to transitive closure.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.canonicalize import nrm, tlc
+from ..operators import blocking, clustering, scoring
+from ..sources.spans import doc_text_expr, media_refs_expr
+
+
+@dataclass
+class PipelineConfig:
+    max_block_size: int = blocking.DEFAULT_MAX_BLOCK_SIZE
+    prefix_tokens: int = 2
+    prefix_chars: int = 4
+    sorted_tokens: int = 3
+    weights: dict = field(default_factory=lambda: dict(scoring.DEFAULT_WEIGHTS))
+    threshold: float = scoring.DEFAULT_THRESHOLD
+    cc_max_iterations: int = 25
+    salting_enabled: bool = True
+
+
+def canonicalize_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, spans, ...) -> (doc_id, doc_text, media_refs).
+
+    doc_text = TLC+NRM over the offset-ordered concatenation of text spans —
+    the exact reference canonicalization chain (StringTransformer.java:11-45)
+    applied to the document's text modality. Spans are never mutated (the
+    invariant): this stage only derives columns.
+    """
+    return docs.select(
+        "doc_id",
+        nrm(tlc(doc_text_expr(F.col("spans")))).alias("doc_text"),
+        media_refs_expr(F.col("spans")).alias("media_refs"),
+    )
+
+
+def build_candidate_pairs(canon: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    keys = blocking.blocking_keys(
+        canon,
+        prefix_tokens=cfg.prefix_tokens,
+        prefix_chars=cfg.prefix_chars,
+        sorted_tokens=cfg.sorted_tokens,
+    )
+    if cfg.salting_enabled:
+        salted = blocking.salt_keys(keys, cfg.max_block_size)
+    else:
+        salted = keys.withColumn("salt", F.lit(0)).withColumn(
+            "n_salts", F.lit(1)
+        ).withColumn("block_size", F.lit(None).cast("long"))
+    return blocking.candidate_pairs(salted)
+
+
+def score_candidates(pairs: DataFrame, canon: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    with_text = scoring.attach_texts(pairs, canon)
+    return scoring.score_pairs(with_text, cfg.weights)
+
+
+def assign_clusters(scored: DataFrame, canon: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(scored, canon) -> (doc_id, cluster_id); singletons get their own id."""
+    m = scoring.matches(scored, cfg.threshold)
+    comp = clustering.connected_components(m, cfg.cc_max_iterations)
+    return (
+        canon.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+def run(docs: DataFrame, cfg: PipelineConfig | None = None) -> dict[str, DataFrame]:
+    """Full logical pipeline; returns every stage for inspection/persist."""
+    cfg = cfg or PipelineConfig()
+    canon = canonicalize_docs(docs)
+    pairs = build_candidate_pairs(canon, cfg)
+    scored = score_candidates(pairs, canon, cfg)
+    clusters = assign_clusters(scored, canon, cfg)
+    return {"canon": canon, "pairs": pairs, "scored": scored, "clusters": clusters}

@@ -1,0 +1,123 @@
+"""Canonicalization parity: vectorized Spark expressions vs the pure-Python
+oracle port of the reference (utils/StringTransformer.java:11-45,
+services/RecordValidationUtilService.java:16-32)."""
+
+from __future__ import annotations
+
+import string
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sneaky_data_matcher_spark.functions import canonicalize as C
+from sneaky_data_matcher_spark.functions import pyoracle as O
+
+EDGE_CASES = [
+    None,
+    "",
+    " ",
+    "  'Hello'   \"World\" ",
+    "'\"a\"'",
+    "a:b:c",
+    "''",
+    '""""',
+    "\t tab\tsep \n lines \f",
+    "  MiXeD Case TEXT  ",
+    "o'brien d'angelo",  # interior quotes survive
+    "'  leading space in quotes'",
+    "x" * 500,
+    "a'b\"c",
+    " ' ' \" \" ",
+]
+
+# The alphabet where Spark and the Java reference agree exactly (SURVEY.md
+# §7 risk note): printable ASCII + quotes + common whitespace.
+ALPHABET = string.ascii_letters + string.digits + "'\" \t\n\r\f.:-@#$%&()[]{}"
+
+
+def _spark_transform(spark, values, chain):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    return [
+        r["out"]
+        for r in df.select(
+            C.transform_chain(F.col("v"), chain).alias("out")
+        ).collect()
+    ]
+
+
+@pytest.mark.parametrize("chain", [["TLC", "NRM"], ["NRM"], ["TUC", "TRIM"], ["TRIM", "NRM", "TLC"]])
+def test_transform_chain_edge_cases(spark, chain):
+    got = _spark_transform(spark, EDGE_CASES, chain)
+    want = [O.transform(v, chain) for v in EDGE_CASES]
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet=ALPHABET, max_size=40), min_size=1, max_size=30))
+def test_transform_chain_property(spark, values):
+    got = _spark_transform(spark, values, ["TLC", "NRM"])
+    want = [O.transform(v, ["TLC", "NRM"]) for v in values]
+    assert got == want
+
+
+def test_phone_rule(spark):
+    cases = ["+1 (555) 123.4567", "12.34", "1234", "12345", "no digits", "555 12", "  9-9-9-9-9  "]
+    df = spark.createDataFrame([(v,) for v in cases], "v string")
+    got = [r["p"] for r in df.select(C.phone_rule(F.col("v")).alias("p")).collect()]
+    want = [O.phone_rule(v) for v in cases]
+    assert got == want
+
+
+def test_email_rule(spark):
+    cases = [
+        "user@example.com",
+        "user@localhost",
+        "a.b+c@sub.domain.org",
+        "bad@@x",
+        "no-at-sign",
+        "trailing@dot.",
+        "user@-bad.com",
+        "UPPER@CASE.COM",
+    ]
+    df = spark.createDataFrame([(v,) for v in cases], "v string")
+    got = [r["e"] for r in df.select(C.email_rule(F.col("v")).alias("e")).collect()]
+    want = [O.email_rule(v) for v in cases]
+    assert got == want
+
+
+def test_map_and_concat(spark):
+    """P1: per-source validation, space-concat, re-transform
+    (UploadsService.java:148-163)."""
+    rows = [
+        ("  John ", "j@x.com", "555.123.4567"),
+        ("'Jane'", "not-an-email", "123"),
+        (None, None, None),
+    ]
+    df = spark.createDataFrame(rows, "name string, email string, phone string")
+    chain = ["TLC", "NRM"]
+    out = df.select(
+        C.map_and_concat(
+            [F.col("name"), F.col("email"), F.col("phone")],
+            ["name", "email", "phone"],
+            chain,
+        ).alias("v")
+    ).collect()
+    want = [
+        O.map_and_concat(list(r), ["name", "email", "phone"], chain) for r in rows
+    ]
+    assert [r["v"] for r in out] == want
+
+
+def test_query_parser_oracle():
+    assert O.parse_search_query("Name:John") == ("name", "john", "MATCHES")
+    assert O.parse_search_query("name:>jo<") == ("name", "jo", "CONTAINS")
+    assert O.parse_search_query("name:>son") == ("name", "son", "ENDS_WITH")
+    assert O.parse_search_query("name:jo<") == ("name", "jo", "STARTS_WITH")
+    # colon truncation (Java split(":") keeps [0],[1]) — reproduced
+    assert O.parse_search_query("name:a:b") == ("name", "a", "MATCHES")
+    with pytest.raises(ValueError):
+        O.parse_search_query("no-colon")
+    with pytest.raises(ValueError):
+        O.parse_search_query(" :x")

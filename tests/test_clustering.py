@@ -1,0 +1,67 @@
+"""Large-star/small-star connected components vs a union-find oracle."""
+
+from __future__ import annotations
+
+import random
+
+from sneaky_data_matcher_spark.operators.clustering import connected_components
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent: dict[str, str] = {}
+
+    def find(self, x: str) -> str:
+        p = self.parent.setdefault(x, x)
+        if p != x:
+            self.parent[x] = self.find(p)
+        return self.parent[x]
+
+    def union(self, a: str, b: str) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+def _oracle(edges: list[tuple[str, str]]) -> dict[str, str]:
+    uf = _UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    nodes = {n for e in edges for n in e}
+    comp: dict[str, list[str]] = {}
+    for n in nodes:
+        comp.setdefault(uf.find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, "doc_id_a string, doc_id_b string")
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+    assert got == _oracle(edges)
+
+
+def test_simple_chain(spark):
+    _run(spark, [("a", "b"), ("b", "c"), ("d", "e")])
+
+
+def test_star_and_cycle(spark):
+    _run(spark, [("hub", f"n{i}") for i in range(20)] + [("x", "y"), ("y", "z"), ("z", "x")])
+
+
+def test_long_path(spark):
+    # path of 64 nodes: stresses the O(log n) round count
+    _run(spark, [(f"p{i:03d}", f"p{i+1:03d}") for i in range(63)])
+
+
+def test_random_graph(spark):
+    rng = random.Random(7)
+    nodes = [f"n{i:04d}" for i in range(300)]
+    edges = [tuple(rng.sample(nodes, 2)) for _ in range(350)]
+    edges = [(min(a, b), max(a, b)) for a, b in edges]
+    _run(spark, edges)
+
+
+def test_duplicate_and_reversed_edges(spark):
+    _run(spark, [("a", "b"), ("a", "b"), ("b", "a"), ("c", "d")])
