@@ -44,8 +44,12 @@ def blocking_keys(
     Pass B 'srt': smallest `sorted_tokens` of the distinct token set —
           robust to token reorder and to leading-token typos.
     Pass C 'med': one key per media_ref — exact shared-asset blocking.
+
+    doc_text is NRM'd (single-spaced, no blank tokens) so a plain split
+    suffices — no regex, no filter lambda.
     """
-    toks = F.filter(F.split(F.col("doc_text"), " "), lambda t: t != F.lit(""))
+    toks = F.split(F.col("doc_text"), " ")
+    toks_sorted = F.array_sort(F.array_distinct(toks))
     pfx_key = F.concat(
         F.lit("pfx:"),
         F.array_join(
@@ -58,7 +62,7 @@ def blocking_keys(
     )
     srt_key = F.concat(
         F.lit("srt:"),
-        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, sorted_tokens), "_"),
+        F.array_join(F.slice(toks_sorted, 1, sorted_tokens), "_"),
     )
     text_keys = canon.select(
         "doc_id",

@@ -1,0 +1,222 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard —
+all expressed as native DataFrame transformations (hashing via xxhash64 /
+sha2, set ops via higher-order array functions), no Python in the hot path.
+
+Scale notes (100 TB):
+  - exact dedup: one shuffle on the fingerprint — map-side combine applies.
+  - MinHash: K hash passes are computed per-row inside one projection
+    (array of K mins over the shingle set), then exploded to band keys;
+    the band-bucket self-join is the only quadratic risk and is bounded by
+    band-bucket size exactly like blocking (reuse salt_keys if needed).
+  - SimHash: 64-bit signature from per-token hashes; near-dup = Hamming
+    distance <= k, found by exact-match on banded pieces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import tokens
+
+
+def _shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct) of a text column."""
+    toks = tokens(F.lower(col))
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array(F.array_join(toks, " "))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by sha2 of the normalized text."""
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.array_join(tokens(F.lower(F.col(text_col))), " "), 256).alias("fingerprint"),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("representative"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 128,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>[num_hashes]).
+
+    minhash_i(doc) = min over shingles of xxhash64(shingle, seed=i) — the
+    standard 'K independent hash functions' construction using Spark's
+    seeded xxhash64, all inside one JVM projection.
+    """
+    sh = _shingles(F.col(text_col), shingle_n).alias("shingles")
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, i))
+        ),
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sh).select(
+        "doc_id", sig.alias("sig")
+    )
+
+
+def lsh_band_keys(sigs: DataFrame, bands: int = 32, rows_per_band: int = 4) -> DataFrame:
+    """Explode signatures to (doc_id, band, band_key). Docs sharing any
+    band_key are LSH candidates. bands*rows_per_band must == len(sig)."""
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.sha2(
+                    F.concat_ws(
+                        "_",
+                        b.cast("string"),
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            "_",
+                        ),
+                    ),
+                    256,
+                ),
+            )
+        ).alias("band", "band_key"),
+    )
+
+
+def lsh_candidates(band_keys: DataFrame) -> DataFrame:
+    """Self-join on band_key -> distinct candidate pairs (a < b)."""
+    left = band_keys.select(F.col("band_key"), F.col("doc_id").alias("doc_id_a"))
+    right = band_keys.select(F.col("band_key"), F.col("doc_id").alias("doc_id_b"))
+    return (
+        left.join(right, "band_key")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification step)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), _shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    j = pairs.join(a, "doc_id_a").join(b, "doc_id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    un = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.when(un == 0, F.lit(1.0))
+        .otherwise(inter.cast("double") / un.cast("double"))
+        .alias("jaccard"),
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 128,
+    bands: int = 32,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified by exact n-gram Jaccard
+    >= threshold. With 32x4 bands a pair at J=0.7 is caught with
+    p = 1-(1-0.7^4)^32 ≈ 0.9998 — candidate recall ~1 at the threshold."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    cand = lsh_candidates(lsh_band_keys(sigs, bands, rows_per_band))
+    verified = ngram_jaccard_pairs(cand, docs, id_col, text_col, shingle_n)
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+def simhash_signature(col: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over token hashes: bit b of the signature is the sign
+    of sum over tokens of (+1 if bit b of xxhash64(token) else -1).
+    Native-only via bit ops and aggregate."""
+    toks = tokens(F.lower(col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def bit_mask(b: int) -> int:
+        # int64 two's complement: bit 63 is the sign bit
+        return (1 << b) if b < 63 else -(1 << 63)
+
+    def bit_sum(b: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(bit_mask(b))) != 0, 1).otherwise(-1),
+        )
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(bit_sum(b) > 0, F.lit(bit_mask(b))).otherwise(F.lit(0)).cast("long")
+    return sig
+
+
+def simhash_dedup(
+    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    n_pieces: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: split the 64-bit signature into n_pieces
+    16-bit pieces; by pigeonhole any pair with Hamming <= n_pieces-1 shares
+    a piece — exact-match block on each piece, then verify Hamming."""
+    sigs = docs.select(F.col(id_col).alias("doc_id"), simhash_signature(F.col(text_col)).alias("sig"))
+    piece_bits = 64 // n_pieces
+    mask = (1 << piece_bits) - 1
+    pieces = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(i)),
+                        F.shiftright("sig", i * piece_bits).bitwiseAND(F.lit(mask)).cast("string"),
+                    )
+                    for i in range(n_pieces)
+                ]
+            )
+        ).alias("piece_key"),
+    )
+    a = pieces.select(F.col("piece_key"), F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a"))
+    b = pieces.select(F.col("piece_key"), F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b"))
+    cand = (
+        a.join(b, "piece_key")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "doc_id_a", "doc_id_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

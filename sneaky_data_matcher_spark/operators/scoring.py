@@ -24,10 +24,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.similarity import jaro_winkler, levenshtein_ratio, token_jaccard
+from ..functions.similarity import jaro_winkler, levenshtein_ratio
 
 DEFAULT_WEIGHTS = {"jw": 0.4, "lev": 0.2, "tok": 0.3, "med": 0.1}
 DEFAULT_THRESHOLD = 0.62
+# Edit-distance kernels are O(len_a * len_b) per pair — unbounded doc text
+# would make pair cost quadratic in document size at 100 TB. Cap the
+# compared prefix (canonical text, so the prefix is stable); token-jaccard
+# still sees the full token sets.
+DEFAULT_PREFIX_LEN = 256
 
 
 def media_agreement(a: Column, b: Column) -> Column:
@@ -43,15 +48,25 @@ def media_agreement(a: Column, b: Column) -> Column:
 
 
 def attach_texts(pairs: DataFrame, canon: DataFrame) -> DataFrame:
-    """pairs(doc_id_a, doc_id_b) ⋈ canon(doc_id, doc_text, media_refs) x2."""
-    a = canon.select(
+    """pairs(doc_id_a, doc_id_b) ⋈ canon x2, carrying text + precomputed
+    token sets (pair stages never re-tokenize)."""
+    # token set derived here, per doc, BEFORE the join fans out to pairs
+    # (plain split: doc_text is NRM'd). Catalyst keeps this projection on
+    # the join input side, so it runs |docs| times, not |pairs| times.
+    c = canon.withColumn(
+        "toks_set",
+        F.array_sort(F.array_distinct(F.split(F.col("doc_text"), " "))),
+    )
+    a = c.select(
         F.col("doc_id").alias("doc_id_a"),
         F.col("doc_text").alias("text_a"),
+        F.col("toks_set").alias("toks_a"),
         F.col("media_refs").alias("media_a"),
     )
-    b = canon.select(
+    b = c.select(
         F.col("doc_id").alias("doc_id_b"),
         F.col("doc_text").alias("text_b"),
+        F.col("toks_set").alias("toks_b"),
         F.col("media_refs").alias("media_b"),
     )
     return pairs.join(a, "doc_id_a").join(b, "doc_id_b")
@@ -60,14 +75,22 @@ def attach_texts(pairs: DataFrame, canon: DataFrame) -> DataFrame:
 def score_pairs(
     pairs_with_text: DataFrame,
     weights: dict[str, float] | None = None,
+    prefix_len: int = DEFAULT_PREFIX_LEN,
 ) -> DataFrame:
     w = weights or DEFAULT_WEIGHTS
+    pa = F.substring(F.col("text_a"), 1, prefix_len)
+    pb = F.substring(F.col("text_b"), 1, prefix_len)
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    un = F.size(F.array_union("toks_a", "toks_b"))
+    tok_jac = F.when(un == 0, F.lit(1.0)).otherwise(
+        inter.cast("double") / un.cast("double")
+    )
     return pairs_with_text.select(
         "doc_id_a",
         "doc_id_b",
-        jaro_winkler(F.col("text_a"), F.col("text_b")).alias("jw"),
-        levenshtein_ratio(F.col("text_a"), F.col("text_b")).alias("lev_ratio"),
-        token_jaccard(F.col("text_a"), F.col("text_b")).alias("tok_jaccard"),
+        jaro_winkler(pa, pb).alias("jw"),
+        levenshtein_ratio(pa, pb).alias("lev_ratio"),
+        tok_jac.alias("tok_jaccard"),
         media_agreement(F.col("media_a"), F.col("media_b")).alias("media_agree"),
     ).withColumn(
         "score",

@@ -32,21 +32,31 @@ class PipelineConfig:
     sorted_tokens: int = 3
     weights: dict = field(default_factory=lambda: dict(scoring.DEFAULT_WEIGHTS))
     threshold: float = scoring.DEFAULT_THRESHOLD
+    score_prefix_len: int = scoring.DEFAULT_PREFIX_LEN
     cc_max_iterations: int = 25
     salting_enabled: bool = True
 
 
 def canonicalize_docs(docs: DataFrame) -> DataFrame:
-    """(doc_id, spans, ...) -> (doc_id, doc_text, media_refs).
+    """(doc_id, spans, ...) -> (doc_id, doc_text, toks, toks_set, media_refs).
 
     doc_text = TLC+NRM over the offset-ordered concatenation of text spans —
     the exact reference canonicalization chain (StringTransformer.java:11-45)
     applied to the document's text modality. Spans are never mutated (the
     invariant): this stage only derives columns.
+
+    Deliberately ONLY these three columns: the NRM expression is expensive
+    (per-token regex pipeline), and Catalyst's projection collapse would
+    re-inline it into any derived column (toks, keys, ...), multiplying its
+    evaluation per row. Downstream stages derive token arrays with a plain
+    single-space split (doc_text is NRM'd: single-spaced, no blanks) at
+    their join inputs — per doc, pre-join, never per pair. Persist or
+    checkpoint this frame between stages (bench/runs do) so NRM runs once.
     """
+    text = nrm(tlc(doc_text_expr(F.col("spans"))))
     return docs.select(
         "doc_id",
-        nrm(tlc(doc_text_expr(F.col("spans")))).alias("doc_text"),
+        text.alias("doc_text"),
         media_refs_expr(F.col("spans")).alias("media_refs"),
     )
 
@@ -69,7 +79,7 @@ def build_candidate_pairs(canon: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 def score_candidates(pairs: DataFrame, canon: DataFrame, cfg: PipelineConfig) -> DataFrame:
     with_text = scoring.attach_texts(pairs, canon)
-    return scoring.score_pairs(with_text, cfg.weights)
+    return scoring.score_pairs(with_text, cfg.weights, cfg.score_prefix_len)
 
 
 def assign_clusters(scored: DataFrame, canon: DataFrame, cfg: PipelineConfig) -> DataFrame:

@@ -1,0 +1,124 @@
+"""Checkpointed, resumable pipeline runs with per-partition lineage metrics.
+
+Generalizes the reference's job-control surface (SURVEY.md §2 X1-X3, A1):
+  - Upload/Match progress entities (processed/outOf watermarks,
+    entities/MatchEntity.java:5-11, repositories/SearchRepository.java:147-167)
+    become a `_metrics` table with one row per (stage, partition) and a
+    `_jobs` table with one row per stage completion.
+  - Resume-by-skipping-processed-rows (services/UploadsService.java:64-71)
+    becomes stage-level idempotence: a stage whose committed output exists
+    is loaded, not recomputed — atomic commits make row-skipping obsolete.
+  - Force-complete (X3) becomes deleting/ignoring downstream stages.
+
+Metrics are computed with `spark_partition_id()` grouping — one cheap
+map-side aggregation per persisted stage — giving the per-partition lineage
+row counts the north rule requires (skew visibility included: the census of
+rows-per-partition IS the skew report).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import TableIO
+
+METRICS_TABLE = "_metrics"
+JOBS_TABLE = "_jobs"
+
+
+class Run:
+    """A named, resumable pipeline run rooted at ``base_dir``."""
+
+    def __init__(self, spark: SparkSession, base_dir: str, run_id: str):
+        self.spark = spark
+        self.run_id = run_id
+        self.io = TableIO(spark, f"{base_dir.rstrip('/')}/{run_id}")
+
+    # -- stage orchestration -------------------------------------------------
+
+    def stage(self, name: str, build, force: bool = False) -> DataFrame:
+        """Return the stage output, computing + committing it only if no
+        committed output exists (resume semantics). ``build`` is a
+        zero-arg callable returning the stage DataFrame."""
+        if not force and self.io.exists(name):
+            return self.io.load(name)
+        df = build()
+        self.io.save(df, name)
+        out = self.io.load(name)
+        self._record(name, out)
+        return out
+
+    def completed_stages(self) -> list[str]:
+        if not self.io.exists(JOBS_TABLE):
+            return []
+        return [
+            r["stage"]
+            for r in self.io.load(JOBS_TABLE).select("stage").distinct().collect()
+        ]
+
+    # -- lineage / metrics ---------------------------------------------------
+
+    def _record(self, stage: str, df: DataFrame) -> None:
+        now = float(time.time())
+        per_part = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows"))
+            .select(
+                F.lit(self.run_id).alias("run_id"),
+                F.lit(stage).alias("stage"),
+                "partition_id",
+                "rows",
+                F.lit(now).alias("recorded_at"),
+            )
+        )
+        self.io.append(per_part, METRICS_TABLE)
+        total = per_part.agg(
+            F.sum("rows").alias("rows"), F.count("*").alias("n_partitions"),
+            F.max("rows").alias("max_partition_rows"),
+        ).select(
+            F.lit(self.run_id).alias("run_id"),
+            F.lit(stage).alias("stage"),
+            F.col("rows").cast("long"),
+            "n_partitions",
+            F.col("max_partition_rows").cast("long"),
+            F.lit(now).alias("recorded_at"),
+        )
+        self.io.append(total, JOBS_TABLE)
+
+    def metrics(self) -> DataFrame:
+        return self.io.load(METRICS_TABLE)
+
+    def jobs(self) -> DataFrame:
+        return self.io.load(JOBS_TABLE)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    base_dir: str,
+    run_id: str,
+    cfg=None,
+    force: bool = False,
+) -> dict[str, DataFrame]:
+    """Persisted, resumable variant of plans.pipeline.run: every stage is a
+    committed table; a re-run after a crash resumes from the last committed
+    stage (tests kill between stages and assert identical clusters)."""
+    from . import pipeline as P
+
+    cfg = cfg or P.PipelineConfig()
+    run = Run(spark, base_dir, run_id)
+
+    canon = run.stage("canon", lambda: P.canonicalize_docs(docs), force=force)
+    pairs = run.stage("pairs", lambda: P.build_candidate_pairs(canon, cfg), force=force)
+    scored = run.stage("scored", lambda: P.score_candidates(pairs, canon, cfg), force=force)
+    clusters = run.stage("clusters", lambda: P.assign_clusters(scored, canon, cfg), force=force)
+    return {
+        "canon": canon,
+        "pairs": pairs,
+        "scored": scored,
+        "clusters": clusters,
+        "run": run,
+    }

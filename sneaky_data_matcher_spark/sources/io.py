@@ -1,0 +1,76 @@
+"""Table I/O with Iceberg-first, Parquet-fallback semantics.
+
+Production target is an Iceberg catalog (the north rule's resumable,
+snapshot-committed stage outputs). This sandbox has no Iceberg jar on the
+classpath, so `TableIO` probes once and falls back to directory-per-table
+Parquet with `_SUCCESS` markers standing in for committed snapshots —
+the same atomic-commit contract (Spark only writes _SUCCESS after all task
+commits), behind one interface so the pipeline code is identical either way.
+
+Replaces the reference's MinIO blob store + Neo4j graph persistence
+(repositories/ExportsRepository.java:47-111, UploadRepository.java:42-78):
+datasets are tables, job state is a metadata table, watermarks are commits.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class TableIO:
+    """save/load/exists for named stage tables under a base location."""
+
+    def __init__(self, spark: SparkSession, base: str, catalog: str | None = None):
+        self.spark = spark
+        self.base = base.rstrip("/")
+        self.use_iceberg = catalog is not None and _iceberg_available(spark)
+        self.catalog = catalog
+
+    def _path(self, name: str) -> str:
+        return f"{self.base}/{name}"
+
+    def save(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
+        if self.use_iceberg:
+            full = f"{self.catalog}.{name}"
+            writer = df.writeTo(full)
+            (writer.createOrReplace() if mode == "overwrite" else writer.append())
+        else:
+            df.write.mode(mode).parquet(self._path(name))
+
+    def append(self, df: DataFrame, name: str) -> None:
+        if self.use_iceberg:
+            df.writeTo(f"{self.catalog}.{name}").append()
+        else:
+            df.write.mode("append").parquet(self._path(name))
+
+    def load(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.table(f"{self.catalog}.{name}")
+        return self.spark.read.parquet(self._path(name))
+
+    def exists(self, name: str) -> bool:
+        """Committed output only: Parquet dir must carry _SUCCESS (the
+        all-tasks-committed marker), mirroring an Iceberg snapshot check."""
+        if self.use_iceberg:
+            return self.spark.catalog.tableExists(f"{self.catalog}.{name}")
+        return os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
+
+    def delete(self, name: str) -> None:
+        if self.use_iceberg:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.catalog}.{name}")
+        else:
+            import shutil
+
+            shutil.rmtree(self._path(name), ignore_errors=True)

@@ -52,7 +52,10 @@ def derive_spans(
     media_spans = F.transform(
         F.sequence(F.lit(0), n_media - 1),
         lambda j: F.struct(
-            F.when(j % 2 == 0, F.lit("image")).otherwise(F.lit("audio")).alias("kind"),
+            F.when(j % 3 == 0, F.lit("image"))
+            .when(j % 3 == 1, F.lit("audio"))
+            .otherwise(F.lit("video"))
+            .alias("kind"),
             F.lit(None).cast("string").alias("text"),
             F.concat(F.lit("m:"), F.substring(content_key, 1, 16), F.lit("-"), j.cast("string")).alias("media_ref"),
             (n_chunks + j).cast("int").alias("offset"),

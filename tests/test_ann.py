@@ -1,0 +1,84 @@
+"""ANN operators: brute-force exactness vs a numpy oracle, LSH mechanics
+(identical-direction vectors always collide), IVF routing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sneaky_data_matcher_spark.operators import ann
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").localCheckpoint(eager=True)
+
+
+def test_brute_force_matches_numpy(spark, emb):
+    import numpy as np
+
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    qids = [i for i in vecs if i % 100 == 0]
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    got = {}
+    for r in ann.brute_force_topk(q, emb, k=3).collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["cos"]))
+    for qid in qids:
+        qv = vecs[qid]
+        sims = []
+        for nid, nv in vecs.items():
+            if nid == qid:
+                continue
+            c = float(qv @ nv / (np.linalg.norm(qv) * np.linalg.norm(nv)))
+            sims.append((round(c, 6), -nid))
+        sims.sort(reverse=True)
+        expected = [(-n, c) for c, n in sims[:3]]
+        got_q = got[qid]
+        assert [n for n, _ in got_q] == [n for n, _ in expected], qid
+        for (gn, gc), (en, ec) in zip(got_q, expected):
+            assert gc == pytest.approx(ec, abs=1e-5)
+
+
+def test_lsh_identical_direction_always_found(spark, emb):
+    """A query that is a positive scalar multiple of a corpus vector lands
+    in the same bucket in EVERY table (same signs) — LSH must return it
+    as the top-1 neighbor with cos == 1."""
+    q = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    out = ann.lsh_topk(q, emb, k=1)
+    rows = {r["query_id"]: (r["neighbor_id"], r["cos"]) for r in out.collect()}
+    for qid in range(5):
+        nid, cos = rows[qid + 100000]
+        assert nid == qid
+        assert cos == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_recall_reported(spark, emb):
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    bf = {(r["query_id"], r["neighbor_id"]) for r in ann.brute_force_topk(q, emb, k=5).collect()}
+    ls = {(r["query_id"], r["neighbor_id"]) for r in ann.lsh_topk(q, emb, k=5).collect()}
+    recall = len(bf & ls) / len(bf)
+    # near-uniform vectors: weak structure; mechanics-floor only
+    assert recall > 0.05, recall
+
+
+def test_ivf_self_retrieval(spark, emb):
+    cent = emb.where(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(3.0)).alias("embedding"),
+    )
+    out = ann.ivf_topk(q, emb, cent, k=1, n_probe=1)
+    rows = {r["query_id"]: r["neighbor_id"] for r in out.collect()}
+    # scaled copy routes to the same centroid and wins top-1
+    for qid in range(5):
+        assert rows[qid + 100000] == qid

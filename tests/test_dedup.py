@@ -1,0 +1,112 @@
+"""Dedup operators: exact, MinHash-LSH (recall vs exhaustive oracle),
+SimHash, n-gram Jaccard."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from sneaky_data_matcher_spark.operators import dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").localCheckpoint(eager=True)
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.lower().split()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_dedup_matches_python(spark, docs):
+    groups = dedup.exact_dedup(docs, "doc_id", "text").collect()
+    rows = [(r["doc_id"], " ".join(r["text"].lower().split())) for r in docs.collect()]
+    from collections import defaultdict
+
+    by_text = defaultdict(list)
+    for did, t in rows:
+        by_text[t].append(did)
+    expected = sorted(
+        tuple(sorted(v)) for v in by_text.values() if len(v) > 1
+    )
+    got = sorted(tuple(r["members"]) for r in groups)
+    assert got == expected
+    for g in groups:
+        assert g["representative"] == min(g["members"])
+        assert g["n_docs"] == len(g["members"])
+
+
+def test_minhash_lsh_recall_and_precision(spark, docs):
+    """LSH candidates + exact-Jaccard verify vs exhaustive O(n²) oracle."""
+    threshold = 0.7
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.minhash_dedup(docs, "doc_id", "text", threshold).collect()
+    }
+    rows = [(r["doc_id"], _py_shingles(r["text"])) for r in docs.collect()]
+    expected = set()
+    for (ida, sa), (idb, sb) in itertools.combinations(rows, 2):
+        j = len(sa & sb) / len(sa | sb) if sa | sb else 1.0
+        if j >= threshold:
+            expected.add((min(ida, idb), max(ida, idb)))
+    # precision must be exact (verification step); recall >= 0.95 (LSH)
+    assert got <= expected or not expected
+    if expected:
+        assert len(got & expected) / len(expected) >= 0.95
+    else:
+        assert got == set()
+
+
+def test_ngram_jaccard_exact_on_known_pair(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "q r s t u")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_id_a long, doc_id_b long"
+    )
+    out = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(pairs, df, "doc_id", "text").collect()
+    }
+    # shingles(1) = {abc,bcd,cde}, shingles(2) = {abc,bcd,cdx}: J = 2/4
+    assert out[(1, 2)] == pytest.approx(0.5)
+    assert out[(1, 3)] == 0.0
+
+
+def test_simhash_finds_near_identical(spark):
+    # SimHash is token-order-invariant: a reordered doc has Hamming 0.
+    # A lightly perturbed doc (1 token of 40 changed) lands at small
+    # Hamming; an unrelated doc lands far (~32 expected).
+    base_toks = [f"tok{i:02d}" for i in range(40)]
+    base = " ".join(base_toks)
+    reordered = " ".join(reversed(base_toks))
+    perturbed = " ".join(["zzz"] + base_toks[1:])
+    far = " ".join(f"other{i:02d}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, reordered), (3, far), (4, perturbed)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in dedup.simhash_dedup(df, "doc_id", "text", max_hamming=16).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert (1, 3) not in got and (2, 3) not in got
+    if (1, 4) in got:  # caught only if a 16-bit piece matches (probabilistic)
+        assert 0 < got[(1, 4)] <= 16
+
+
+def test_lsh_band_math(spark, docs):
+    sigs = dedup.minhash_signatures(docs.limit(20), "doc_id", "text", num_hashes=128)
+    row = sigs.first()
+    assert len(row["sig"]) == 128
+    bk = dedup.lsh_band_keys(sigs, bands=32, rows_per_band=4)
+    assert bk.groupBy("doc_id").count().agg(F.min("count")).collect()[0][0] == 32

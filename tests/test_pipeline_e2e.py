@@ -96,12 +96,14 @@ def test_exact_cluster_agreement_with_oracle(pipeline_out, spark):
     from tests.test_clustering import _UnionFind
 
     uf = _UnionFind()
+    plen = cfg.score_prefix_len
     for a, b in pair_rows:
         ta, ma = canon_rows[a]
         tb, mb = canon_rows[b]
-        jw = _jaro_winkler_py(ta, tb)
-        ml = max(len(ta), len(tb))
-        lr = 1.0 if ml == 0 else 1.0 - lev(ta, tb) / ml
+        pa, pb = ta[:plen], tb[:plen]
+        jw = _jaro_winkler_py(pa, pb)
+        ml = max(len(pa), len(pb))
+        lr = 1.0 if ml == 0 else 1.0 - lev(pa, pb) / ml
         sa, sb = set(ta.split()), set(tb.split())
         un = sa | sb
         tj = 1.0 if not un else len(sa & sb) / len(un)

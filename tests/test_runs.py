@@ -1,0 +1,75 @@
+"""Resumability + lineage metrics (SURVEY.md §5.5, north-rule checkpoint
+requirement): kill between stages, restart, identical clusters, no
+recompute of committed stages."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sneaky_data_matcher_spark.plans import pipeline as P
+from sneaky_data_matcher_spark.plans.runs import Run, run_pipeline
+
+
+@pytest.fixture()
+def base_dir(tmp_path):
+    d = str(tmp_path / "runs")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_resume_identical_clusters(spark, synth_corpus, base_dir):
+    docs, _ = synth_corpus
+    cfg = P.PipelineConfig()
+
+    # full run
+    full = run_pipeline(spark, docs, base_dir, "run_a", cfg)
+    expected = {r["doc_id"]: r["cluster_id"] for r in full["clusters"].collect()}
+
+    # partial run: only first two stages committed, then 'crash'
+    run_b = Run(spark, base_dir, "run_b")
+    canon = run_b.stage("canon", lambda: P.canonicalize_docs(docs))
+    run_b.stage("pairs", lambda: P.build_candidate_pairs(canon, cfg))
+    assert sorted(run_b.completed_stages()) == ["canon", "pairs"]
+
+    # restart: canon/pairs must load from committed output, not recompute.
+    # Poison the builder to prove the committed path is taken.
+    def boom():
+        raise AssertionError("stage recomputed despite committed output")
+
+    run_b2 = Run(spark, base_dir, "run_b")
+    canon2 = run_b2.stage("canon", boom)
+    pairs2 = run_b2.stage("pairs", boom)
+    scored2 = run_b2.stage("scored", lambda: P.score_candidates(pairs2, canon2, cfg))
+    clusters2 = run_b2.stage("clusters", lambda: P.assign_clusters(scored2, canon2, cfg))
+    got = {r["doc_id"]: r["cluster_id"] for r in clusters2.collect()}
+    assert got == expected
+
+
+def test_lineage_metrics_recorded(spark, synth_corpus, base_dir):
+    docs, _ = synth_corpus
+    out = run_pipeline(spark, docs, base_dir, "run_m", P.PipelineConfig())
+    run = out["run"]
+    jobs = {r["stage"] for r in run.jobs().collect()}
+    assert jobs == {"canon", "pairs", "scored", "clusters"}
+    m = run.metrics()
+    # per-partition rows sum to stage totals
+    per_stage = {
+        r["stage"]: r["total"]
+        for r in m.groupBy("stage").agg(F.sum("rows").alias("total")).collect()
+    }
+    assert per_stage["canon"] == out["canon"].count()
+    assert per_stage["clusters"] == out["clusters"].count()
+    # every metric row carries partition-level lineage
+    assert m.where(F.col("partition_id").isNull()).count() == 0
+
+
+def test_force_recompute(spark, synth_corpus, base_dir):
+    docs, _ = synth_corpus
+    run = Run(spark, base_dir, "run_f")
+    df1 = run.stage("canon", lambda: P.canonicalize_docs(docs).limit(10))
+    assert df1.count() == 10
+    df2 = run.stage("canon", lambda: P.canonicalize_docs(docs).limit(20), force=True)
+    assert df2.count() == 20
