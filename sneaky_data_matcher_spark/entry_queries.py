@@ -366,6 +366,303 @@ def token_stats(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# The ER pipeline itself, oracle-checked stage by stage over the flat
+# documents table (media pass excluded: its hashes aren't SQL-portable;
+# covered by pytest against the single-node oracle instead).
+# ---------------------------------------------------------------------------
+
+# DuckDB twins of blocking_keys' pfx/srt passes (operators/blocking.py).
+_ER_KEYS_CTE = (
+    flatdocs.CANON_CTE
+    + ", toksed AS (SELECT doc_id, string_split(doc_text, ' ') AS toks FROM canon"
+    "   WHERE doc_text <> ''), "
+    "er_keys AS ("
+    "SELECT doc_id, 'pfx' AS pass, "
+    "'pfx:' || array_to_string(list_transform(toks[1:2], t -> t[1:4]), '_') AS block_key"
+    " FROM toksed "
+    "UNION ALL SELECT doc_id, 'srt', "
+    "'srt:' || array_to_string(list_sort(list_distinct(toks))[1:3], '_') FROM toksed)"
+)
+
+_ER_PAIRS_CTE = (
+    _ER_KEYS_CTE
+    + ", er_pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
+    "FROM er_keys a JOIN er_keys b ON a.pass = b.pass AND a.block_key = b.block_key "
+    "WHERE a.doc_id < b.doc_id)"
+)
+
+# scoring formula (SQL-portable variant: jw + lev_ratio + token jaccard,
+# all computed identically; media term excluded — flat docs carry no media)
+_ER_SCORED_CTE = (
+    _ER_PAIRS_CTE
+    + ", er_texts AS (SELECT p.doc_id_a, p.doc_id_b, ca.doc_text AS ta, cb.doc_text AS tb "
+    "  FROM er_pairs p JOIN canon ca ON p.doc_id_a = ca.doc_id "
+    "  JOIN canon cb ON p.doc_id_b = cb.doc_id), "
+    "er_scored AS (SELECT doc_id_a, doc_id_b, "
+    "  levenshtein(ta, tb) AS lev, "
+    "  round(jaro_winkler_similarity(ta, tb), 6) AS jw, "
+    "  CASE WHEN greatest(length(ta), length(tb)) = 0 THEN 1.0 "
+    "    ELSE 1.0 - CAST(levenshtein(ta, tb) AS DOUBLE) / greatest(length(ta), length(tb)) END AS lev_ratio, "
+    "  CASE WHEN len(list_distinct(string_split(ta,' ') || string_split(tb,' '))) = 0 THEN 1.0 "
+    "    ELSE CAST(len(list_intersect(list_distinct(string_split(ta,' ')), list_distinct(string_split(tb,' ')))) AS DOUBLE) "
+    "       / len(list_distinct(string_split(ta,' ') || string_split(tb,' '))) END AS tok_jaccard "
+    "FROM er_texts)"
+)
+
+_ER_MATCH_COND = "0.4*jw + 0.2*lev_ratio + 0.4*tok_jaccard >= 0.8"
+
+
+def _er_frames(spark, sf_dir):
+    """Spark side of the same CTE chain (pfx+srt passes, no salting)."""
+    from .operators import blocking
+
+    canon = flatdocs.canon_frame(_docs(spark, sf_dir)).where(F.col("doc_text") != "")
+    canon = canon.withColumn("media_refs", F.array().cast("array<string>"))
+    keys = blocking.blocking_keys(canon).where(F.col("pass") != "med")
+    salted = (
+        keys.withColumn("salt", F.lit(0))
+        .withColumn("n_salts", F.lit(1))
+        .withColumn("block_size", F.lit(None).cast("long"))
+    )
+    pairs = blocking.candidate_pairs(salted)
+    return canon, keys, pairs
+
+
+@_q(
+    "er_blocking_keys",
+    f"WITH {_ER_KEYS_CTE} SELECT doc_id, pass, block_key FROM er_keys",
+)
+def er_blocking_keys(spark, sf_dir):
+    _, keys, _ = _er_frames(spark, sf_dir)
+    return keys.select("doc_id", "pass", "block_key")
+
+
+@_q(
+    "er_candidate_pairs",
+    f"WITH {_ER_PAIRS_CTE} SELECT doc_id_a, doc_id_b FROM er_pairs",
+)
+def er_candidate_pairs(spark, sf_dir):
+    _, _, pairs = _er_frames(spark, sf_dir)
+    return pairs
+
+
+@_q(
+    "er_pair_scores",
+    f"WITH {_ER_SCORED_CTE} SELECT doc_id_a, doc_id_b, lev, jw FROM er_scored",
+)
+def er_pair_scores(spark, sf_dir):
+    from .functions.similarity import jaro_winkler
+
+    canon, _, pairs = _er_frames(spark, sf_dir)
+    a = canon.select(F.col("doc_id").alias("doc_id_a"), F.col("doc_text").alias("ta"))
+    b = canon.select(F.col("doc_id").alias("doc_id_b"), F.col("doc_text").alias("tb"))
+    t = pairs.join(a, "doc_id_a").join(b, "doc_id_b")
+    return t.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.levenshtein("ta", "tb").alias("lev"),
+        F.round(jaro_winkler(F.col("ta"), F.col("tb")), 6).alias("jw"),
+    )
+
+
+@_q(
+    "er_matches",
+    f"WITH {_ER_SCORED_CTE} SELECT doc_id_a, doc_id_b FROM er_scored "
+    f"WHERE {_ER_MATCH_COND}",
+)
+def er_matches(spark, sf_dir):
+    from .functions.similarity import jaro_winkler, levenshtein_ratio
+
+    canon, _, pairs = _er_frames(spark, sf_dir)
+    a = canon.select(F.col("doc_id").alias("doc_id_a"), F.col("doc_text").alias("ta"))
+    b = canon.select(F.col("doc_id").alias("doc_id_b"), F.col("doc_text").alias("tb"))
+    t = pairs.join(a, "doc_id_a").join(b, "doc_id_b")
+    sa = F.array_distinct(F.split("ta", " "))
+    sb = F.array_distinct(F.split("tb", " "))
+    un = F.size(F.array_union(sa, sb))
+    tok_jac = F.when(un == 0, F.lit(1.0)).otherwise(
+        F.size(F.array_intersect(sa, sb)).cast("double") / un.cast("double")
+    )
+    jw = F.round(jaro_winkler(F.col("ta"), F.col("tb")), 6)
+    score = 0.4 * jw + 0.2 * levenshtein_ratio(F.col("ta"), F.col("tb")) + 0.4 * tok_jac
+    return t.where(score >= 0.8).select("doc_id_a", "doc_id_b")
+
+
+# Transitive clusters: Spark large-star/small-star vs DuckDB recursive-CTE
+# reachability closure (small graph at sf0.01 — the oracle's O(n*m) is fine).
+@_q(
+    "er_clusters",
+    f"WITH RECURSIVE {_ER_SCORED_CTE}, "
+    f"edges AS (SELECT doc_id_a AS u, doc_id_b AS v FROM er_scored WHERE {_ER_MATCH_COND}), "
+    "sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges), "
+    "reach(a, b) AS ("
+    "  SELECT doc_id, doc_id FROM canon WHERE doc_text <> '' "
+    "  UNION SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u) "
+    "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a",
+)
+def er_clusters(spark, sf_dir):
+    from .operators.clustering import connected_components
+
+    canon, _, _ = _er_frames(spark, sf_dir)
+    m = er_matches(spark, sf_dir)
+    comp = connected_components(m)
+    return (
+        canon.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+# MinHash-LSH near-dup pairs: the LSH path is hash-family specific (Spark
+# xxhash64) so the DuckDB twin verifies the SAME SEMANTICS exhaustively —
+# exact n-gram Jaccard over all pairs. Equality holds iff LSH recall is 1.0
+# at this threshold/band config on this data (verified; see test_dedup for
+# the probabilistic bound).
+@_q(
+    "ngram_dup_pairs",
+    "WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents), "
+    "sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+    "  ELSE list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) END AS s FROM t) "
+    "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+    "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) AS jaccard "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.7",
+)
+def ngram_dup_pairs(spark, sf_dir):
+    from .operators import dedup
+
+    d = _docs(spark, sf_dir)
+    out = dedup.minhash_dedup(d, "doc_id", "text", threshold=0.7)
+    return out.select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# SimHash pairs — hash-family specific, rows-only driver check.
+@_q("simhash_pairs")
+def simhash_pairs(spark, sf_dir):
+    from .operators import dedup
+
+    return dedup.simhash_dedup(_docs(spark, sf_dir), "doc_id", "text", max_hamming=8)
+
+
+# ANN brute-force top-k over embeddings (DuckDB list_cosine_similarity twin)
+@_q(
+    "ann_bruteforce_topk",
+    "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+    "  FROM embeddings WHERE vec_id % 50 = 0), "
+    "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+    "  round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS cos "
+    "  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id), "
+    "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rn FROM s) "
+    "SELECT query_id, neighbor_id, cos FROM r WHERE rn <= 5",
+)
+def ann_bruteforce_topk(spark, sf_dir):
+    from .operators.ann import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    return brute_force_topk(q, emb, k=5)
+
+
+# ANN LSH — bucket assignment is hash-family specific; rows-only.
+@_q("ann_lsh_topk")
+def ann_lsh_topk(spark, sf_dir):
+    from .operators.ann import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    return lsh_topk(q, emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language id, quality score
+# ---------------------------------------------------------------------------
+
+def _sw_ratio_sql(lang: str) -> str:
+    from .functions.textstats import _LANG_STOPWORDS
+
+    words = ", ".join(f"'{w}'" for w in _LANG_STOPWORDS[lang])
+    return (
+        f"CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+        f"CAST(len(list_filter(toks, t -> list_contains([{words}], t))) AS DOUBLE) / len(toks) END"
+    )
+
+
+_LANG_CTE = (
+    "t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents), "
+    "r AS (SELECT doc_id, "
+    + ", ".join(f"{_sw_ratio_sql(lg)} AS r_{lg}" for lg in ["de", "en", "es", "fr"])
+    + " FROM t)"
+)
+
+
+@_q(
+    "lang_id",
+    f"WITH {_LANG_CTE} SELECT doc_id, CASE "
+    "WHEN greatest(r_de, r_en, r_es, r_fr) = 0 THEN 'und' "
+    "WHEN r_de = greatest(r_de, r_en, r_es, r_fr) THEN 'de' "
+    "WHEN r_en = greatest(r_de, r_en, r_es, r_fr) THEN 'en' "
+    "WHEN r_es = greatest(r_de, r_en, r_es, r_fr) THEN 'es' "
+    "ELSE 'fr' END AS lang_pred FROM r",
+)
+def lang_id_q(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", TS.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@_q(
+    "quality_score",
+    "WITH t AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks, "
+    "  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS rtoks FROM documents), "
+    "c AS (SELECT doc_id, "
+    "  least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) AS len_score, "
+    "  CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS punct, "
+    "  CASE WHEN len(rtoks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(rtoks, x -> length(x))) AS DOUBLE) / len(rtoks) END AS mwl, "
+    f"  {_sw_ratio_sql('en')} AS sw FROM t) "
+    "SELECT doc_id, round(0.3 * len_score + 0.3 * greatest(0.0, 1.0 - punct * 4.0) "
+    " + 0.2 * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END) "
+    " + 0.2 * least(sw * 5.0, 1.0), 6) AS quality FROM c",
+)
+def quality_score_q(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.round(TS.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed event aggregation (streaming twin runs in streaming/incremental;
+# the batch window agg is the SQL-checkable core)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_windowed",
+    "SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type, "
+    "count(*) AS n_events, "
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+    "FROM events GROUP BY 1, 2",
+)
+def events_windowed(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL
