@@ -21,9 +21,12 @@ from pyspark.sql import functions as F
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from sneaky_data_matcher_spark.plans import pipeline as P
+    from sneaky_data_matcher_spark.sources.io import spread_input
     from sneaky_data_matcher_spark.sources.spans import derive_spans
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spread_input(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
     spans = derive_spans(docs)
     # Testdata documents share one small vocabulary, so token-overlap scores
     # run hot; a stricter threshold than the labeled-corpus default keeps

@@ -240,6 +240,32 @@ def probe_match(spark, sf_dir):
     return search.probe_match(probe, keys, {"tok0": "tok0", "lang": "lang"})
 
 
+# S6 — wide export frame: global sorted header, multi-valued cells
+# JSON-encoded, missing cells empty (services/SearchService.java:233-259).
+_EXPORT_KINDS = ["lang", "source", "text", "tok0"]
+
+
+@_q(
+    "export_wide",
+    f"WITH {flatdocs.KEYS_CTE}, seeds AS ("
+    "SELECT DISTINCT doc_id FROM keys WHERE key_kind='tok0' AND value='spark'), "
+    "cells AS (SELECT k.doc_id, k.key_kind, "
+    "to_json(list_sort(list_distinct(list(k.value)))) AS cell "
+    "FROM keys k JOIN seeds s ON k.doc_id = s.doc_id GROUP BY k.doc_id, k.key_kind) "
+    "SELECT doc_id, "
+    + ", ".join(
+        f"coalesce(max(CASE WHEN key_kind='{k}' THEN cell END), '') AS {k}"
+        for k in _EXPORT_KINDS
+    )
+    + " FROM cells GROUP BY doc_id",
+)
+def export_wide_q(spark, sf_dir):
+    keys = _keys(spark, sf_dir)
+    seeds = search.search_seeds(keys, ["tok0:spark"])
+    rows = search.reassemble_rows(seeds, keys)
+    return search.export_wide(rows, _EXPORT_KINDS)
+
+
 # A3 — distinct dynamic 'column' set (ColumnsRepository.java:21-32)
 @_q(
     "distinct_key_kinds",
@@ -577,6 +603,81 @@ def ann_lsh_topk(spark, sf_dir):
     return lsh_topk(q, emb, k=5)
 
 
+# IVF ANN: centroids = every 50th vector (deterministic stand-in for a tiny
+# k-means output); corpus routed to nearest centroid, queries probe top-2
+# lists. Fully SQL-expressible, so the oracle checks routing AND scoring.
+_IVF_CTE = (
+    "cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centv "
+    "  FROM embeddings WHERE vec_id % 50 = 1), "
+    "corp AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), "
+    "qry AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+    "  FROM embeddings WHERE vec_id % 50 = 0), "
+    "ca AS (SELECT neighbor_id, cv, centroid_id FROM ("
+    "  SELECT c.neighbor_id, c.cv, t.centroid_id, ROW_NUMBER() OVER ("
+    "    PARTITION BY c.neighbor_id "
+    "    ORDER BY list_cosine_similarity(c.cv, t.centv) DESC, t.centroid_id) rn "
+    "  FROM corp c CROSS JOIN cent t) WHERE rn = 1), "
+    "qa AS (SELECT query_id, qv, centroid_id FROM ("
+    "  SELECT q.query_id, q.qv, t.centroid_id, ROW_NUMBER() OVER ("
+    "    PARTITION BY q.query_id "
+    "    ORDER BY list_cosine_similarity(q.qv, t.centv) DESC, t.centroid_id) rn "
+    "  FROM qry q CROSS JOIN cent t) WHERE rn <= 2)"
+)
+
+
+@_q(
+    "ann_ivf_topk",
+    f"WITH {_IVF_CTE} "
+    "SELECT query_id, neighbor_id, cos FROM ("
+    "  SELECT qa.query_id, ca.neighbor_id, "
+    "    round(list_cosine_similarity(qa.qv, ca.cv), 6) AS cos, "
+    "    ROW_NUMBER() OVER (PARTITION BY qa.query_id ORDER BY "
+    "      round(list_cosine_similarity(qa.qv, ca.cv), 6) DESC, ca.neighbor_id) rn "
+    "  FROM qa JOIN ca ON qa.centroid_id = ca.centroid_id "
+    "  WHERE qa.query_id <> ca.neighbor_id) WHERE rn <= 5",
+)
+def ann_ivf_topk(spark, sf_dir):
+    from .operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    cent = emb.where(F.col("vec_id") % 50 == 1).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return ivf_topk(q, emb, cent, k=5, n_probe=2)
+
+
+# Embedding-cosine near-duplicate detection: corpus ∪ rescaled copies of
+# every 10th vector (cosine with the original = 1.0 — deterministic true
+# near-dups on both sides); Spark runs the LSH-bucketed path, the oracle is
+# the exhaustive O(n²) scan — equality certifies bucketed recall = 1 here.
+@_q(
+    "embedding_near_dup",
+    "WITH aug AS ("
+    "  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+    "  UNION ALL SELECT vec_id + 1000000, "
+    "    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001) "
+    "  FROM embeddings WHERE vec_id % 10 = 0) "
+    "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, "
+    "  round(list_cosine_similarity(a.v, b.v), 6) AS cos "
+    "FROM aug a JOIN aug b ON a.vec_id < b.vec_id "
+    "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95",
+)
+def embedding_near_dup_q(spark, sf_dir):
+    from .operators.dedup import embedding_near_dup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    aug = emb.unionByName(
+        emb.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+        )
+    )
+    return embedding_near_dup(aug, threshold=0.95, bucketed=True)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: language id, quality score
 # ---------------------------------------------------------------------------
@@ -660,6 +761,53 @@ def events_windowed(spark, sf_dir):
             "n_events",
             "sum_value",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payloads + mapInPandas featurizer) and the
+# Structured-Streaming windowed aggregation — not SQL-expressible (hash-
+# derived payloads / streaming execution), so rows-only driver checks; the
+# semantics are pytest-verified (test_multimodal, test_streaming).
+# ---------------------------------------------------------------------------
+
+def _media(spark, sf_dir):
+    from .operators.multimodal import synth_media_table
+    from .sources.spans import derive_spans
+
+    return synth_media_table(derive_spans(_docs(spark, sf_dir)))
+
+
+@_q("media_features")
+def media_features(spark, sf_dir):
+    from .operators.multimodal import extract_features
+
+    return extract_features(_media(spark, sf_dir))
+
+
+@_q("media_frame_plan")
+def media_frame_plan(spark, sf_dir):
+    from .operators.multimodal import frame_sample_plan
+
+    return frame_sample_plan(_media(spark, sf_dir))
+
+
+@_q("stream_windowed_events")
+def stream_windowed_events(spark, sf_dir):
+    """Batch `events_windowed` run as a real Structured-Streaming query
+    (file source -> watermark -> tumbling window -> memory sink)."""
+    from .streaming.incremental import run_stream_to_memory, windowed_event_counts
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file stream source takes a directory; glob-filter to the events table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = windowed_event_counts(stream)
+    return run_stream_to_memory(
+        spark, agg, "stream_windowed_events_sink", output_mode="complete"
     )
 
 

@@ -25,6 +25,20 @@ try:  # executor-side import guard
 except Exception:  # pragma: no cover
     _duckdb = None
 
+_DUCK_CON = None
+
+
+def _duck_con():
+    """Per-worker DuckDB connection pinned to ONE thread: Spark already owns
+    the core-level parallelism (one Python worker per task slot); letting
+    each worker's DuckDB fan out to all cores oversubscribes the box and
+    destroys scaling (32 workers x 32 threads on 32 cores)."""
+    global _DUCK_CON
+    if _DUCK_CON is None:
+        _DUCK_CON = _duckdb.connect()
+        _DUCK_CON.execute("SET threads TO 1")
+    return _DUCK_CON
+
 
 def _jaro_winkler_py(s1: str, s2: str) -> float:
     """Plain-Python Jaro-Winkler (standard algorithm, prefix scale 0.1,
@@ -72,11 +86,13 @@ def _jw_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     sa = a.fillna("")
     sb = b.fillna("")
     if _duckdb is not None:
+        con = _duck_con()
         batch = pd.DataFrame({"a": sa, "b": sb})
-        out = _duckdb.query_df(
-            batch, "batch",
-            "SELECT jaro_winkler_similarity(a, b) AS jw FROM batch",
+        con.register("batch", batch)
+        out = con.execute(
+            "SELECT jaro_winkler_similarity(a, b) AS jw FROM batch"
         ).df()
+        con.unregister("batch")
         out.index = a.index
         return out["jw"]
     return pd.Series([_jaro_winkler_py(x, y) for x, y in zip(sa, sb)], index=a.index)

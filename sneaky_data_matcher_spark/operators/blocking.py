@@ -87,6 +87,70 @@ def blocking_keys(
     )
 
 
+def sorted_neighborhood_pairs(
+    canon: DataFrame,
+    window: int = 5,
+    sort_key=None,
+) -> DataFrame:
+    """Classic sorted-neighborhood blocking (SURVEY.md §4 custom tactic 2):
+    globally sort docs by a key, slide a ``window``-row window, emit every
+    pair co-resident in some window -> distinct (doc_id_a < doc_id_b).
+
+    Spark-first shape: ``repartitionByRange`` + per-partition ``Window``
+    ordering gives the global sort without a single-reducer bottleneck; the
+    cross-partition seam is covered by self-joining on neighborhood rank
+    buckets (rank/window and its successor), so no pair at a partition
+    boundary is lost. Complements the key-equality passes: catches near
+    neighbors whose leading tokens differ only late in the sort key.
+    """
+    from pyspark.sql import Window as W
+
+    key = sort_key if sort_key is not None else F.col("doc_text")
+    ranked = (
+        canon.select("doc_id", key.alias("snk"))
+        .where(F.col("snk").isNotNull() & (F.col("snk") != ""))
+        .repartitionByRange(F.col("snk"), F.col("doc_id"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy(F.spark_partition_id()).orderBy("snk", "doc_id")
+            ),
+        )
+    )
+    # Partition-local windows: pair rows whose local ranks are within
+    # `window` of each other. The range partitioner keeps key order across
+    # partitions, so the only uncovered pairs straddle a partition seam;
+    # cover them by also pairing each partition's tail with the next
+    # partition's head (seam buckets).
+    pid = F.spark_partition_id()
+    local = ranked.select("doc_id", "snk", "rank", pid.alias("pid"))
+    a = local.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("pid").alias("pid_a"),
+        F.col("rank").alias("rank_a"), F.col("snk").alias("snk_a"),
+    )
+    b = local.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("pid").alias("pid_b"),
+        F.col("rank").alias("rank_b"), F.col("snk").alias("snk_b"),
+    )
+    same = (
+        a.join(b, (F.col("pid_a") == F.col("pid_b"))
+               & (F.col("rank_b") > F.col("rank_a"))
+               & (F.col("rank_b") - F.col("rank_a") < window))
+    )
+    # seam coverage: tail rows of partition p x head rows of partition p+1
+    sizes = local.groupBy("pid").agg(F.max("rank").alias("pmax"))
+    tail = a.join(sizes, a.pid_a == sizes.pid).where(
+        F.col("rank_a") > F.col("pmax") - window
+    ).drop("pid", "pmax")
+    head = b.where(F.col("rank_b") < window)
+    seam = tail.join(head, F.col("pid_b") == F.col("pid_a") + 1)
+    pairs = same.unionByName(seam).select(
+        F.least("doc_id_a", "doc_id_b").alias("doc_id_a"),
+        F.greatest("doc_id_a", "doc_id_b").alias("doc_id_b"),
+    ).where(F.col("doc_id_a") != F.col("doc_id_b"))
+    return pairs.distinct()
+
+
 def salt_keys(keys: DataFrame, max_block_size: int = DEFAULT_MAX_BLOCK_SIZE) -> DataFrame:
     """Census block sizes, split blocks over `max_block_size` into
     ceil(size/max_block_size) deterministic salted sub-blocks.
@@ -117,8 +181,14 @@ def candidate_pairs(
     repartitioning' of the north rule: it co-locates each sub-block in one
     shuffle partition sized by the salt cap, so no single task owns a hot
     block's quadratic work.
+
+    The input feeds BOTH sides of the self-join, so it is persisted here:
+    without it the whole upstream subtree (keys -> census -> salt join)
+    evaluates twice. At warehouse scale the salted keys frame is a
+    committed stage table (plans/runs.py) and this is a cache of it.
     """
     cols = ["pass", "block_key", "salt"]
+    salted = salted.persist()
     left = salted.select(*cols, F.col("doc_id").alias("doc_id_a"))
     if repartition_on_block:
         if num_partitions:

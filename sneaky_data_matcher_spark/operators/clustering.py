@@ -88,14 +88,30 @@ def connected_components(
     if checkpoint:
         edges = edges.localCheckpoint(eager=True)
     prev = _edge_checksum(edges)
-    for _ in range(max_iterations):
-        edges = _small_star(_large_star(edges))
-        if checkpoint:
-            edges = edges.localCheckpoint(eager=True)
-        cur = _edge_checksum(edges)
-        if cur == prev:
-            break
-        prev = cur
+
+    # The fixpoint loop issues ~6 micro-shuffles per iteration. Left at the
+    # session's scan-sized settings, each one pays AQE re-planning plus a
+    # full complement of near-empty tasks, and that fixed driver cost — not
+    # the edge data — dominates CC wall-clock. Size the loop's shuffles to
+    # the edge count and skip AQE inside the loop; restore settings after.
+    conf = edges.sparkSession.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    old_sp = conf.get("spark.sql.shuffle.partitions", "200")
+    loop_parts = max(8, min(int(old_sp), prev[0] // 50_000 + 8))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        for _ in range(max_iterations):
+            edges = _small_star(_large_star(edges))
+            if checkpoint:
+                edges = edges.localCheckpoint(eager=True)
+            cur = _edge_checksum(edges)
+            if cur == prev:
+                break
+            prev = cur
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_sp)
     # Fixpoint: every edge is (node, root). Emit both node->root and
     # root->root so component representatives appear in the output.
     assign = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))

@@ -158,6 +158,60 @@ def minhash_dedup(
     return verified.where(F.col("jaccard") >= threshold)
 
 
+def embedding_near_dup(
+    vecs: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucketed: bool = True,
+    n_planes: int = 4,
+    n_tables: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos >= threshold).
+
+    bucketed=True routes candidates through random-hyperplane LSH buckets
+    (operators/ann.hyperplane_bucket_keys) so only same-bucket pairs are
+    scored — the 100 TB path. At cos>=0.95 the pair angle is <= 18.2°, so a
+    single random plane separates it with p = θ/π ≈ 0.101; with 4-plane
+    buckets and 16 tables the miss rate is (1-(1-0.101)^4)^16 ≈ 4e-7 —
+    recall ~1 at the threshold while pruning ~everything else.
+    bucketed=False is the exhaustive O(n²) oracle for tests/small inputs.
+    """
+    from ..functions.similarity import cosine_similarity
+    from .ann import hyperplane_bucket_keys
+
+    v = vecs.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    if bucketed:
+        bk = hyperplane_bucket_keys(vecs, n_planes, n_tables, id_col, vec_col)
+        a = v.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va")).join(
+            bk.select(F.col("vec_id").alias("vec_id_a"), "bucket"), "vec_id_a"
+        )
+        b = v.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb")).join(
+            bk.select(F.col("vec_id").alias("vec_id_b"), "bucket"), "vec_id_b"
+        )
+        cand = (
+            a.join(b, "bucket")
+            .where(F.col("vec_id_a") < F.col("vec_id_b"))
+            .select("vec_id_a", "vec_id_b", "va", "vb")
+            .dropDuplicates(["vec_id_a", "vec_id_b"])
+        )
+    else:
+        a = v.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
+        b = v.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"))
+        cand = a.crossJoin(b).where(F.col("vec_id_a") < F.col("vec_id_b"))
+    return (
+        cand.select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def simhash_signature(col: Column, bits: int = 64) -> Column:
     """64-bit SimHash over token hashes: bit b of the signature is the sign
     of sum over tokens of (+1 if bit b of xxhash64(token) else -1).

@@ -39,6 +39,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # shuffle/spill dir on tmpfs: local-mode stand-in for the NVMe-backed
+        # local dirs a production cluster uses — on rotational /tmp the
+        # shuffle write becomes a serial bottleneck that caps scaling
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )

@@ -1,0 +1,106 @@
+"""CSV source with format autodetect + CSV export sink (SURVEY.md §2 S1, S6).
+
+The reference ingests CSV uploads by trying 24 Apache-Commons CSVFormat
+variants (default/excel/tsv/mysql/... x with/without header) and keeping the
+first that parses (utils/csv/CsvUtil.java:118-159), and exports search
+results as CSV with a global sorted header, JSON-encoding multi-valued
+cells (services/SearchService.java:233-259,168-186).
+
+Spark-first re-expression: `spark.read.csv` already handles quoting/escape
+dialects; autodetect reduces to choosing (sep, header) from a small sample
+read on the driver — a few KB of the first file, never a full pass. The
+export sink is `df.write.csv` over the wide frame from
+operators/search.export_wide (arrays JSON-encoded there).
+
+Scale notes: a 100 TB CSV ingest is split-parallel out of the box
+(newline-splittable unless multiLine); autodetect cost is O(sample), not
+O(data). Export writes one file per partition — callers coalesce only for
+small parity exports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Candidate dialects, mirroring the reference's variant sweep (CsvUtil.java:
+# 19-116): comma/tab/semicolon/pipe separators, each with and without header.
+_SEPS = [",", "\t", ";", "|"]
+
+
+def sniff_csv_format(spark: SparkSession, path: str, sample_lines: int = 20) -> dict:
+    """Pick (sep, header) from a driver-side sample of the first lines.
+
+    sep: the candidate splitting every sampled line into the same column
+    count > 1 (most columns wins ties — the reference keeps the FIRST format
+    that parses; we keep the most structured, which subsumes its outcome on
+    well-formed files). header: first row is all-non-numeric while any later
+    row has a numeric cell — the common-case heuristic; callers can override.
+    """
+    import csv as _csv
+
+    sample = [r.value for r in spark.read.text(path).limit(sample_lines).collect()]
+    if not sample:
+        return {"sep": ",", "header": False}
+    best_sep, best_cols, best_rows = ",", 1, [sample]
+    for sep in _SEPS:
+        # quote-aware parse of the sample (the reference tries full CSV
+        # parsers per variant, not naive splits — CsvUtil.java:140-150)
+        rows = list(_csv.reader(sample, delimiter=sep))
+        counts = {len(r) for r in rows if r}
+        if len(counts) == 1:
+            (n,) = counts
+            if n > best_cols:
+                best_sep, best_cols, best_rows = sep, n, rows
+    def _numericish(cell: str) -> bool:
+        try:
+            float(cell.strip())
+            return True
+        except ValueError:
+            return False
+
+    first = best_rows[0]
+    rest = best_rows[1:]
+    # header if the first row looks like labels: all non-numeric, and either
+    # later rows carry numbers (type contrast) or the labels are distinct
+    # and non-empty (all-string files). Callers can override either field.
+    header = (
+        best_cols > 1
+        and not any(_numericish(c) for c in first)
+        and (
+            any(_numericish(c) for row in rest for c in row)
+            or (len(set(first)) == len(first) and all(c.strip() for c in first))
+        )
+    )
+    return {"sep": best_sep, "header": header}
+
+
+def read_csv_auto(spark: SparkSession, path: str, **overrides) -> DataFrame:
+    """S1: CSV scan with dialect autodetect; explicit options override the
+    sniff. Columns without a header get Spark's positional names (_c0...) —
+    the reference's name-or-index access (CsvUtil.java:98-110) maps to
+    `df.columns[i]` resolution at plan time (S3)."""
+    fmt = sniff_csv_format(spark, path)
+    fmt.update(overrides)
+    return (
+        spark.read.option("sep", fmt["sep"])
+        .option("header", str(bool(fmt["header"])).lower())
+        .option("quote", fmt.get("quote", '"'))
+        .option("escape", fmt.get("escape", '"'))
+        .csv(path)
+    )
+
+
+def export_csv(wide: DataFrame, path: str, single_file: bool = True) -> None:
+    """S6: CSV export sink. `wide` is the export frame (global sorted header,
+    array cells already JSON-encoded — operators/search.export_wide).
+    single_file=True mirrors the reference's one-blob-to-MinIO export for
+    parity tests; large exports keep one file per partition."""
+    out = wide.coalesce(1) if single_file else wide
+    # escape=quote -> RFC-4180 doubled quotes (Spark defaults to backslash)
+    (
+        out.write.mode("overwrite")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )

@@ -19,6 +19,25 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+def spread_input(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Round-robin repartition a freshly-read input to ``defaultParallelism
+    * factor`` partitions.
+
+    A production Iceberg/Parquet table at 100 TB arrives in thousands of
+    file splits, so the map side parallelizes for free. The sandbox test
+    fixtures are single-row-group files — unsplittable, one task — which
+    would serialize every per-doc expression (canonicalize, span derivation)
+    on one core. This one cheap shuffle of the raw input restores the
+    multi-split shape the real table has; it is a no-op to correctness and
+    should be dropped (or become a partition-count hint) on a real catalog.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df  # input already split wide enough — don't add a shuffle
+    return df.repartition(target)
+
+
 def _iceberg_available(spark: SparkSession) -> bool:
     try:
         spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]

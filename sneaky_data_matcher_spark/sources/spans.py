@@ -52,8 +52,10 @@ def derive_spans(
     media_spans = F.transform(
         F.sequence(F.lit(0), n_media - 1),
         lambda j: F.struct(
-            F.when(j % 3 == 0, F.lit("image"))
-            .when(j % 3 == 1, F.lit("audio"))
+            # kind keyed off (content, j) so all three modalities occur even
+            # for docs with a single media span
+            F.when(F.pmod(F.xxhash64(F.col(text_col), j), 3) == 0, F.lit("image"))
+            .when(F.pmod(F.xxhash64(F.col(text_col), j), 3) == 1, F.lit("audio"))
             .otherwise(F.lit("video"))
             .alias("kind"),
             F.lit(None).cast("string").alias("text"),

@@ -1,0 +1,63 @@
+"""Blocking operators: sorted-neighborhood windows (vs a single-node
+oracle, proving seam coverage across range partitions) and salted
+hot-block pair-count bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sneaky_data_matcher_spark.operators import blocking
+from sneaky_data_matcher_spark.plans import pipeline as P
+
+
+def _canon(synth_corpus):
+    docs, _ = synth_corpus
+    return P.canonicalize_docs(docs).localCheckpoint(eager=True)
+
+
+def test_sorted_neighborhood_matches_single_node_oracle(spark, synth_corpus):
+    canon = _canon(synth_corpus)
+    window = 5
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in blocking.sorted_neighborhood_pairs(canon, window=window).collect()
+    }
+    rows = sorted(
+        ((r["doc_text"], r["doc_id"]) for r in canon.collect() if r["doc_text"]),
+    )
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, min(i + window, len(rows))):
+            a, b = sorted((rows[i][1], rows[j][1]))
+            want.add((a, b))
+    # distributed result must cover the oracle exactly: same-partition
+    # windows plus seam pairs reconstruct the global sliding window
+    assert got == want
+
+
+def test_sorted_neighborhood_empty_and_tiny(spark):
+    canon = spark.createDataFrame(
+        [("d1", "alpha", []), ("d2", "", [])],
+        "doc_id string, doc_text string, media_refs array<string>",
+    )
+    out = blocking.sorted_neighborhood_pairs(canon, window=4).collect()
+    assert out == []  # blank-key doc dropped, single doc pairs with nobody
+
+
+def test_salting_bounds_block_pair_work(spark, synth_corpus):
+    """Hot block ('acme' leading token) must be split so no (block, salt)
+    sub-block exceeds the cap — the north rule's salted repartitioning."""
+    canon = _canon(synth_corpus)
+    cap = 50
+    keys = blocking.blocking_keys(canon)
+    salted = blocking.salt_keys(keys, max_block_size=cap)
+    worst = (
+        salted.groupBy("pass", "block_key", "salt")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("m"))
+        .collect()[0]["m"]
+    )
+    # xxhash64 spreads uniformly; allow modest slack over the exact cap
+    assert worst <= int(cap * 1.5), worst
+    # and salting must only ever split blocks, never lose a doc-key
+    assert salted.count() == keys.count()

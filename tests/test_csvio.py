@@ -1,0 +1,124 @@
+"""CSV source autodetect (S1) + export sink (S6) — sources/csvio.py.
+
+Mirrors the reference's behaviors: format-variant sweep on ingest
+(utils/csv/CsvUtil.java:118-159) and CSV export with global sorted header +
+JSON-encoded multi-valued cells (services/SearchService.java:233-259).
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from sneaky_data_matcher_spark.operators import search
+from sneaky_data_matcher_spark.sources import csvio
+
+
+def _write(path: str, text: str) -> str:
+    with open(path, "w") as f:
+        f.write(text)
+    return path
+
+
+def test_sniff_comma_header(spark, tmp_path):
+    p = _write(
+        str(tmp_path / "a.csv"),
+        "name,email,phone\nalice,a@x.com,12345\nbob,b@y.org,99887\n",
+    )
+    fmt = csvio.sniff_csv_format(spark, p)
+    assert fmt == {"sep": ",", "header": True}
+    df = csvio.read_csv_auto(spark, p)
+    assert df.columns == ["name", "email", "phone"]
+    assert df.count() == 2
+
+
+def test_sniff_tsv_no_header(spark, tmp_path):
+    p = _write(
+        str(tmp_path / "b.tsv"),
+        "alice\ta@x.com\t123\nbob\tb@y.org\t456\n",
+    )
+    fmt = csvio.sniff_csv_format(spark, p)
+    assert fmt["sep"] == "\t"
+    df = csvio.read_csv_auto(spark, p)
+    # headerless -> positional names, the reference's by-index access (S3)
+    assert df.columns == ["_c0", "_c1", "_c2"]
+    assert df.count() == 2
+
+
+def test_sniff_semicolon(spark, tmp_path):
+    p = _write(
+        str(tmp_path / "c.csv"),
+        "x;y\n1;2\n3;4\n",
+    )
+    fmt = csvio.sniff_csv_format(spark, p)
+    assert fmt["sep"] == ";"
+    assert fmt["header"] is True
+
+
+def test_quoted_cells_roundtrip(spark, tmp_path):
+    p = _write(
+        str(tmp_path / "d.csv"),
+        'name,notes\nalice,"hello, world"\nbob,"say ""hi"""\n',
+    )
+    df = csvio.read_csv_auto(spark, p)
+    rows = {r["name"]: r["notes"] for r in df.collect()}
+    assert rows == {"alice": "hello, world", "bob": 'say "hi"'}
+
+
+def test_export_csv_sorted_header_json_cells(spark, tmp_path):
+    keys = spark.createDataFrame(
+        [
+            ("d1", "name", "alice"),
+            ("d1", "name", "ally"),
+            ("d1", "mail", "a@x.com"),
+            ("d2", "name", "bob"),
+        ],
+        "doc_id string, key_kind string, value string",
+    )
+    seeds = keys.select("doc_id").distinct()
+    rows = search.reassemble_rows(seeds, keys)
+    wide = search.export_wide(rows, ["name", "mail"])
+    out = str(tmp_path / "export")
+    csvio.export_csv(wide, out)
+
+    files = glob.glob(os.path.join(out, "*.csv"))
+    assert len(files) == 1  # single_file export parity with MinIO blob
+    with open(files[0]) as f:
+        got = list(csv.DictReader(f))
+    by_id = {r["doc_id"]: r for r in got}
+    # header sorted, multi-valued cell JSON-encoded, missing cell empty
+    assert list(got[0].keys()) == ["doc_id", "mail", "name"]
+    assert json.loads(by_id["d1"]["name"]) == ["alice", "ally"]
+    assert json.loads(by_id["d1"]["mail"]) == ["a@x.com"]
+    assert by_id["d2"]["mail"] == ""
+
+
+def test_embedding_near_dup_bucketed_equals_exhaustive(spark):
+    from sneaky_data_matcher_spark.operators.dedup import embedding_near_dup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    # plant guaranteed near-dups: rescaled copies (cosine == 1.0)
+    aug = emb.unionByName(
+        emb.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+        )
+    ).localCheckpoint(eager=True)
+    exhaustive = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_near_dup(aug, 0.95, bucketed=False).collect()
+    }
+    bucketed = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_near_dup(aug, 0.95, bucketed=True).collect()
+    }
+    assert exhaustive, "planted near-dups must be found"
+    # bucketed candidates ⊆ exhaustive truth; at cos>=0.95 with 16 tables
+    # the miss probability is ~4e-7, so equality is the expected outcome
+    assert bucketed == exhaustive
