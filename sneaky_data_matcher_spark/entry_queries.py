@@ -678,6 +678,24 @@ def embedding_near_dup_q(spark, sf_dir):
     return embedding_near_dup(aug, threshold=0.95, bucketed=True)
 
 
+# Winnowing rolling-hash fingerprints (Schleimer et al.): polynomial
+# Horner-mod k-gram hashes -> per-window minima. The hash arithmetic is
+# engine-portable by construction, so this is fully oracle-checked.
+@_q(
+    "winnow_fingerprints",
+    "SELECT doc_id, unnest("
+    + TS.winnow_fingerprints_sql("kh")
+    + ") AS fp FROM (SELECT doc_id, "
+    + TS.kgram_hashes_sql("text")
+    + " AS kh FROM documents WHERE length(text) >= 8)",
+)
+def winnow_fingerprints_q(spark, sf_dir):
+    d = _docs(spark, sf_dir).where(F.length("text") >= 8)
+    return d.select(
+        "doc_id", F.explode(TS.winnow_fingerprints(F.col("text"))).alias("fp")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: language id, quality score
 # ---------------------------------------------------------------------------

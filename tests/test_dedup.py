@@ -110,3 +110,53 @@ def test_lsh_band_math(spark, docs):
     assert len(row["sig"]) == 128
     bk = dedup.lsh_band_keys(sigs, bands=32, rows_per_band=4)
     assert bk.groupBy("doc_id").count().agg(F.min("count")).collect()[0][0] == 32
+
+
+def test_winnow_fingerprints_guarantee_and_oracle(spark, docs):
+    """Winnowing invariant: docs sharing a substring of >= k+w-1 chars share
+    a fingerprint; result matches a pure-Python winnow exactly."""
+    from sneaky_data_matcher_spark.functions.textstats import (
+        WINNOW_B,
+        WINNOW_M,
+        winnow_fingerprints,
+    )
+    import pyspark.sql.functions as F
+
+    k, w = 8, 4
+    sample = docs.where(F.length("text") >= 8).limit(50)
+    got = {
+        r["doc_id"]: list(r["fp"])
+        for r in sample.select(
+            "doc_id", winnow_fingerprints(F.col("text"), k, w).alias("fp")
+        ).collect()
+    }
+
+    def py_winnow(text: str) -> list[int]:
+        s = text.lower()
+        if len(s) < k:
+            return []
+        kh = []
+        for i in range(len(s) - k + 1):
+            acc = 0
+            for c in s[i : i + k]:
+                acc = (acc * WINNOW_B + ord(c)) % WINNOW_M
+            kh.append(acc)
+        if len(kh) < w:
+            return sorted(set(kh))
+        return sorted({min(kh[i : i + w]) for i in range(len(kh) - w + 1)})
+
+    rows = {r["doc_id"]: r["text"] for r in sample.collect()}
+    for did, text in rows.items():
+        assert got[did] == py_winnow(text), did
+
+    # the shared-substring guarantee, on a constructed pair
+    a = "the quick brown fox jumps over the lazy dog tonight"
+    b = "completely different prefix THE QUICK BROWN FOX JUMPS and tail"
+    pair = spark.createDataFrame([("a", a), ("b", b)], "doc_id string, text string")
+    fps = {
+        r["doc_id"]: set(r["fp"])
+        for r in pair.select(
+            "doc_id", winnow_fingerprints(F.col("text"), k, w).alias("fp")
+        ).collect()
+    }
+    assert fps["a"] & fps["b"], "shared 26-char substring must share a fingerprint"
