@@ -27,6 +27,23 @@ from ..sources.io import TableIO
 
 METRICS_TABLE = "_metrics"
 JOBS_TABLE = "_jobs"
+STATUS_TABLE = "_status"
+
+PROCESSING = "PROCESSING"
+FINISHED = "FINISHED"
+FINISHED_WITH_ERROR = "FINISHED_WITH_ERROR"
+FORCE_COMPLETED = "FORCE_COMPLETED"
+
+
+class RunExistsError(RuntimeError):
+    """Name collision on run creation — the reference returns 409 on a
+    duplicate upload/match name (UploadsService.java:184-194,
+    SearchRepository.java:157-159)."""
+
+
+class RunForceCompleted(RuntimeError):
+    """Raised by stage() when the run was force-completed — the probe
+    loop's early-exit check (SearchService.java:156-160, X3/L3)."""
 
 
 class Run:
@@ -37,6 +54,35 @@ class Run:
         self.run_id = run_id
         self.io = TableIO(spark, f"{base_dir.rstrip('/')}/{run_id}")
 
+    # -- lifecycle (X1/X3: UploadDescriptor.Status + Match force-complete) --
+
+    def _set_status(self, status: str) -> None:
+        df = self.spark.createDataFrame(
+            [(self.run_id, status, float(time.time()))],
+            "run_id string, status string, recorded_at double",
+        )
+        self.io.append(df, STATUS_TABLE)
+
+    def status(self) -> str:
+        """Latest lifecycle status (PROCESSING until marked otherwise)."""
+        if not self.io.exists(STATUS_TABLE):
+            return PROCESSING
+        rows = (
+            self.io.load(STATUS_TABLE)
+            .orderBy(F.desc("recorded_at"))
+            .limit(1)
+            .collect()
+        )
+        return rows[0]["status"] if rows else PROCESSING
+
+    def mark_finished(self, error: bool = False) -> None:
+        self._set_status(FINISHED_WITH_ERROR if error else FINISHED)
+
+    def force_complete(self) -> None:
+        """X3: flag the run; subsequent stage() calls raise instead of
+        computing (committed outputs remain loadable)."""
+        self._set_status(FORCE_COMPLETED)
+
     # -- stage orchestration -------------------------------------------------
 
     def stage(self, name: str, build, force: bool = False) -> DataFrame:
@@ -45,6 +91,8 @@ class Run:
         zero-arg callable returning the stage DataFrame."""
         if not force and self.io.exists(name):
             return self.io.load(name)
+        if self.status() == FORCE_COMPLETED:
+            raise RunForceCompleted(self.run_id)
         df = build()
         self.io.save(df, name)
         out = self.io.load(name)
@@ -95,6 +143,21 @@ class Run:
         return self.io.load(JOBS_TABLE)
 
 
+def create_run(
+    spark: SparkSession, base_dir: str, run_id: str, exist_ok: bool = True
+) -> Run:
+    """Create (or reopen) a named run. exist_ok=False mirrors the
+    reference's duplicate-name 409: any committed stage or status row
+    counts as 'exists'."""
+    run = Run(spark, base_dir, run_id)
+    if not exist_ok:
+        import os
+
+        if os.path.exists(run.io.base):
+            raise RunExistsError(run_id)
+    return run
+
+
 def run_pipeline(
     spark: SparkSession,
     docs: DataFrame,
@@ -115,6 +178,7 @@ def run_pipeline(
     pairs = run.stage("pairs", lambda: P.build_candidate_pairs(canon, cfg), force=force)
     scored = run.stage("scored", lambda: P.score_candidates(pairs, canon, cfg), force=force)
     clusters = run.stage("clusters", lambda: P.assign_clusters(scored, canon, cfg), force=force)
+    run.mark_finished()
     return {
         "canon": canon,
         "pairs": pairs,

@@ -73,3 +73,35 @@ def test_force_recompute(spark, synth_corpus, base_dir):
     assert df1.count() == 10
     df2 = run.stage("canon", lambda: P.canonicalize_docs(docs).limit(20), force=True)
     assert df2.count() == 20
+
+
+def test_run_name_collision_and_force_complete(spark, synth_corpus, base_dir):
+    """X1/X3 parity: duplicate run name rejected (the reference's 409);
+    force-complete stops further stage computation but committed stages
+    stay loadable (SearchService.java:156-160)."""
+    import pytest as _pytest
+
+    from sneaky_data_matcher_spark.plans.runs import (
+        FINISHED,
+        RunExistsError,
+        RunForceCompleted,
+        create_run,
+    )
+
+    docs, _ = synth_corpus
+    cfg = P.PipelineConfig()
+    run = create_run(spark, base_dir, "run_x", exist_ok=False)
+    assert run.status() == "PROCESSING"
+    canon = run.stage("canon", lambda: P.canonicalize_docs(docs))
+
+    with _pytest.raises(RunExistsError):
+        create_run(spark, base_dir, "run_x", exist_ok=False)
+
+    run.force_complete()
+    with _pytest.raises(RunForceCompleted):
+        run.stage("pairs", lambda: P.build_candidate_pairs(canon, cfg))
+    # committed stage still loads; no recompute attempted
+    assert run.stage("canon", lambda: 1 / 0).count() == canon.count()
+
+    run.mark_finished()
+    assert run.status() == FINISHED
