@@ -829,6 +829,37 @@ def stream_windowed_events(spark, sf_dir):
     )
 
 
+@_q("stream_probe_match")
+def stream_probe_match_q(spark, sf_dir):
+    """Streaming twin of probe_match: documents arrive as a stream, each is
+    canonicalized with the SAME expressions and equi-joined (stream-static)
+    against the corpus tok0 keys."""
+    from .streaming.incremental import run_stream_to_memory
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    probe = (
+        flatdocs.canon_frame(stream)
+        .where(F.col("doc_id") % 7 == 0)
+        .select(
+            F.col("doc_id").alias("probe_doc_id"),
+            F.split("doc_text", " ")[0].alias("k"),
+        )
+        .where(F.col("k") != "")
+    )
+    corpus = (
+        flatdocs.keys_frame(_docs(spark, sf_dir))
+        .where(F.col("key_kind") == "tok0")
+        .select(F.col("doc_id").alias("corpus_doc_id"), F.col("value").alias("k"))
+    )
+    joined = probe.join(corpus, "k").select("probe_doc_id", "corpus_doc_id")
+    return run_stream_to_memory(spark, joined, "stream_probe_match_sink")
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL
