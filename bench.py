@@ -24,16 +24,9 @@ import time
 
 
 def _load_docs(spark, path: str):
-    """Read a corpus parquet (flat documents or pre-spanned) as a spans
-    frame, spread across cores (test fixtures are single-row-group files —
-    see sources.io.spread_input)."""
-    from sneaky_data_matcher_spark.sources.io import spread_input
-    from sneaky_data_matcher_spark.sources.spans import derive_spans
+    from sneaky_data_matcher_spark.sources.io import load_docs
 
-    docs = spread_input(spark.read.parquet(path))
-    if "spans" not in docs.columns:
-        docs = derive_spans(docs)
-    return docs.select("doc_id", "spans")
+    return load_docs(spark, path)
 
 
 def _run_pipeline(spark, sf_dir: str, threshold: float = 0.85) -> dict:

@@ -451,7 +451,7 @@ def _er_frames(spark, sf_dir):
         .withColumn("n_salts", F.lit(1))
         .withColumn("block_size", F.lit(None).cast("long"))
     )
-    pairs = blocking.candidate_pairs(salted)
+    pairs = blocking.candidate_pairs(salted, cache=False)
     return canon, keys, pairs
 
 

@@ -91,63 +91,78 @@ def sorted_neighborhood_pairs(
     canon: DataFrame,
     window: int = 5,
     sort_key=None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Classic sorted-neighborhood blocking (SURVEY.md §4 custom tactic 2):
     globally sort docs by a key, slide a ``window``-row window, emit every
     pair co-resident in some window -> distinct (doc_id_a < doc_id_b).
 
-    Spark-first shape: ``repartitionByRange`` + per-partition ``Window``
-    ordering gives the global sort without a single-reducer bottleneck; the
-    cross-partition seam is covered by self-joining on neighborhood rank
-    buckets (rank/window and its successor), so no pair at a partition
-    boundary is lost. Complements the key-equality passes: catches near
-    neighbors whose leading tokens differ only late in the sort key.
+    Spark-first shape with an EXACT global rank and no single reducer:
+    ``repartitionByRange`` on the key keeps partitions key-ordered, a
+    per-partition ``row_number`` gives local ranks, and the per-partition
+    row counts (one tiny row per partition, collected to the driver and
+    broadcast back) turn them into global ranks. Pairs within ``window``
+    of each other in global rank necessarily land in the same or adjacent
+    ``window``-sized rank buckets, so a bucket/bucket+1 self-join finds
+    exactly the sliding-window pairs — partition seams and empty/short
+    partitions included (the earlier tail×head seam heuristic broke on
+    both; see tests which force multi-partition runs).
     """
     from pyspark.sql import Window as W
 
     key = sort_key if sort_key is not None else F.col("doc_text")
-    ranked = (
-        canon.select("doc_id", key.alias("snk"))
-        .where(F.col("snk").isNotNull() & (F.col("snk") != ""))
-        .repartitionByRange(F.col("snk"), F.col("doc_id"))
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                W.partitionBy(F.spark_partition_id()).orderBy("snk", "doc_id")
-            ),
+    base = canon.select("doc_id", key.alias("snk")).where(
+        F.col("snk").isNotNull() & (F.col("snk") != "")
+    )
+    base = (
+        base.repartitionByRange(num_partitions, "snk", "doc_id")
+        if num_partitions
+        else base.repartitionByRange("snk", "doc_id")
+    )
+    ranked = base.withColumn("pid", F.spark_partition_id()).withColumn(
+        "lrank",
+        F.row_number().over(W.partitionBy("pid").orderBy("snk", "doc_id")),
+    )
+    # pin: the frame is read twice (offsets + join) and pid/lrank must be
+    # identical across both evaluations
+    ranked = ranked.localCheckpoint(eager=True)
+    # tiny driver-side cumulative offsets: one row per partition
+    counts = sorted(
+        (r["pid"], r["n"])
+        for r in ranked.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    off_df = ranked.sparkSession.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "pid int, off long"
+    )
+    g = ranked.join(F.broadcast(off_df), "pid").select(
+        "doc_id", (F.col("lrank") + F.col("off")).alias("grank")
+    )
+    bucket = F.floor((F.col("grank") - 1) / window)
+    left = g.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("grank").alias("grank_a"),
+        bucket.alias("bk"),
+    )
+    right = g.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("grank").alias("grank_b"),
+        F.explode(F.array(bucket, bucket - 1)).alias("bk"),
+    )
+    pairs = (
+        left.join(right, "bk")
+        .where(
+            (F.col("grank_b") > F.col("grank_a"))
+            & (F.col("grank_b") - F.col("grank_a") < window)
+        )
+        .select(
+            F.least("doc_id_a", "doc_id_b").alias("doc_id_a"),
+            F.greatest("doc_id_a", "doc_id_b").alias("doc_id_b"),
         )
     )
-    # Partition-local windows: pair rows whose local ranks are within
-    # `window` of each other. The range partitioner keeps key order across
-    # partitions, so the only uncovered pairs straddle a partition seam;
-    # cover them by also pairing each partition's tail with the next
-    # partition's head (seam buckets).
-    pid = F.spark_partition_id()
-    local = ranked.select("doc_id", "snk", "rank", pid.alias("pid"))
-    a = local.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("pid").alias("pid_a"),
-        F.col("rank").alias("rank_a"), F.col("snk").alias("snk_a"),
-    )
-    b = local.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("pid").alias("pid_b"),
-        F.col("rank").alias("rank_b"), F.col("snk").alias("snk_b"),
-    )
-    same = (
-        a.join(b, (F.col("pid_a") == F.col("pid_b"))
-               & (F.col("rank_b") > F.col("rank_a"))
-               & (F.col("rank_b") - F.col("rank_a") < window))
-    )
-    # seam coverage: tail rows of partition p x head rows of partition p+1
-    sizes = local.groupBy("pid").agg(F.max("rank").alias("pmax"))
-    tail = a.join(sizes, a.pid_a == sizes.pid).where(
-        F.col("rank_a") > F.col("pmax") - window
-    ).drop("pid", "pmax")
-    head = b.where(F.col("rank_b") < window)
-    seam = tail.join(head, F.col("pid_b") == F.col("pid_a") + 1)
-    pairs = same.unionByName(seam).select(
-        F.least("doc_id_a", "doc_id_b").alias("doc_id_a"),
-        F.greatest("doc_id_a", "doc_id_b").alias("doc_id_b"),
-    ).where(F.col("doc_id_a") != F.col("doc_id_b"))
     return pairs.distinct()
 
 
@@ -174,6 +189,7 @@ def candidate_pairs(
     salted: DataFrame,
     repartition_on_block: bool = True,
     num_partitions: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Self-join within (pass, block_key, salt) -> distinct (doc_id_a < doc_id_b).
 
@@ -182,13 +198,16 @@ def candidate_pairs(
     shuffle partition sized by the salt cap, so no single task owns a hot
     block's quadratic work.
 
-    The input feeds BOTH sides of the self-join, so it is persisted here:
-    without it the whole upstream subtree (keys -> census -> salt join)
-    evaluates twice. At warehouse scale the salted keys frame is a
-    committed stage table (plans/runs.py) and this is a cache of it.
+    cache=True persists the input, which feeds BOTH sides of the self-join
+    (otherwise the keys -> census -> salt subtree evaluates twice). The
+    cached blocks live until the session's ContextCleaner collects the
+    unreferenced RDD; callers issuing many independent small invocations
+    (e.g. oracle queries) pass cache=False, and at warehouse scale the
+    salted frame is a committed stage table (plans/runs.py) instead.
     """
     cols = ["pass", "block_key", "salt"]
-    salted = salted.persist()
+    if cache:
+        salted = salted.persist()
     left = salted.select(*cols, F.col("doc_id").alias("doc_id_a"))
     if repartition_on_block:
         if num_partitions:

@@ -174,11 +174,19 @@ def run_pipeline(
     cfg = cfg or P.PipelineConfig()
     run = Run(spark, base_dir, run_id)
 
-    canon = run.stage("canon", lambda: P.canonicalize_docs(docs), force=force)
-    pairs = run.stage("pairs", lambda: P.build_candidate_pairs(canon, cfg), force=force)
-    scored = run.stage("scored", lambda: P.score_candidates(pairs, canon, cfg), force=force)
-    clusters = run.stage("clusters", lambda: P.assign_clusters(scored, canon, cfg), force=force)
-    run.mark_finished()
+    try:
+        canon = run.stage("canon", lambda: P.canonicalize_docs(docs), force=force)
+        pairs = run.stage("pairs", lambda: P.build_candidate_pairs(canon, cfg), force=force)
+        scored = run.stage("scored", lambda: P.score_candidates(pairs, canon, cfg), force=force)
+        clusters = run.stage("clusters", lambda: P.assign_clusters(scored, canon, cfg), force=force)
+    except RunForceCompleted:
+        raise
+    except Exception:
+        run.mark_finished(error=True)
+        raise
+    # don't clear an operator's force-complete flag on a pure resume
+    if run.status() != FORCE_COMPLETED:
+        run.mark_finished()
     return {
         "canon": canon,
         "pairs": pairs,

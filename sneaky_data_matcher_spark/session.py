@@ -14,6 +14,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dirs() -> str:
+    """Pick shuffle/spill dirs: explicit env wins; else tmpfs when it has
+    >= 32 GiB free; else the platform default (disk /tmp)."""
+    env = os.environ.get("SPARK_LOCAL_DIRS")
+    if env:
+        return env
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= 32 * 1024**3:
+            return "/dev/shm/spark-local"
+    except OSError:
+        pass
+    return "/tmp"
+
+
 def get_spark(
     app_name: str = "sneaky_data_matcher_spark",
     cpus: int | None = None,
@@ -41,11 +56,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # shuffle/spill dir on tmpfs: local-mode stand-in for the NVMe-backed
         # local dirs a production cluster uses — on rotational /tmp the
-        # shuffle write becomes a serial bottleneck that caps scaling
-        .config(
-            "spark.local.dir",
-            os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
-        )
+        # shuffle write becomes a serial bottleneck that caps scaling.
+        # Guarded: tmpfs spill eats RAM, so only when /dev/shm has real
+        # headroom (>=32 GiB free); otherwise keep the disk-backed default.
+        .config("spark.local.dir", _local_dirs())
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )

@@ -61,14 +61,22 @@ def sniff_csv_format(spark: SparkSession, path: str, sample_lines: int = 20) -> 
     first = best_rows[0]
     rest = best_rows[1:]
     # header if the first row looks like labels: all non-numeric, and either
-    # later rows carry numbers (type contrast) or the labels are distinct
-    # and non-empty (all-string files). Callers can override either field.
+    # later rows carry numbers (type contrast) or the first row's cells are
+    # distinct identifier-like names ([A-Za-z_][\w -]*; an email or URL in
+    # row 1 means data, not a header — misclassifying silently drops the
+    # first record). Genuinely ambiguous files: callers override.
+    import re as _re
+
+    ident = _re.compile(r"^[A-Za-z_][A-Za-z0-9_ -]*$")
     header = (
         best_cols > 1
         and not any(_numericish(c) for c in first)
         and (
             any(_numericish(c) for row in rest for c in row)
-            or (len(set(first)) == len(first) and all(c.strip() for c in first))
+            or (
+                len(set(first)) == len(first)
+                and all(ident.match(c.strip()) for c in first)
+            )
         )
     )
     return {"sep": best_sep, "header": header}

@@ -38,6 +38,19 @@ def spread_input(df: DataFrame, factor: int = 2) -> DataFrame:
     return df.repartition(target)
 
 
+def load_docs(spark: SparkSession, path: str) -> DataFrame:
+    """Read a corpus parquet — flat (doc_id, text, ...) or already spanned —
+    as a (doc_id, spans) frame, spread across cores. Single entry point for
+    bench.py and tools/submit_pipeline.py so the corpus-loading recipe
+    cannot diverge between them."""
+    from .spans import derive_spans
+
+    docs = spread_input(spark.read.parquet(path))
+    if "spans" not in docs.columns:
+        docs = derive_spans(docs)
+    return docs.select("doc_id", "spans")
+
+
 def _iceberg_available(spark: SparkSession) -> bool:
     try:
         spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]

@@ -16,12 +16,13 @@ def _canon(synth_corpus):
 
 
 def test_sorted_neighborhood_matches_single_node_oracle(spark, synth_corpus):
+    """Forces MULTI-partition runs (7 and 64 range partitions on 600 docs —
+    64 guarantees empty/short partitions): the global-rank construction
+    must reproduce the single-node sliding window exactly across seams.
+    (A one-partition run passes vacuously; an earlier tail×head seam
+    heuristic failed exactly here.)"""
     canon = _canon(synth_corpus)
     window = 5
-    got = {
-        (r["doc_id_a"], r["doc_id_b"])
-        for r in blocking.sorted_neighborhood_pairs(canon, window=window).collect()
-    }
     rows = sorted(
         ((r["doc_text"], r["doc_id"]) for r in canon.collect() if r["doc_text"]),
     )
@@ -30,9 +31,14 @@ def test_sorted_neighborhood_matches_single_node_oracle(spark, synth_corpus):
         for j in range(i + 1, min(i + window, len(rows))):
             a, b = sorted((rows[i][1], rows[j][1]))
             want.add((a, b))
-    # distributed result must cover the oracle exactly: same-partition
-    # windows plus seam pairs reconstruct the global sliding window
-    assert got == want
+    for nparts in (1, 7, 64):
+        got = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in blocking.sorted_neighborhood_pairs(
+                canon, window=window, num_partitions=nparts
+            ).collect()
+        }
+        assert got == want, f"num_partitions={nparts}"
 
 
 def test_sorted_neighborhood_empty_and_tiny(spark):

@@ -59,6 +59,18 @@ def test_sniff_semicolon(spark, tmp_path):
     assert fmt["header"] is True
 
 
+def test_headerless_all_string_not_misread(spark, tmp_path):
+    """All-string headerless file: first row must NOT be eaten as a header
+    (an email is data, not a label)."""
+    p = _write(
+        str(tmp_path / "e.csv"),
+        "alice,a@x.com\nbob,b@y.org\n",
+    )
+    fmt = csvio.sniff_csv_format(spark, p)
+    assert fmt["header"] is False
+    assert csvio.read_csv_auto(spark, p).count() == 2
+
+
 def test_quoted_cells_roundtrip(spark, tmp_path):
     p = _write(
         str(tmp_path / "d.csv"),

@@ -30,13 +30,9 @@ def main(argv: list[str]) -> int:
 
     spark = SparkSession.builder.appName("sneaky-matcher-pipeline").getOrCreate()
     from sneaky_data_matcher_spark.plans.runs import run_pipeline
-    from sneaky_data_matcher_spark.sources.io import spread_input
-    from sneaky_data_matcher_spark.sources.spans import derive_spans
+    from sneaky_data_matcher_spark.sources.io import load_docs
 
-    docs = spread_input(spark.read.parquet(docs_path))
-    if "spans" not in docs.columns:
-        docs = derive_spans(docs)
-    out = run_pipeline(spark, docs.select("doc_id", "spans"), out_dir, run_id)
+    out = run_pipeline(spark, load_docs(spark, docs_path), out_dir, run_id)
     summary = {
         "run_id": run_id,
         "stages": [r["stage"] for r in out["run"].jobs().select("stage").distinct().collect()],
