@@ -9,9 +9,11 @@ documents, on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
    "unit": "pairs/sec", "queries": {<name>: seconds, ...}, "sf": ...,
    "pairs_scored": N, "wall_sec": T, "cpus": C}
 
-`--scaling` mode runs the same pipeline at local[8] and local[32] via
-fresh subprocesses (a JVM cannot change master in-process) and writes the
-north-rule scaling-efficiency evidence into BENCH/BASELINE.md.
+`--scaling` mode runs the same pipeline at local[2], local[8], and
+local[32] via fresh subprocesses (a JVM cannot change master in-process),
+interleaved best-of-N trials, plus a pure-CPU machine-capacity
+calibration; it prints one JSON report (headline pair: N=2 vs 4N=8 — see
+BENCH.md, where the recorded evidence lives).
 """
 
 from __future__ import annotations
@@ -128,8 +130,17 @@ def main() -> None:
 def _ensure_scaling_corpus(n_docs: int) -> str:
     """Deterministic synthetic interleaved corpus big enough that compute
     dominates fixed costs (the in-sandbox stand-in for the north rule's
-    cluster-scale input; seeded, no wall-clock in the data)."""
-    path = f"/tmp/smsp_scaling_corpus_{n_docs}.parquet"
+    cluster-scale input; seeded, no wall-clock in the data). Cache path is
+    keyed by the generator source hash so edits to synth.py invalidate
+    previously generated corpora instead of silently benchmarking stale
+    data."""
+    import hashlib
+
+    from sneaky_data_matcher_spark.sources import synth as _synth
+
+    with open(_synth.__file__, "rb") as f:
+        gen_tag = hashlib.sha1(f.read()).hexdigest()[:10]
+    path = f"/tmp/smsp_scaling_corpus_{n_docs}_{gen_tag}.parquet"
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     from sneaky_data_matcher_spark.session import get_spark
@@ -146,12 +157,14 @@ def _ensure_scaling_corpus(n_docs: int) -> str:
     return path
 
 
-def _machine_capacity(n_procs: int, iters: int = 2_000_000) -> float:
-    """Effective parallel speedup of THIS box at n_procs processes, measured
-    with a pure-CPU sha256 burn (no Spark, no I/O): serial_time * n /
-    parallel_wall. The sandbox VM advertises 32 vCPUs but delivers ~8-10
-    cores of real bandwidth — this calibration quantifies the hardware
-    ceiling any wall-clock scaling comparison is subject to."""
+def _machine_capacity(levels: tuple, iters: int = 2_000_000) -> dict:
+    """Effective parallel speedup of THIS box at each process count,
+    measured with a pure-CPU sha256 burn (no Spark, no I/O): serial_time *
+    n / parallel_wall. One shared serial baseline for all levels — per-
+    level baselines would normalize each ratio by a different sample of
+    host CPU steal. The sandbox VM advertises 32 vCPUs but delivers ~8-10
+    cores of real bandwidth; this quantifies the hardware ceiling any
+    wall-clock scaling comparison is subject to."""
     import time as _time
 
     code = (
@@ -162,12 +175,15 @@ def _machine_capacity(n_procs: int, iters: int = 2_000_000) -> float:
     t0 = _time.perf_counter()
     subprocess.run([sys.executable, "-c", code], check=True)
     serial = _time.perf_counter() - t0
-    t0 = _time.perf_counter()
-    procs = [subprocess.Popen([sys.executable, "-c", code]) for _ in range(n_procs)]
-    for p in procs:
-        p.wait()
-    wall = _time.perf_counter() - t0
-    return serial * n_procs / wall
+    out = {}
+    for n_procs in levels:
+        t0 = _time.perf_counter()
+        procs = [subprocess.Popen([sys.executable, "-c", code]) for _ in range(n_procs)]
+        for p in procs:
+            p.wait()
+        wall = _time.perf_counter() - t0
+        out[n_procs] = round(serial * n_procs / wall, 2)
+    return out
 
 
 def _scaling(sf_dir: str) -> None:
@@ -191,7 +207,7 @@ def _scaling(sf_dir: str) -> None:
     trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
     levels = (2, 8, 32)
     corpus = _ensure_scaling_corpus(n_docs)
-    capacity = {c: round(_machine_capacity(c), 2) for c in levels}
+    capacity = _machine_capacity(levels)
     results: dict[int, dict] = {}
     for _trial in range(trials):
         for cpus in levels:

@@ -198,16 +198,19 @@ def candidate_pairs(
     shuffle partition sized by the salt cap, so no single task owns a hot
     block's quadratic work.
 
-    cache=True persists the input, which feeds BOTH sides of the self-join
-    (otherwise the keys -> census -> salt subtree evaluates twice). The
-    cached blocks live until the session's ContextCleaner collects the
-    unreferenced RDD; callers issuing many independent small invocations
-    (e.g. oracle queries) pass cache=False, and at warehouse scale the
-    salted frame is a committed stage table (plans/runs.py) instead.
+    cache=True pins the input, which feeds BOTH sides of the self-join
+    (otherwise the keys -> census -> salt subtree evaluates twice). Pinned
+    via lazy RDD-level localCheckpoint, NOT DataFrame.persist: the SQL
+    CacheManager holds persisted frames strongly until an explicit
+    unpersist, while local-checkpoint blocks are released by the
+    ContextCleaner once the frame is garbage-collected — no per-call cache
+    leak in long sessions. Callers issuing many independent small
+    invocations (e.g. oracle queries) pass cache=False; at warehouse scale
+    the salted frame is a committed stage table (plans/runs.py) instead.
     """
     cols = ["pass", "block_key", "salt"]
     if cache:
-        salted = salted.persist()
+        salted = salted.localCheckpoint(eager=False)
     left = salted.select(*cols, F.col("doc_id").alias("doc_id_a"))
     if repartition_on_block:
         if num_partitions:

@@ -24,8 +24,18 @@ Scale notes:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# The fixpoint loop temporarily retunes session conf (AQE off, loop-sized
+# shuffle partitions). Those knobs are session-global, so concurrent CC
+# calls on one session would race on set/restore; serialize them. Other
+# concurrent queries on the same session during a CC loop would still see
+# the loop settings — documented non-reentrancy, acceptable for a
+# single-driver pipeline.
+_CONF_LOCK = threading.Lock()
 
 
 def _sym(edges: DataFrame) -> DataFrame:
@@ -95,23 +105,24 @@ def connected_components(
     # the edge data — dominates CC wall-clock. Size the loop's shuffles to
     # the edge count and skip AQE inside the loop; restore settings after.
     conf = edges.sparkSession.conf
-    old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
-    old_sp = conf.get("spark.sql.shuffle.partitions", "200")
-    loop_parts = max(8, min(int(old_sp), prev[0] // 50_000 + 8))
-    conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    try:
-        for _ in range(max_iterations):
-            edges = _small_star(_large_star(edges))
-            if checkpoint:
-                edges = edges.localCheckpoint(eager=True)
-            cur = _edge_checksum(edges)
-            if cur == prev:
-                break
-            prev = cur
-    finally:
-        conf.set("spark.sql.adaptive.enabled", old_aqe)
-        conf.set("spark.sql.shuffle.partitions", old_sp)
+    with _CONF_LOCK:
+        old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+        old_sp = conf.get("spark.sql.shuffle.partitions", "200")
+        loop_parts = max(8, min(int(old_sp), prev[0] // 50_000 + 8))
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        try:
+            for _ in range(max_iterations):
+                edges = _small_star(_large_star(edges))
+                if checkpoint:
+                    edges = edges.localCheckpoint(eager=True)
+                cur = _edge_checksum(edges)
+                if cur == prev:
+                    break
+                prev = cur
+        finally:
+            conf.set("spark.sql.adaptive.enabled", old_aqe)
+            conf.set("spark.sql.shuffle.partitions", old_sp)
     # Fixpoint: every edge is (node, root). Emit both node->root and
     # root->root so component representatives appear in the output.
     assign = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))

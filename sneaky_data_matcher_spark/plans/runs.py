@@ -147,14 +147,21 @@ def create_run(
     spark: SparkSession, base_dir: str, run_id: str, exist_ok: bool = True
 ) -> Run:
     """Create (or reopen) a named run. exist_ok=False mirrors the
-    reference's duplicate-name 409: any committed stage or status row
-    counts as 'exists'."""
+    reference's duplicate-name 409. Existence is detected through TableIO
+    (a committed status/jobs table or stage), not the local filesystem, so
+    it works for Iceberg-catalog and object-store bases too; creation
+    writes the PROCESSING status row, which is what a later create_run
+    collides on."""
     run = Run(spark, base_dir, run_id)
-    if not exist_ok:
-        import os
-
-        if os.path.exists(run.io.base):
-            raise RunExistsError(run_id)
+    exists = (
+        run.io.exists(STATUS_TABLE)
+        or run.io.exists(JOBS_TABLE)
+        or bool(run.completed_stages())
+    )
+    if exists and not exist_ok:
+        raise RunExistsError(run_id)
+    if not exists:
+        run._set_status(PROCESSING)
     return run
 
 
@@ -182,7 +189,12 @@ def run_pipeline(
     except RunForceCompleted:
         raise
     except Exception:
-        run.mark_finished(error=True)
+        # best-effort status write: if the session itself died, recording
+        # the error status would raise too and mask the root cause
+        try:
+            run.mark_finished(error=True)
+        except Exception:
+            pass
         raise
     # don't clear an operator's force-complete flag on a pure resume
     if run.status() != FORCE_COMPLETED:

@@ -12,8 +12,6 @@ import glob
 import json
 import os
 
-from pyspark.sql import functions as F
-
 from sneaky_data_matcher_spark.operators import search
 from sneaky_data_matcher_spark.sources import csvio
 
@@ -109,28 +107,3 @@ def test_export_csv_sorted_header_json_cells(spark, tmp_path):
     assert by_id["d2"]["mail"] == ""
 
 
-def test_embedding_near_dup_bucketed_equals_exhaustive(spark):
-    from sneaky_data_matcher_spark.operators.dedup import embedding_near_dup
-
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
-    )
-    # plant guaranteed near-dups: rescaled copies (cosine == 1.0)
-    aug = emb.unionByName(
-        emb.where(F.col("vec_id") % 10 == 0).select(
-            (F.col("vec_id") + 1000000).alias("vec_id"),
-            F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
-        )
-    ).localCheckpoint(eager=True)
-    exhaustive = {
-        (r["vec_id_a"], r["vec_id_b"])
-        for r in embedding_near_dup(aug, 0.95, bucketed=False).collect()
-    }
-    bucketed = {
-        (r["vec_id_a"], r["vec_id_b"])
-        for r in embedding_near_dup(aug, 0.95, bucketed=True).collect()
-    }
-    assert exhaustive, "planted near-dups must be found"
-    # bucketed candidates ⊆ exhaustive truth; at cos>=0.95 with 16 tables
-    # the miss probability is ~4e-7, so equality is the expected outcome
-    assert bucketed == exhaustive

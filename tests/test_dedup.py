@@ -160,3 +160,32 @@ def test_winnow_fingerprints_guarantee_and_oracle(spark, docs):
         ).collect()
     }
     assert fps["a"] & fps["b"], "shared 26-char substring must share a fingerprint"
+
+
+def test_embedding_near_dup_bucketed_equals_exhaustive(spark):
+    import pyspark.sql.functions as F
+
+    from sneaky_data_matcher_spark.operators.dedup import embedding_near_dup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    # plant guaranteed near-dups: rescaled copies (cosine == 1.0)
+    aug = emb.unionByName(
+        emb.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+        )
+    ).localCheckpoint(eager=True)
+    exhaustive = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_near_dup(aug, 0.95, bucketed=False).collect()
+    }
+    bucketed = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_near_dup(aug, 0.95, bucketed=True).collect()
+    }
+    assert exhaustive, "planted near-dups must be found"
+    # bucketed candidates ⊆ exhaustive truth; at cos>=0.95 with 16 tables
+    # the miss probability is ~4e-7, so equality is the expected outcome
+    assert bucketed == exhaustive
