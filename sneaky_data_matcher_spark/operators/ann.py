@@ -145,6 +145,33 @@ def lsh_topk(
     )
 
 
+def train_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Train IVF routing centroids with MLlib k-means (the real 'tiny
+    k-means output' ivf_topk's docstring assumes). Returns (centroid_id,
+    embedding: array<double>) — broadcastable. Deterministic via fixed
+    seed. At 100 TB train on a sample (`corpus.sample(...)`) — k-means
+    cost is per-row × k and the router only needs approximate centers."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(_as_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    spark = corpus.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, f"centroid_id int, {vec_col} array<double>")
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

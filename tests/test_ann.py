@@ -82,3 +82,29 @@ def test_ivf_self_retrieval(spark, emb):
     # scaled copy routes to the same centroid and wins top-1
     for qid in range(5):
         assert rows[qid + 100000] == qid
+
+
+def test_ivf_with_trained_centroids_recall(spark, emb):
+    """Real k-means centroids (MLlib) routing: IVF top-k with n_probe=4
+    must recover most of brute-force top-5 on the fixture embeddings."""
+    from sneaky_data_matcher_spark.operators.ann import (
+        brute_force_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    cent = train_centroids(emb, k=8)
+    assert cent.count() == 8
+    q = emb.limit(20)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, emb, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(q, emb, cent, k=5, n_probe=4).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    # n_probe=4 of 8 lists scans ~half the corpus; on near-uniform random
+    # vectors expect at least half of the true neighbors back
+    assert recall >= 0.5, recall
