@@ -56,15 +56,25 @@ def _run_pipeline(spark, sf_dir: str, threshold: float = 0.85) -> dict:
     n_docs = canon.count()
     timings["canonicalize"] = time.perf_counter() - t0
 
-    t1 = time.perf_counter()
-    pairs = P.build_candidate_pairs(canon, cfg).persist()
-    n_pairs = pairs.count()
-    timings["blocking_pairs"] = time.perf_counter() - t1
+    if cfg.fused_scoring:
+        # production path: blocking + scoring fused into one flow (see
+        # pipeline.fused_block_and_score); one timing covers both
+        t1 = time.perf_counter()
+        scored = P.fused_block_and_score(canon, cfg).persist()
+        n_pairs = scored.count()
+        dt = time.perf_counter() - t1
+        timings["blocking_pairs"] = 0.0
+        timings["scoring"] = dt
+    else:
+        t1 = time.perf_counter()
+        pairs = P.build_candidate_pairs(canon, cfg).persist()
+        n_pairs = pairs.count()
+        timings["blocking_pairs"] = time.perf_counter() - t1
 
-    t2 = time.perf_counter()
-    scored = P.score_candidates(pairs, canon, cfg).persist()
-    scored.count()
-    timings["scoring"] = time.perf_counter() - t2
+        t2 = time.perf_counter()
+        scored = P.score_candidates(pairs, canon, cfg).persist()
+        scored.count()
+        timings["scoring"] = time.perf_counter() - t2
 
     t3 = time.perf_counter()
     clusters = P.assign_clusters(scored, canon, cfg)

@@ -40,12 +40,36 @@ def _q(name: str, sql: str | None = None):
     return deco
 
 
+# The driver runs every query in one session over one sf_dir; many queries
+# share the same derived frames (canonical text is a per-token regex
+# pipeline — the most expensive projection in the registry). Cache shared
+# frames per (session, sf_dir) behind a lazy localCheckpoint: computed on
+# first use, reused by every later query, blocks freed by the
+# ContextCleaner when the session goes away (no explicit persist leak).
+_FRAME_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    if key not in _FRAME_CACHE:
+        _FRAME_CACHE[key] = builder().localCheckpoint(eager=False)
+    return _FRAME_CACHE[key]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _keys(spark, sf_dir):
-    return flatdocs.keys_frame(_docs(spark, sf_dir))
+    return _cached(
+        spark, sf_dir, "keys", lambda: flatdocs.keys_frame(_docs(spark, sf_dir))
+    )
+
+
+def _canon(spark, sf_dir):
+    return _cached(
+        spark, sf_dir, "canon", lambda: flatdocs.canon_frame(_docs(spark, sf_dir))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -57,7 +81,7 @@ def _keys(spark, sf_dir):
     f"WITH {flatdocs.CANON_CTE} SELECT doc_id, doc_text FROM canon",
 )
 def canon_tlc_nrm(spark, sf_dir):
-    return flatdocs.canon_frame(_docs(spark, sf_dir)).select("doc_id", "doc_text")
+    return _canon(spark, sf_dir).select("doc_id", "doc_text")
 
 
 # P5 — phone rule (RecordValidationUtilService.java:24-31). Testdata has no
@@ -230,7 +254,7 @@ _PROBE_SQL = (
 @_q("probe_match", _PROBE_SQL)
 def probe_match(spark, sf_dir):
     keys = _keys(spark, sf_dir)
-    canon = flatdocs.canon_frame(_docs(spark, sf_dir))
+    canon = _canon(spark, sf_dir)
     perturbed = F.concat(F.lit('"'), F.upper(F.split("doc_text", " ")[0]), F.lit('"'))
     probe = canon.where((F.col("doc_id") % 7 == 0) & (F.col("doc_text") != "")).select(
         F.col("doc_id").alias("probe_id"),
@@ -440,18 +464,37 @@ _ER_MATCH_COND = "0.4*jw + 0.2*lev_ratio + 0.4*tok_jaccard >= 0.8"
 
 
 def _er_frames(spark, sf_dir):
-    """Spark side of the same CTE chain (pfx+srt passes, no salting)."""
-    from .operators import blocking
+    """Spark side of the same CTE chain (pfx+srt passes, no salting).
+    All three frames are cached per (session, sf_dir): four er_* queries
+    share them, and pairs alone saves a census+self-join per query."""
 
-    canon = flatdocs.canon_frame(_docs(spark, sf_dir)).where(F.col("doc_text") != "")
-    canon = canon.withColumn("media_refs", F.array().cast("array<string>"))
-    keys = blocking.blocking_keys(canon).where(F.col("pass") != "med")
-    salted = (
-        keys.withColumn("salt", F.lit(0))
-        .withColumn("n_salts", F.lit(1))
-        .withColumn("block_size", F.lit(None).cast("long"))
-    )
-    pairs = blocking.candidate_pairs(salted, cache=False)
+    def build_canon():
+        return (
+            _canon(spark, sf_dir)
+            .where(F.col("doc_text") != "")
+            .withColumn("media_refs", F.array().cast("array<string>"))
+        )
+
+    canon = _cached(spark, sf_dir, "er_canon", build_canon)
+
+    def build_keys():
+        from .operators import blocking
+
+        return blocking.blocking_keys(canon).where(F.col("pass") != "med")
+
+    keys = _cached(spark, sf_dir, "er_keys", build_keys)
+
+    def build_pairs():
+        from .operators import blocking
+
+        salted = (
+            keys.withColumn("salt", F.lit(0))
+            .withColumn("n_salts", F.lit(1))
+            .withColumn("block_size", F.lit(None).cast("long"))
+        )
+        return blocking.candidate_pairs(salted, cache=False)
+
+    pairs = _cached(spark, sf_dir, "er_pairs", build_pairs)
     return canon, keys, pairs
 
 
@@ -858,6 +901,74 @@ def stream_probe_match_q(spark, sf_dir):
     )
     joined = probe.join(corpus, "k").select("probe_doc_id", "corpus_doc_id")
     return run_stream_to_memory(spark, joined, "stream_probe_match_sink")
+
+
+@_q("stream_candidate_pairs")
+def stream_candidate_pairs_q(spark, sf_dir):
+    """Incremental candidate generation as a real stateful streaming query
+    (applyInPandasWithState per-block state). Hash-partition-order sensitive
+    only in emission order, not set membership; driver does a rows-only
+    check — the set-equality-vs-batch proof is tests/test_streaming.py."""
+    from .operators import blocking
+    from .streaming.incremental import run_stream_to_memory, streaming_candidate_pairs
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    canon = (
+        flatdocs.canon_frame(stream)
+        # testdata doc_id is int64; the pair-state UDF emits string ids
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+        .withColumn("media_refs", F.array().cast("array<string>"))
+    )
+    keyed = blocking.blocking_keys(canon, payload_cols=["doc_text"])
+    pairs = streaming_candidate_pairs(keyed)
+    out = run_stream_to_memory(spark, pairs, "stream_cand_pairs_sink")
+    return out.select("doc_id_a", "doc_id_b").distinct()
+
+
+# Streaming incremental clustering: edges stream in two micro-batches, a
+# foreachBatch contraction maintains the clusters table. The oracle is the
+# same recursive-CTE closure as er_clusters restricted to matched docs
+# (the incremental table only carries docs that appeared in an edge).
+@_q(
+    "stream_incremental_clusters",
+    f"WITH RECURSIVE {_ER_SCORED_CTE}, "
+    f"edges AS (SELECT doc_id_a AS u, doc_id_b AS v FROM er_scored WHERE {_ER_MATCH_COND}), "
+    "sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges), "
+    "reach(a, b) AS ("
+    "  SELECT u, u FROM sym "
+    "  UNION SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u) "
+    "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a",
+)
+def stream_incremental_clusters_q(spark, sf_dir):
+    import tempfile
+
+    from .sources.io import TableIO
+    from .streaming.incremental import incremental_cluster_stream
+
+    m = er_matches(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="smsp_inc_cc_")
+    # deterministic two-way split (limit/subtract would re-evaluate and race)
+    half = F.pmod(F.xxhash64("doc_id_a", "doc_id_b"), F.lit(2)) == 0
+    m.where(half).write.mode("overwrite").parquet(f"{d}/edges/b0")
+    m.where(~half).write.mode("overwrite").parquet(f"{d}/edges/b1")
+    schema = spark.read.parquet(f"{d}/edges/b0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/edges/*")
+    )
+    io = TableIO(spark, f"{d}/state")
+    q = incremental_cluster_stream(stream, io, checkpoint_dir=f"{d}/ckpt")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return io.load("clusters")
 
 
 def _export(name: str):

@@ -36,8 +36,14 @@ def blocking_keys(
     prefix_tokens: int = 2,
     prefix_chars: int = 4,
     sorted_tokens: int = 3,
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """canon(doc_id, doc_text, media_refs) -> (doc_id, pass, block_key).
+
+    `payload_cols` optionally carries extra canon columns on every key row
+    (the fused block+score path ships scoring payload through the one block
+    shuffle instead of re-joining canon per pair side — see
+    scoring.fused_pair_scores).
 
     Pass A 'pfx': first `prefix_tokens` tokens, `prefix_chars` chars each —
           positional prefix key (sorted-neighborhood flavor on leading text).
@@ -64,6 +70,7 @@ def blocking_keys(
         F.lit("srt:"),
         F.array_join(F.slice(toks_sorted, 1, sorted_tokens), "_"),
     )
+    payload = list(payload_cols or [])
     text_keys = canon.select(
         "doc_id",
         F.explode(
@@ -72,11 +79,18 @@ def blocking_keys(
                 F.struct(F.lit("srt").alias("pass"), srt_key.alias("block_key")),
             )
         ).alias("k"),
-    ).select("doc_id", F.col("k.pass").alias("pass"), F.col("k.block_key").alias("block_key"))
+        *payload,
+    ).select(
+        "doc_id",
+        F.col("k.pass").alias("pass"),
+        F.col("k.block_key").alias("block_key"),
+        *payload,
+    )
     media_keys = canon.select(
         "doc_id",
         F.lit("med").alias("pass"),
         F.explode("media_refs").alias("block_key"),
+        *payload,
     )
     keys = text_keys.unionByName(media_keys)
     return keys.where(
@@ -166,18 +180,41 @@ def sorted_neighborhood_pairs(
     return pairs.distinct()
 
 
-def salt_keys(keys: DataFrame, max_block_size: int = DEFAULT_MAX_BLOCK_SIZE) -> DataFrame:
+def salt_keys(
+    keys: DataFrame,
+    max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
+    hot_broadcast_limit: int = 1_000_000,
+) -> DataFrame:
     """Census block sizes, split blocks over `max_block_size` into
     ceil(size/max_block_size) deterministic salted sub-blocks.
 
     Salt is pmod(xxhash64(doc_id), n_salts): content-independent, stable
     across runs (resumability), and uniform. Output adds (salt, n_salts,
     block_size) so downstream metrics can report hot-block handling.
+
+    The census itself (groupBy on the bare key columns, map-side combined)
+    is unavoidable, but only OVER-CAP blocks influence salting — and hot
+    blocks are by construction rare (at most total_keys/cap of them, in
+    practice a tiny skewed tail). So instead of shuffle-joining the full
+    keys frame against the full census, broadcast just the hot slice and
+    left-join map-side: cold keys (the overwhelming majority, carrying any
+    fused scoring payload) never shuffle here at all. If the hot slice is
+    unexpectedly huge (> hot_broadcast_limit rows — degenerate key choice),
+    fall back to the shuffle join rather than OOM the driver.
+
+    block_size is reported for hot blocks; cold blocks carry null (their
+    size never mattered to salting — recover it from the census if a metric
+    needs it).
     """
     census = keys.groupBy("pass", "block_key").agg(F.count("*").alias("block_size"))
-    keyed = keys.join(census, ["pass", "block_key"])
+    # pin the (tiny) hot slice so the count() and the join evaluate the
+    # census subtree once; released by the ContextCleaner on GC
+    hot = census.where(F.col("block_size") > max_block_size).localCheckpoint(eager=True)
+    if hot.count() <= hot_broadcast_limit:
+        hot = F.broadcast(hot)
+    keyed = keys.join(hot, ["pass", "block_key"], "left")
     n_salts = F.when(
-        F.col("block_size") > max_block_size,
+        F.col("block_size").isNotNull(),
         F.ceil(F.col("block_size") / F.lit(max_block_size)).cast("int"),
     ).otherwise(F.lit(1))
     return keyed.withColumn("n_salts", n_salts).withColumn(
@@ -220,3 +257,44 @@ def candidate_pairs(
     right = salted.select(*cols, F.col("doc_id").alias("doc_id_b"))
     pairs = left.join(right, cols).where(F.col("doc_id_a") < F.col("doc_id_b"))
     return pairs.select("doc_id_a", "doc_id_b").distinct()
+
+
+def candidate_pairs_with_payload(
+    salted: DataFrame, payload_cols: list[str], cache: bool = True
+) -> DataFrame:
+    """Fused variant of `candidate_pairs`: the block self-join ships the
+    scoring payload (`payload_cols`, attached to every key row by
+    blocking_keys(payload_cols=...)) along with the doc ids, and the
+    cross-pass dedup is a groupBy that keeps one payload copy per pair.
+
+    Output: (doc_id_a, doc_id_b, <p>_a, <p>_b ...) — ready for map-side
+    scoring with NO further join. Shuffle accounting vs the unfused path
+    (pairs.distinct() then pairs ⋈ canon ⋈ canon):
+
+      unfused: distinct on bare pairs + two shuffle joins, the second
+               carrying pairs × text bytes; canon shuffled twice.
+      fused:   the block shuffle carries keys × payload bytes (≈3 rows/doc)
+               and ONE groupBy carries pairs × 2-payload bytes; no canon
+               shuffles, two fewer stage barriers.
+
+    Payload values within a (doc_id_a, doc_id_b) group are identical by
+    construction (same doc), so `first()` is deterministic here.
+    """
+    cols = ["pass", "block_key", "salt"]
+    if cache:
+        salted = salted.localCheckpoint(eager=False)
+    a = salted.select(
+        *cols,
+        F.col("doc_id").alias("doc_id_a"),
+        *[F.col(p).alias(f"{p}_a") for p in payload_cols],
+    )
+    b = salted.select(
+        *cols,
+        F.col("doc_id").alias("doc_id_b"),
+        *[F.col(p).alias(f"{p}_b") for p in payload_cols],
+    )
+    raw = a.join(b, cols).where(F.col("doc_id_a") < F.col("doc_id_b"))
+    firsts = [
+        F.first(f"{p}_{s}").alias(f"{p}_{s}") for p in payload_cols for s in ("a", "b")
+    ]
+    return raw.groupBy("doc_id_a", "doc_id_b").agg(*firsts)

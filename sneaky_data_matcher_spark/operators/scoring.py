@@ -102,6 +102,51 @@ def score_pairs(
     )
 
 
+FUSED_PAYLOAD_COLS = ["pfx", "toks", "media_refs"]
+
+
+def scoring_payload(canon: DataFrame, prefix_len: int = DEFAULT_PREFIX_LEN) -> DataFrame:
+    """Attach the fused-scoring payload to canon: the scored text prefix and
+    the distinct token set (identical to what score_pairs derives per pair
+    side — computed here once per DOC, pre-shuffle, instead of once per pair
+    occurrence)."""
+    return canon.withColumn(
+        "pfx", F.substring(F.col("doc_text"), 1, prefix_len)
+    ).withColumn("toks", F.array_distinct(F.split(F.col("doc_text"), " ")))
+
+
+def score_pairs_fused(
+    deduped_pairs: DataFrame, weights: dict[str, float] | None = None
+) -> DataFrame:
+    """Map-side scorer over candidate_pairs_with_payload output
+    (doc_id_a, doc_id_b, pfx_a, pfx_b, toks_a, toks_b, media_refs_a,
+    media_refs_b). Bit-identical formula to score_pairs — same kernels on
+    the same prefix/token-set inputs — so fused and unfused pipelines yield
+    the same matches and clusters (asserted in tests)."""
+    w = weights or DEFAULT_WEIGHTS
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    un = F.size(F.array_union("toks_a", "toks_b"))
+    tok_jac = F.when(un == 0, F.lit(1.0)).otherwise(
+        inter.cast("double") / un.cast("double")
+    )
+    return deduped_pairs.select(
+        "doc_id_a",
+        "doc_id_b",
+        jaro_winkler(F.col("pfx_a"), F.col("pfx_b")).alias("jw"),
+        levenshtein_ratio(F.col("pfx_a"), F.col("pfx_b")).alias("lev_ratio"),
+        tok_jac.alias("tok_jaccard"),
+        media_agreement(F.col("media_refs_a"), F.col("media_refs_b")).alias(
+            "media_agree"
+        ),
+    ).withColumn(
+        "score",
+        w["jw"] * F.col("jw")
+        + w["lev"] * F.col("lev_ratio")
+        + w["tok"] * F.col("tok_jaccard")
+        + w["med"] * F.col("media_agree"),
+    )
+
+
 def matches(scored: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
     return scored.where(F.col("score") >= threshold).select(
         "doc_id_a", "doc_id_b", "score"

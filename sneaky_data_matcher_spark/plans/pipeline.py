@@ -35,6 +35,11 @@ class PipelineConfig:
     score_prefix_len: int = scoring.DEFAULT_PREFIX_LEN
     cc_max_iterations: int = 25
     salting_enabled: bool = True
+    # Fused block+score path: ship scoring payload through the block
+    # self-join and score map-side after one pair-dedup groupBy, instead of
+    # re-joining canon per pair side (see blocking.candidate_pairs_with_payload).
+    # Same scores, same clusters — fewer/lighter shuffles (measured, BENCH.md).
+    fused_scoring: bool = True
 
 
 def canonicalize_docs(docs: DataFrame) -> DataFrame:
@@ -68,18 +73,42 @@ def build_candidate_pairs(canon: DataFrame, cfg: PipelineConfig) -> DataFrame:
         prefix_chars=cfg.prefix_chars,
         sorted_tokens=cfg.sorted_tokens,
     )
-    if cfg.salting_enabled:
-        salted = blocking.salt_keys(keys, cfg.max_block_size)
-    else:
-        salted = keys.withColumn("salt", F.lit(0)).withColumn(
-            "n_salts", F.lit(1)
-        ).withColumn("block_size", F.lit(None).cast("long"))
-    return blocking.candidate_pairs(salted)
+    return blocking.candidate_pairs(_salted_keys(keys, cfg))
 
 
 def score_candidates(pairs: DataFrame, canon: DataFrame, cfg: PipelineConfig) -> DataFrame:
     with_text = scoring.attach_texts(pairs, canon)
     return scoring.score_pairs(with_text, cfg.weights, cfg.score_prefix_len)
+
+
+def _salted_keys(keys: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    if cfg.salting_enabled:
+        return blocking.salt_keys(keys, cfg.max_block_size)
+    return (
+        keys.withColumn("salt", F.lit(0))
+        .withColumn("n_salts", F.lit(1))
+        .withColumn("block_size", F.lit(None).cast("long"))
+    )
+
+
+def fused_block_and_score(canon: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """canon -> scored candidate pairs in one fused flow: payload-carrying
+    blocking keys -> salted block self-join -> pair-dedup groupBy -> map-side
+    scoring. Identical scores to build_candidate_pairs + score_candidates
+    (asserted in tests), minus two canon shuffles and two stage barriers."""
+    pay = scoring.scoring_payload(canon, cfg.score_prefix_len)
+    keys = blocking.blocking_keys(
+        pay,
+        prefix_tokens=cfg.prefix_tokens,
+        prefix_chars=cfg.prefix_chars,
+        sorted_tokens=cfg.sorted_tokens,
+        payload_cols=scoring.FUSED_PAYLOAD_COLS,
+    )
+    salted = _salted_keys(keys, cfg)
+    deduped = blocking.candidate_pairs_with_payload(
+        salted, scoring.FUSED_PAYLOAD_COLS
+    )
+    return scoring.score_pairs_fused(deduped, cfg.weights)
 
 
 def assign_clusters(scored: DataFrame, canon: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -100,7 +129,11 @@ def run(docs: DataFrame, cfg: PipelineConfig | None = None) -> dict[str, DataFra
     """Full logical pipeline; returns every stage for inspection/persist."""
     cfg = cfg or PipelineConfig()
     canon = canonicalize_docs(docs)
-    pairs = build_candidate_pairs(canon, cfg)
-    scored = score_candidates(pairs, canon, cfg)
+    if cfg.fused_scoring:
+        scored = fused_block_and_score(canon, cfg)
+        pairs = scored.select("doc_id_a", "doc_id_b")
+    else:
+        pairs = build_candidate_pairs(canon, cfg)
+        scored = score_candidates(pairs, canon, cfg)
     clusters = assign_clusters(scored, canon, cfg)
     return {"canon": canon, "pairs": pairs, "scored": scored, "clusters": clusters}

@@ -69,6 +69,161 @@ def windowed_event_counts(
     )
 
 
+# ---------------------------------------------------------------------------
+# Stateful streaming candidate generation (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+# Output: the fused-scoring shape — pair ids + both texts, no further join
+# needed downstream (mirrors blocking.candidate_pairs_with_payload).
+PAIR_OUT_SCHEMA = "doc_id_a string, doc_id_b string, text_a string, text_b string"
+_PAIR_STATE_SCHEMA = "doc_ids array<string>, texts array<string>"
+
+
+def _gen_pairs_fn(key, pdf_iter, state):  # pragma: no cover (runs on executors)
+    """Per-(pass, block_key) GroupState = docs seen so far in the block.
+    Each arriving doc pairs against exactly its predecessors, so over the
+    stream's lifetime every within-block unordered pair is emitted exactly
+    once per block (cross-pass duplicates are deduped downstream, same as
+    the batch path). Vectorized: numpy cross-product/triu index math, no
+    per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    if state.exists:
+        prev_ids, prev_texts = state.get
+        seen_ids, seen_texts = list(prev_ids), list(prev_texts)
+    else:
+        seen_ids, seen_texts = [], []
+    seen_set = set(seen_ids)
+    outs = []
+    for pdf in pdf_iter:
+        fresh = pdf.loc[~pdf["doc_id"].isin(seen_set) & ~pdf["doc_id"].duplicated()]
+        nid = fresh["doc_id"].to_numpy(dtype=object)
+        ntx = fresh["doc_text"].to_numpy(dtype=object)
+        if len(nid) == 0:
+            continue
+        sid = np.asarray(seen_ids, dtype=object)
+        stx = np.asarray(seen_texts, dtype=object)
+        # new × seen cross product, then new × new upper triangle
+        iu, ju = np.triu_indices(len(nid), 1)
+        a = np.concatenate([np.repeat(nid, len(sid)), nid[iu]])
+        ta = np.concatenate([np.repeat(ntx, len(sid)), ntx[iu]])
+        b = np.concatenate([np.tile(sid, len(nid)), nid[ju]])
+        tb = np.concatenate([np.tile(stx, len(nid)), ntx[ju]])
+        if len(a):
+            lo = a < b
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_id_a": np.where(lo, a, b),
+                        "doc_id_b": np.where(lo, b, a),
+                        "text_a": np.where(lo, ta, tb),
+                        "text_b": np.where(lo, tb, ta),
+                    }
+                )
+            )
+        seen_ids.extend(nid.tolist())
+        seen_texts.extend(ntx.tolist())
+        seen_set.update(nid.tolist())
+    state.update((seen_ids, seen_texts))
+    return iter(outs)
+
+
+def streaming_candidate_pairs(keyed_stream: DataFrame) -> DataFrame:
+    """keyed_stream(doc_id, doc_text, pass, block_key) — blocking keys
+    derived on a canonicalized DOCUMENT STREAM (same blocking_keys
+    expressions as batch, with payload_cols=["doc_text"]) -> incremental
+    candidate pairs, emitted as docs arrive.
+
+    This is the streaming generalization of the batch block self-join: a
+    per-block GroupState accumulates members, so candidate generation is
+    incremental — no rescan of the corpus per micro-batch. At scale, salt
+    hot blocks upstream (same salt_keys math on the stream) to bound state
+    and per-trigger pair fan-out; state TTL/eviction would bound unbounded
+    block growth (not needed for the bounded test corpora)."""
+    return keyed_stream.groupBy("pass", "block_key").applyInPandasWithState(
+        _gen_pairs_fn,
+        PAIR_OUT_SCHEMA,
+        _PAIR_STATE_SCHEMA,
+        "append",
+        "NoTimeout",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected components (foreachBatch contraction)
+# ---------------------------------------------------------------------------
+
+
+def incremental_cc_update(io, edges: DataFrame, table: str = "clusters") -> DataFrame:
+    """Fold one micro-batch of match edges into a persistent cluster
+    assignment table: contract each edge endpoint to its current cluster
+    rep (left join against the table), run batch large-star/small-star CC
+    on the contracted rep graph (tiny: touched clusters + new docs only),
+    then remap the table through old_rep -> new_rep. Equivalent to batch CC
+    over the union of all edges ever seen (test-asserted); per-batch cost
+    scales with the batch and the clusters it touches, not the corpus.
+
+    The streaming generalization of the reference's resumable match
+    progress (SearchRepository.java:147-167): state lives in a committed
+    table, each micro-batch is one atomic advance."""
+    from ..operators.clustering import connected_components
+
+    e = edges.select(F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v"))
+    cur = io.load(table) if io.exists(table) else None
+    if cur is not None:
+        ra = cur.select(F.col("doc_id").alias("u"), F.col("cluster_id").alias("ru"))
+        rb = cur.select(F.col("doc_id").alias("v"), F.col("cluster_id").alias("rv"))
+        e = (
+            e.join(ra, "u", "left")
+            .join(rb, "v", "left")
+            .select(
+                F.coalesce("ru", F.col("u")).alias("doc_id_a"),
+                F.coalesce("rv", F.col("v")).alias("doc_id_b"),
+            )
+        )
+    else:
+        e = e.select(F.col("u").alias("doc_id_a"), F.col("v").alias("doc_id_b"))
+    comp = connected_components(e.where(F.col("doc_id_a") != F.col("doc_id_b")))
+    if cur is None:
+        new_assign = comp
+    else:
+        remap = comp.select(
+            F.col("doc_id").alias("old_rep"), F.col("cluster_id").alias("new_rep")
+        )
+        updated = (
+            cur.join(remap, cur["cluster_id"] == remap["old_rep"], "left")
+            .select(
+                "doc_id", F.coalesce("new_rep", "cluster_id").alias("cluster_id")
+            )
+        )
+        fresh = comp.join(cur.select("doc_id"), "doc_id", "left_anti")
+        new_assign = updated.unionByName(fresh.select("doc_id", "cluster_id"))
+    # materialize BEFORE overwriting the table we just read (parquet has no
+    # snapshot isolation; Iceberg commits make this pin unnecessary in prod)
+    new_assign = new_assign.localCheckpoint(eager=True)
+    io.save(new_assign, table)
+    return new_assign
+
+
+def incremental_cluster_stream(
+    matches_stream: DataFrame,
+    io,
+    table: str = "clusters",
+    checkpoint_dir: str | None = None,
+):
+    """writeStream.foreachBatch wrapper over incremental_cc_update; returns
+    the started StreamingQuery (caller stops it / processAllAvailable)."""
+
+    def fb(batch_df, _batch_id):
+        incremental_cc_update(io, batch_df, table)
+
+    w = matches_stream.writeStream.foreachBatch(fb).outputMode("update")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
 def run_stream_to_memory(
     spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -56,3 +56,118 @@ def test_stream_probe_match_finds_all(spark):
         assert True in by_self
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_candidate_pairs_match_batch(spark):
+    """applyInPandasWithState incremental pair generation over a 2-batch
+    document stream must emit exactly the batch block-self-join pair set
+    (after cross-pass dedup, which both paths do downstream)."""
+    from sneaky_data_matcher_spark.operators import blocking
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    spans = derive_spans(docs)
+    canon = canonicalize_docs(spans).localCheckpoint(eager=True)
+
+    # batch reference: unsalted candidate pairs
+    keys = blocking.blocking_keys(canon)
+    salted = (
+        keys.withColumn("salt", F.lit(0))
+        .withColumn("n_salts", F.lit(1))
+        .withColumn("block_size", F.lit(None).cast("long"))
+    )
+    want = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in blocking.candidate_pairs(salted, cache=False).collect()
+    }
+
+    d = tempfile.mkdtemp()
+    try:
+        # two files + maxFilesPerTrigger=1 -> two micro-batches, so pair
+        # emission genuinely spans state updates
+        spans.limit(30).write.mode("overwrite").parquet(f"{d}/b0")
+        import pyspark.sql.functions as SF
+        spans.join(spans.limit(30).select("doc_id"), "doc_id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(f"{d}/b1")
+        schema = spark.read.parquet(f"{d}/b0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/*")
+        )
+        keyed = blocking.blocking_keys(
+            canonicalize_docs(stream), payload_cols=["doc_text"]
+        )
+        pairs = S.streaming_candidate_pairs(keyed)
+        got_df = S.run_stream_to_memory(spark, pairs, "stream_pairs_test")
+        got = {(r["doc_id_a"], r["doc_id_b"]) for r in got_df.collect()}
+        assert got == want and len(want) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_incremental_cc_matches_batch(spark):
+    """Folding edges in two micro-batch-sized increments through
+    incremental_cc_update must equal batch connected components over the
+    union of all edges."""
+    from sneaky_data_matcher_spark.operators.clustering import connected_components
+    from sneaky_data_matcher_spark.sources.io import TableIO
+
+    edges = [
+        ("a", "b"), ("c", "d"), ("e", "f"),           # batch 1: three clusters
+        ("b", "c"), ("x", "y"), ("f", "g"),           # batch 2: merge + new
+    ]
+    df = spark.createDataFrame(edges, "doc_id_a string, doc_id_b string")
+    base = tempfile.mkdtemp()
+    try:
+        io = TableIO(spark, base)
+        S.incremental_cc_update(io, df.limit(3))
+        S.incremental_cc_update(io, df.subtract(df.limit(3)))
+        got = {
+            (r["doc_id"], r["cluster_id"]) for r in io.load("clusters").collect()
+        }
+        want = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(df).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_incremental_cluster_stream_e2e(spark):
+    """Full streaming path: edges arrive as a 2-file stream, foreachBatch
+    maintains the clusters table; final table equals batch CC."""
+    from sneaky_data_matcher_spark.operators.clustering import connected_components
+    from sneaky_data_matcher_spark.sources.io import TableIO
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("p", "q"), ("q", "r"), ("c", "p")],
+        "doc_id_a string, doc_id_b string",
+    )
+    d = tempfile.mkdtemp()
+    try:
+        df.limit(2).write.mode("overwrite").parquet(f"{d}/edges/b0")
+        df.subtract(df.limit(2)).write.mode("overwrite").parquet(f"{d}/edges/b1")
+        schema = spark.read.parquet(f"{d}/edges/b0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/edges/*")
+        )
+        io = TableIO(spark, f"{d}/state")
+        q = S.incremental_cluster_stream(
+            stream, io, checkpoint_dir=f"{d}/ckpt"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {(r["doc_id"], r["cluster_id"]) for r in io.load("clusters").collect()}
+        want = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(df).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
