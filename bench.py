@@ -37,7 +37,12 @@ def _run_pipeline(spark, sf_dir: str, threshold: float = 0.85) -> dict:
     from sneaky_data_matcher_spark.plans import pipeline as P
 
     timings: dict[str, float] = {}
-    cfg = P.PipelineConfig(threshold=threshold)
+    # SPARK_GRAFT_FUSED=1 measures the optional fused block+score path for
+    # A/B comparison; default is the (faster, measured) join path
+    cfg = P.PipelineConfig(
+        threshold=threshold,
+        fused_scoring=os.environ.get("SPARK_GRAFT_FUSED", "0") == "1",
+    )
 
     # Warm the Python/Arrow worker pool (one tiny pandas-UDF job) so the
     # measured rates reflect steady state, not interpreter startup — the

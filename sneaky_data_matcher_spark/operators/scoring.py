@@ -10,13 +10,20 @@ similarity over candidate pairs:
         + w_med * exact media_ref agreement           (native array ops)
 
 Scale notes:
-  - pairs ⋈ docs twice (sides a and b) — two shuffle hash joins on doc_id;
-    at warehouse scale bucket the canonical docs table by doc_id to make
-    these co-located. The joined frame carries only (ids, texts, media) —
-    spans never travel through scoring.
+  - pairs ⋈ payload twice (sides a and b) — two shuffle hash joins on
+    doc_id; at warehouse scale bucket the canonical docs table by doc_id to
+    make these co-located. The joined frame carries only (ids, prefix,
+    token set, media) — spans and full text never travel through scoring.
   - the one Python-adjacent kernel (Jaro-Winkler) runs per Arrow batch
     inside DuckDB's vectorized C++ implementation; everything else is
     whole-stage-codegen'd.
+  - a fused alternative (ship payload through the block self-join, score
+    map-side — see pipeline.fused_block_and_score) was measured SLOWER at
+    150k docs/1M pairs (best 55s vs 41s at local[8]): the payload rides
+    2.3x more shuffle bytes (both self-join sides + the pair-dedup groupBy)
+    than this path's single distinct-pair join, and the multi-pass dup
+    factor (~1.14) is too small to amortize it. Kept as an option; the
+    equivalence test runs both.
 """
 
 from __future__ import annotations
@@ -51,65 +58,40 @@ def media_agreement(a: Column, b: Column) -> Column:
     )
 
 
-def attach_texts(pairs: DataFrame, canon: DataFrame) -> DataFrame:
-    """pairs(doc_id_a, doc_id_b) ⋈ canon x2, carrying only (doc_text,
-    media_refs). Token sets are deliberately NOT materialized here: the two
-    pair joins are shuffle-bound, and shipping a token array alongside the
-    text it derives from doubles the shuffled bytes; re-splitting after the
-    join is embarrassingly parallel CPU. (doc_text is NRM'd, so the split
-    is a plain single-space split.)"""
-    a = canon.select(
+def attach_payload(
+    pairs: DataFrame, canon: DataFrame, prefix_len: int = DEFAULT_PREFIX_LEN
+) -> DataFrame:
+    """pairs(doc_id_a, doc_id_b) ⋈ scoring payload x2. The payload is the
+    TRIMMED scoring inputs — the compared text prefix, the distinct token
+    set, media_refs — not the full doc_text: on KB-size real-world
+    documents that caps the per-pair shuffled bytes at prefix+tokens
+    instead of the whole text (on short test docs it's byte-neutral).
+    Payload is derived per DOC before the join, so the expensive split/
+    distinct runs n_docs times, never n_pairs times."""
+    pay = scoring_payload(canon, prefix_len)
+    a = pay.select(
         F.col("doc_id").alias("doc_id_a"),
-        F.col("doc_text").alias("text_a"),
-        F.col("media_refs").alias("media_a"),
+        F.col("pfx").alias("pfx_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("media_refs").alias("media_refs_a"),
     )
-    b = canon.select(
+    b = pay.select(
         F.col("doc_id").alias("doc_id_b"),
-        F.col("doc_text").alias("text_b"),
-        F.col("media_refs").alias("media_b"),
+        F.col("pfx").alias("pfx_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("media_refs").alias("media_refs_b"),
     )
     return pairs.join(a, "doc_id_a").join(b, "doc_id_b")
-
-
-def score_pairs(
-    pairs_with_text: DataFrame,
-    weights: dict[str, float] | None = None,
-    prefix_len: int = DEFAULT_PREFIX_LEN,
-) -> DataFrame:
-    w = weights or DEFAULT_WEIGHTS
-    pa = F.substring(F.col("text_a"), 1, prefix_len)
-    pb = F.substring(F.col("text_b"), 1, prefix_len)
-    toks_a = F.array_distinct(F.split(F.col("text_a"), " "))
-    toks_b = F.array_distinct(F.split(F.col("text_b"), " "))
-    inter = F.size(F.array_intersect(toks_a, toks_b))
-    un = F.size(F.array_union(toks_a, toks_b))
-    tok_jac = F.when(un == 0, F.lit(1.0)).otherwise(
-        inter.cast("double") / un.cast("double")
-    )
-    return pairs_with_text.select(
-        "doc_id_a",
-        "doc_id_b",
-        jaro_winkler(pa, pb).alias("jw"),
-        levenshtein_ratio(pa, pb).alias("lev_ratio"),
-        tok_jac.alias("tok_jaccard"),
-        media_agreement(F.col("media_a"), F.col("media_b")).alias("media_agree"),
-    ).withColumn(
-        "score",
-        w["jw"] * F.col("jw")
-        + w["lev"] * F.col("lev_ratio")
-        + w["tok"] * F.col("tok_jaccard")
-        + w["med"] * F.col("media_agree"),
-    )
 
 
 FUSED_PAYLOAD_COLS = ["pfx", "toks", "media_refs"]
 
 
 def scoring_payload(canon: DataFrame, prefix_len: int = DEFAULT_PREFIX_LEN) -> DataFrame:
-    """Attach the fused-scoring payload to canon: the scored text prefix and
-    the distinct token set (identical to what score_pairs derives per pair
-    side — computed here once per DOC, pre-shuffle, instead of once per pair
-    occurrence)."""
+    """Attach the scoring payload to canon: the compared text prefix and
+    the distinct token set, computed once per DOC pre-shuffle (never per
+    pair occurrence). Shared by the join path (attach_payload) and the
+    fused path (blocking_keys payload_cols)."""
     return canon.withColumn(
         "pfx", F.substring(F.col("doc_text"), 1, prefix_len)
     ).withColumn("toks", F.array_distinct(F.split(F.col("doc_text"), " ")))
@@ -118,11 +100,12 @@ def scoring_payload(canon: DataFrame, prefix_len: int = DEFAULT_PREFIX_LEN) -> D
 def score_pairs_fused(
     deduped_pairs: DataFrame, weights: dict[str, float] | None = None
 ) -> DataFrame:
-    """Map-side scorer over candidate_pairs_with_payload output
-    (doc_id_a, doc_id_b, pfx_a, pfx_b, toks_a, toks_b, media_refs_a,
-    media_refs_b). Bit-identical formula to score_pairs — same kernels on
-    the same prefix/token-set inputs — so fused and unfused pipelines yield
-    the same matches and clusters (asserted in tests)."""
+    """Map-side scorer over a payload-carrying pair frame (doc_id_a,
+    doc_id_b, pfx_a, pfx_b, toks_a, toks_b, media_refs_a, media_refs_b) —
+    the output shape of BOTH attach_payload (join path) and
+    candidate_pairs_with_payload (fused path), so the two physical plans
+    share one scoring formula and yield identical matches and clusters
+    (asserted in tests)."""
     w = weights or DEFAULT_WEIGHTS
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     un = F.size(F.array_union("toks_a", "toks_b"))

@@ -35,11 +35,15 @@ class PipelineConfig:
     score_prefix_len: int = scoring.DEFAULT_PREFIX_LEN
     cc_max_iterations: int = 25
     salting_enabled: bool = True
-    # Fused block+score path: ship scoring payload through the block
-    # self-join and score map-side after one pair-dedup groupBy, instead of
-    # re-joining canon per pair side (see blocking.candidate_pairs_with_payload).
-    # Same scores, same clusters — fewer/lighter shuffles (measured, BENCH.md).
-    fused_scoring: bool = True
+    # Optional fused block+score path: ship scoring payload through the
+    # block self-join and score map-side after one pair-dedup groupBy,
+    # instead of joining the payload onto deduped pairs. Produces identical
+    # scores/clusters (asserted) but was MEASURED SLOWER (BENCH.md: best
+    # 55s vs 41s at 150k docs / 1M pairs, local[8]) — the payload crosses
+    # 2.3x more shuffle bytes than the join path. Default off; kept because
+    # the trade flips if the pair:doc ratio grows much faster than payload
+    # size (e.g. aggressive multi-pass blocking over tiny keys).
+    fused_scoring: bool = False
 
 
 def canonicalize_docs(docs: DataFrame) -> DataFrame:
@@ -77,8 +81,8 @@ def build_candidate_pairs(canon: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def score_candidates(pairs: DataFrame, canon: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    with_text = scoring.attach_texts(pairs, canon)
-    return scoring.score_pairs(with_text, cfg.weights, cfg.score_prefix_len)
+    with_payload = scoring.attach_payload(pairs, canon, cfg.score_prefix_len)
+    return scoring.score_pairs_fused(with_payload, cfg.weights)
 
 
 def _salted_keys(keys: DataFrame, cfg: PipelineConfig) -> DataFrame:

@@ -53,8 +53,7 @@ def test_lineage_metrics_recorded(spark, synth_corpus, base_dir):
     out = run_pipeline(spark, docs, base_dir, "run_m", P.PipelineConfig())
     run = out["run"]
     jobs = {r["stage"] for r in run.jobs().collect()}
-    # fused default: blocking+scoring commit as one 'scored' stage
-    assert jobs == {"canon", "scored", "clusters"}
+    assert jobs == {"canon", "pairs", "scored", "clusters"}
     m = run.metrics()
     # per-partition rows sum to stage totals
     per_stage = {
