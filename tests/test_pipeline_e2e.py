@@ -171,7 +171,7 @@ def test_salting_bounds_block_size(synth_corpus):
 def test_fused_equals_unfused(synth_corpus):
     """The fused block+score path (one payload-carrying shuffle, map-side
     scoring) must produce the same scored pair set and the same clusters as
-    the unfused pairs -> attach_texts -> score path — same kernels on the
+    the join path (pairs -> attach_payload -> score) — same kernels on the
     same inputs, different physical plan."""
     docs, _ = synth_corpus
     res_f = P.run(docs, P.PipelineConfig(fused_scoring=True))
