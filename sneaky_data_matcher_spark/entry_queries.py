@@ -425,9 +425,9 @@ def token_stats(spark, sf_dir):
 # DuckDB twins of blocking_keys' pfx/srt passes (operators/blocking.py).
 _ER_KEYS_CTE = (
     flatdocs.CANON_CTE
-    + ", toksed AS (SELECT doc_id, string_split(doc_text, ' ') AS toks FROM canon"
+    + ", toksed AS MATERIALIZED (SELECT doc_id, string_split(doc_text, ' ') AS toks FROM canon"
     "   WHERE doc_text <> ''), "
-    "er_keys AS ("
+    "er_keys AS MATERIALIZED ("
     "SELECT doc_id, 'pfx' AS pass, "
     "'pfx:' || array_to_string(list_transform(toks[1:2], t -> t[1:4]), '_') AS block_key"
     " FROM toksed "
@@ -437,7 +437,7 @@ _ER_KEYS_CTE = (
 
 _ER_PAIRS_CTE = (
     _ER_KEYS_CTE
-    + ", er_pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
+    + ", er_pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
     "FROM er_keys a JOIN er_keys b ON a.pass = b.pass AND a.block_key = b.block_key "
     "WHERE a.doc_id < b.doc_id)"
 )
@@ -446,10 +446,10 @@ _ER_PAIRS_CTE = (
 # all computed identically; media term excluded — flat docs carry no media)
 _ER_SCORED_CTE = (
     _ER_PAIRS_CTE
-    + ", er_texts AS (SELECT p.doc_id_a, p.doc_id_b, ca.doc_text AS ta, cb.doc_text AS tb "
+    + ", er_texts AS MATERIALIZED (SELECT p.doc_id_a, p.doc_id_b, ca.doc_text AS ta, cb.doc_text AS tb "
     "  FROM er_pairs p JOIN canon ca ON p.doc_id_a = ca.doc_id "
     "  JOIN canon cb ON p.doc_id_b = cb.doc_id), "
-    "er_scored AS (SELECT doc_id_a, doc_id_b, "
+    "er_scored AS MATERIALIZED (SELECT doc_id_a, doc_id_b, "
     "  levenshtein(ta, tb) AS lev, "
     "  round(jaro_winkler_similarity(ta, tb), 6) AS jw, "
     "  CASE WHEN greatest(length(ta), length(tb)) = 0 THEN 1.0 "
@@ -563,8 +563,8 @@ def er_matches(spark, sf_dir):
 @_q(
     "er_clusters",
     f"WITH RECURSIVE {_ER_SCORED_CTE}, "
-    f"edges AS (SELECT doc_id_a AS u, doc_id_b AS v FROM er_scored WHERE {_ER_MATCH_COND}), "
-    "sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges), "
+    f"edges AS MATERIALIZED (SELECT doc_id_a AS u, doc_id_b AS v FROM er_scored WHERE {_ER_MATCH_COND}), "
+    "sym AS MATERIALIZED (SELECT u, v FROM edges UNION SELECT v, u FROM edges), "
     "reach(a, b) AS ("
     "  SELECT doc_id, doc_id FROM canon WHERE doc_text <> '' "
     "  UNION SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u) "
@@ -594,7 +594,7 @@ def er_clusters(spark, sf_dir):
 @_q(
     "ngram_dup_pairs",
     "WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents), "
-    "sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+    "sh AS MATERIALIZED (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
     "  ELSE list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) END AS s FROM t) "
     "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
     "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) AS jaccard "
@@ -937,8 +937,8 @@ def stream_candidate_pairs_q(spark, sf_dir):
 @_q(
     "stream_incremental_clusters",
     f"WITH RECURSIVE {_ER_SCORED_CTE}, "
-    f"edges AS (SELECT doc_id_a AS u, doc_id_b AS v FROM er_scored WHERE {_ER_MATCH_COND}), "
-    "sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges), "
+    f"edges AS MATERIALIZED (SELECT doc_id_a AS u, doc_id_b AS v FROM er_scored WHERE {_ER_MATCH_COND}), "
+    "sym AS MATERIALIZED (SELECT u, v FROM edges UNION SELECT v, u FROM edges), "
     "reach(a, b) AS ("
     "  SELECT u, u FROM sym "
     "  UNION SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u) "
@@ -969,6 +969,69 @@ def stream_incremental_clusters_q(spark, sf_dir):
     finally:
         q.stop()
     return io.load("clusters")
+
+
+# Full streaming ER topology: documents arrive as a 2-batch stream,
+# canonicalize -> stateful pair gen -> scoring -> incremental CC. Weights/
+# threshold/prefix are set so the score formula is exactly the er_* CTE's
+# (full-text jw/lev, no media term), which makes the SAME recursive-CTE
+# closure the oracle. doc_ids are zero-padded in-stream so the string
+# min() the state path uses agrees with the oracle's numeric min.
+@_q(
+    "stream_er_clusters",
+    f"WITH RECURSIVE {_ER_SCORED_CTE}, "
+    f"edges AS MATERIALIZED (SELECT doc_id_a AS u, doc_id_b AS v FROM er_scored WHERE {_ER_MATCH_COND}), "
+    "sym AS MATERIALIZED (SELECT u, v FROM edges UNION SELECT v, u FROM edges), "
+    "reach(a, b) AS ("
+    "  SELECT u, u FROM sym "
+    "  UNION SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u) "
+    "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a",
+)
+def stream_er_clusters_q(spark, sf_dir):
+    import tempfile
+
+    from .plans.pipeline import PipelineConfig
+    from .sources.io import TableIO
+    from .streaming.incremental import streaming_er_topology
+
+    docs = _docs(spark, sf_dir)
+    spans = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    d = tempfile.mkdtemp(prefix="smsp_er_topo_")
+    half = F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0
+    spans.where(half).write.mode("overwrite").parquet(f"{d}/in/b0")
+    spans.where(~half).write.mode("overwrite").parquet(f"{d}/in/b1")
+    schema = spark.read.parquet(f"{d}/in/b0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/in/*")
+    )
+    cfg = PipelineConfig(
+        threshold=0.8,
+        weights={"jw": 0.4, "lev": 0.2, "tok": 0.4, "med": 0.0},
+        score_prefix_len=1_000_000,  # er formula compares FULL texts
+        salting_enabled=False,
+    )
+    io = TableIO(spark, f"{d}/state")
+    q = streaming_er_topology(stream, io, cfg, checkpoint_dir=f"{d}/ckpt")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return io.load("clusters").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
 
 
 def _export(name: str):

@@ -49,14 +49,14 @@ def keys_frame(docs: DataFrame) -> DataFrame:
 # --- DuckDB twins ---------------------------------------------------------
 
 CANON_CTE = (
-    "canon AS (SELECT doc_id, "
+    "canon AS MATERIALIZED (SELECT doc_id, "
     + nrm_sql("lower(text)")
     + " AS doc_text, lang, source FROM documents)"
 )
 
 KEYS_CTE = (
     CANON_CTE
-    + ", keys AS ("
+    + ", keys AS MATERIALIZED ("
     "SELECT doc_id, 'text' AS key_kind, doc_text AS value FROM canon WHERE doc_text <> ''"
     " UNION ALL SELECT doc_id, 'tok0', string_split(doc_text, ' ')[1] FROM canon WHERE doc_text <> ''"
     " UNION ALL SELECT doc_id, 'lang', lang FROM canon"

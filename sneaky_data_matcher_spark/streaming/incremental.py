@@ -224,6 +224,70 @@ def incremental_cluster_stream(
     return w.start()
 
 
+def streaming_er_topology(
+    doc_stream: DataFrame,
+    io,
+    cfg=None,
+    checkpoint_dir: str | None = None,
+    table: str = "clusters",
+):
+    """End-to-end streaming entity resolution over an arriving spans-table
+    stream: canonicalize -> multi-pass blocking keys -> stateful incremental
+    candidate pairs (per-block GroupState) -> map-side scoring (same
+    kernels/weights as batch) -> threshold -> foreachBatch incremental
+    connected components into the committed `table`. Returns the started
+    StreamingQuery.
+
+    The scoring payload (doc_text + media_refs) rides the block state as
+    one JSON string column so the generic pair-state schema stays flat;
+    it is decoded per pair side after emission. Cross-pass duplicate pairs
+    are NOT deduped before clustering — duplicate edges are a no-op to
+    connected components, so the dedup shuffle is simply skipped.
+
+    Equivalent to the batch pipeline without salting (asserted in tests):
+    the final clusters table equals batch non-singleton clusters over the
+    same corpus. At scale, apply salt_keys math on the keyed stream to
+    bound per-block state, accepting the same recall trade salting makes
+    in batch."""
+    from ..operators.blocking import blocking_keys
+    from ..operators.scoring import score_pairs_fused
+    from ..plans.pipeline import PipelineConfig, canonicalize_docs
+
+    cfg = cfg or PipelineConfig()
+    canon = canonicalize_docs(doc_stream)
+    payload = F.to_json(F.struct("doc_text", "media_refs"))
+    keyed = blocking_keys(
+        canon.withColumn("payload", payload),
+        prefix_tokens=cfg.prefix_tokens,
+        prefix_chars=cfg.prefix_chars,
+        sorted_tokens=cfg.sorted_tokens,
+        payload_cols=["payload"],
+    ).select(
+        "doc_id", "pass", "block_key", F.col("payload").alias("doc_text")
+    )
+    pairs = streaming_candidate_pairs(keyed)
+    pschema = "doc_text string, media_refs array<string>"
+    pa = F.from_json("text_a", pschema)
+    pb = F.from_json("text_b", pschema)
+    with_payload = pairs.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.substring(pa["doc_text"], 1, cfg.score_prefix_len).alias("pfx_a"),
+        F.substring(pb["doc_text"], 1, cfg.score_prefix_len).alias("pfx_b"),
+        F.array_distinct(F.split(pa["doc_text"], " ")).alias("toks_a"),
+        F.array_distinct(F.split(pb["doc_text"], " ")).alias("toks_b"),
+        pa["media_refs"].alias("media_refs_a"),
+        pb["media_refs"].alias("media_refs_b"),
+    )
+    scored = score_pairs_fused(with_payload, cfg.weights)
+    matches = scored.where(F.col("score") >= cfg.threshold).select(
+        "doc_id_a", "doc_id_b"
+    )
+    return incremental_cluster_stream(
+        matches, io, table=table, checkpoint_dir=checkpoint_dir
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:
