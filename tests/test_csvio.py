@@ -28,7 +28,7 @@ def test_sniff_comma_header(spark, tmp_path):
         "name,email,phone\nalice,a@x.com,12345\nbob,b@y.org,99887\n",
     )
     fmt = csvio.sniff_csv_format(spark, p)
-    assert fmt == {"sep": ",", "header": True}
+    assert fmt == {"sep": ",", "header": True, "escape": '"'}
     df = csvio.read_csv_auto(spark, p)
     assert df.columns == ["name", "email", "phone"]
     assert df.count() == 2
@@ -107,3 +107,49 @@ def test_export_csv_sorted_header_json_cells(spark, tmp_path):
     assert by_id["d2"]["mail"] == ""
 
 
+
+
+def test_sniff_backslash_escape_mysql_style(spark, tmp_path):
+    """mysql/informix-style backslash escaping (CsvUtil.java variants
+    MYSQL/INFORMIX_UNLOAD): \\" inside quoted cells must parse to a bare
+    quote, identically to what the reference's matching CSVFormat yields."""
+    p = _write(
+        str(tmp_path / "e.csv"),
+        'name,notes\nalice,"say \\"hi\\", ok"\nbob,"back\\\\slash"\n',
+    )
+    fmt = csvio.sniff_csv_format(spark, p)
+    assert fmt["escape"] == "\\" and fmt["sep"] == "," and fmt["header"]
+    df = csvio.read_csv_auto(spark, p)
+    rows = {r["name"]: r["notes"] for r in df.collect()}
+    assert rows == {"alice": 'say "hi", ok', "bob": "back\\slash"}
+
+
+def test_sniff_rfc_doubled_quote_still_wins_without_backslashes(spark, tmp_path):
+    """Escape-free files must keep the RFC dialect (no misdetection), and
+    RFC beats backslash on genuinely ambiguous ties (the reference keeps
+    its FIRST parsing variant, which is the doubled-quote DEFAULT)."""
+    p = _write(
+        str(tmp_path / "f.csv"),
+        'name,notes\nalice,"hello, world"\nbob,"say ""hi"""\n',
+    )
+    fmt = csvio.sniff_csv_format(spark, p)
+    assert fmt["escape"] == '"'
+
+
+def test_escape_roundtrip_property(spark, tmp_path):
+    """Round-trip: cells with quotes/commas/backslashes exported by
+    export_csv (RFC doubled-quote) re-ingest byte-identically via the
+    sniffing reader."""
+    import pyspark.sql.functions as F
+
+    data = [
+        ("a", 'quote " mid'),
+        ("b", "comma, mid"),
+        ("c", "back\\slash"),
+        ("d", 'both \\" forms'),
+    ]
+    wide = spark.createDataFrame(data, "doc_id string, v string")
+    out = str(tmp_path / "rt")
+    csvio.export_csv(wide, out)
+    back = csvio.read_csv_auto(spark, out + "/*.csv")
+    assert {tuple(r) for r in back.collect()} == set(data)

@@ -215,3 +215,114 @@ def test_streaming_er_topology_matches_batch(spark):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# State bounding (r2): retention cap + TTL eviction + stream salting
+# ---------------------------------------------------------------------------
+
+
+class _FakeState:
+    """Minimal GroupState double for driving _make_gen_pairs_fn directly."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def _drive(fn, state, ids):
+    import pandas as pd
+
+    out = list(
+        fn(
+            ("p", "blk"),
+            iter([pd.DataFrame({"doc_id": ids, "doc_text": [f"t {i}" for i in ids]})]),
+            state,
+        )
+    )
+    return sum(len(o) for o in out)
+
+
+def test_gen_pairs_state_cap_bounds_payload():
+    """Hot block: per-block RETAINED payload state must never exceed the
+    cap; later arrivals emit pairs only vs the retained prefix + their own
+    micro-batch cohort (the analogue of test_salting_bounds_block_size
+    for the streaming path)."""
+    fn = S._make_gen_pairs_fn(max_state_per_block=10, state_ttl_ms=None)
+    st = _FakeState()
+    n1 = _drive(fn, st, [f"d{i:02d}" for i in range(10)])
+    assert n1 == 45  # C(10,2)
+    n2 = _drive(fn, st, [f"d{i:02d}" for i in range(10, 25)])
+    assert n2 == 15 * 10 + 105  # new x retained + C(15,2)
+    n3 = _drive(fn, st, [f"d{i:02d}" for i in range(25, 30)])
+    assert n3 == 5 * 10 + 10  # retained is STILL the first 10, not 25
+    ids, texts = st.get
+    assert len(ids) == 30  # ids kept for exactly-once
+    assert sum(t is not None for t in texts) == 10  # payload hard-bounded
+
+
+def test_gen_pairs_ttl_timeout_evicts():
+    fn = S._make_gen_pairs_fn(max_state_per_block=None, state_ttl_ms=60_000)
+    st = _FakeState()
+    _drive(fn, st, ["a", "b"])
+    assert st.timeout_set == 60_000
+    st.hasTimedOut = True
+    out = list(fn(("p", "blk"), iter([]), st))
+    assert st.removed and out == []
+
+
+def test_salt_keyed_stream_splits_hot_block(spark):
+    """Streaming salting: hot blocks split into per-salt sub-blocks (pairs
+    only within a salt — batch salt_keys' recall trade), cold blocks pass
+    through complete."""
+    rows = [(f"h{i:02d}", f"text {i}", "p0", "hot") for i in range(18)] + [
+        (f"c{i}", f"cold {i}", "p0", "cold") for i in range(5)
+    ]
+    schema = "doc_id string, doc_text string, pass string, block_key string"
+    hot_blocks = spark.createDataFrame([("p0", "hot", 3)], "pass string, block_key string, n_salts int")
+
+    d = tempfile.mkdtemp()
+    try:
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(schema).parquet(d)
+        keyed = S.salt_keyed_stream(stream, hot_blocks)
+        got_df = S.run_stream_to_memory(spark, S.streaming_candidate_pairs(keyed), "salt_stream_test")
+        got = {(r["doc_id_a"], r["doc_id_b"]) for r in got_df.collect()}
+
+        # expected: within-salt hot pairs (same salt expression, batch side)
+        salted = spark.createDataFrame(rows, schema).select(
+            "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(3)).alias("salt")
+        ).collect()
+        by_salt = {}
+        for r in salted:
+            if r["doc_id"].startswith("h"):
+                by_salt.setdefault(r["salt"], []).append(r["doc_id"])
+        want = set()
+        for grp in by_salt.values():
+            grp = sorted(grp)
+            want |= {(a, b) for i, a in enumerate(grp) for b in grp[i + 1 :]}
+        cold = sorted(r[0] for r in rows if r[0].startswith("c"))
+        want |= {(a, b) for i, a in enumerate(cold) for b in cold[i + 1 :]}
+        assert got == want
+        assert len(by_salt) > 1  # the hot block genuinely split
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
