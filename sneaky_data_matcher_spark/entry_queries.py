@@ -117,10 +117,18 @@ def phone_normalize(spark, sf_dir):
     return cust.select("c_custkey", C.phone_rule(raw).alias("phone_norm"))
 
 
-# P4 — email rule (RecordValidationUtilService.java:17-23)
+# P4 — email rule (RecordValidationUtilService.java:17-23). The fixture
+# covers every structural branch of the commons-validator port: double-@,
+# single-label (allowLocal), quoted local-part with a space, [IPv4] literal,
+# bad octet, >64-char user, bad domain label, and a plain valid address.
 _EMAIL_EXPR_SQL = (
-    "CASE WHEN c_custkey % 5 = 0 THEN lower(replace(c_name, ' ', '.')) || '@@bad' "
-    "WHEN c_custkey % 5 = 1 THEN lower(replace(c_name, ' ', '.')) || '@localhost' "
+    "CASE WHEN c_custkey % 8 = 0 THEN lower(replace(c_name, ' ', '.')) || '@@bad' "
+    "WHEN c_custkey % 8 = 1 THEN lower(replace(c_name, ' ', '.')) || '@localhost' "
+    "WHEN c_custkey % 8 = 2 THEN '\"' || lower(c_name) || ' x\"@example.com' "
+    "WHEN c_custkey % 8 = 3 THEN lower(replace(c_name, ' ', '.')) || '@[192.168.0.' || CAST(c_custkey % 256 AS VARCHAR) || ']' "
+    "WHEN c_custkey % 8 = 4 THEN lower(replace(c_name, ' ', '.')) || '@[300.1.2.3]' "
+    "WHEN c_custkey % 8 = 5 THEN repeat('a', 65) || '@example.com' "
+    "WHEN c_custkey % 8 = 6 THEN lower(replace(c_name, ' ', '.')) || '@exa_mple.com' "
     "ELSE lower(replace(c_name, ' ', '.')) || '@example.com' END"
 )
 
@@ -133,9 +141,16 @@ _EMAIL_EXPR_SQL = (
 def email_validate(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     base = F.concat(F.lower(F.regexp_replace("c_name", " ", ".")))
+    k = F.col("c_custkey") % 8
     email = (
-        F.when(F.col("c_custkey") % 5 == 0, F.concat(base, F.lit("@@bad")))
-        .when(F.col("c_custkey") % 5 == 1, F.concat(base, F.lit("@localhost")))
+        F.when(k == 0, F.concat(base, F.lit("@@bad")))
+        .when(k == 1, F.concat(base, F.lit("@localhost")))
+        .when(k == 2, F.concat(F.lit('"'), F.lower("c_name"), F.lit(' x"@example.com')))
+        .when(k == 3, F.concat(base, F.lit("@[192.168.0."),
+                               (F.col("c_custkey") % 256).cast("string"), F.lit("]")))
+        .when(k == 4, F.concat(base, F.lit("@[300.1.2.3]")))
+        .when(k == 5, F.concat(F.repeat(F.lit("a"), 65), F.lit("@example.com")))
+        .when(k == 6, F.concat(base, F.lit("@exa_mple.com")))
         .otherwise(F.concat(base, F.lit("@example.com")))
     )
     df = cust.select("c_custkey", email.alias("email"))

@@ -79,20 +79,30 @@ def phone_rule(col: Column) -> Column:
     return F.when(F.length(only) < 5, F.lit("")).otherwise(only)
 
 
-# Same regex as pyoracle.EMAIL_RE (commons EmailValidator(true,true) port).
-EMAIL_REGEX = (
-    r"^[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+(\.[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+)*"
-    r"@[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
-    r"(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$"
+# Shared pattern strings (pyoracle is the source of truth): structural port
+# of commons-validator 1.7 EmailValidator.getInstance(true, true) — quoted
+# local-parts, backslash escapes, 64-char user cap, [IPv4] literal domains,
+# 253-char symbolic domains, allowLocal single-label hostnames. Deltas
+# documented at pyoracle.email_is_valid (no TLD-list / IDN / IPv6-literal).
+from .pyoracle import (  # noqa: E402  (pattern constants, not functions)
+    EMAIL_DOMAIN_PATTERN,
+    EMAIL_IP_DOMAIN_PATTERN,
+    EMAIL_SPLIT_PATTERN,
+    EMAIL_USER_PATTERN,
 )
 
 
 def email_is_valid(col: Column) -> Column:
-    return (
-        col.rlike(EMAIL_REGEX)
-        & (F.length(col) <= 254)
-        & ~col.endswith(".")
+    # Greedy ^(.+)@ captures up to the LAST '@' (commons EMAIL_REGEX split).
+    user = F.regexp_extract(col, r"^(.+)@", 1)
+    domain = F.substring_index(col, "@", -1)
+    split_ok = col.rlike(EMAIL_SPLIT_PATTERN) & ~col.endswith(".")
+    user_ok = (F.length(user) <= 64) & user.rlike(EMAIL_USER_PATTERN)
+    dom_ok = (
+        F.when(domain.startswith("["), domain.rlike(EMAIL_IP_DOMAIN_PATTERN))
+        .otherwise((F.length(domain) <= 253) & domain.rlike(EMAIL_DOMAIN_PATTERN))
     )
+    return split_ok & user_ok & dom_ok
 
 
 def email_rule(col: Column) -> Column:
@@ -148,9 +158,20 @@ def phone_rule_sql(expr: str) -> str:
 
 
 def email_is_valid_sql(expr: str) -> str:
-    # RE2 needs the literal regex; same pattern as EMAIL_REGEX.
-    pat = EMAIL_REGEX.replace("'", "''")
+    """DuckDB twin of email_is_valid — same shared pattern strings.
+
+    regexp_matches is partial-match (RE2 PartialMatch); every pattern is
+    ^..$-anchored so semantics equal rlike/re.match here.
+    """
+    user = f"regexp_extract({expr}, '^(.+)@', 1)"
+    dom = f"regexp_extract({expr}, '@([^@]*)$', 1)"
+    split_p = EMAIL_SPLIT_PATTERN.replace("'", "''")
+    user_p = EMAIL_USER_PATTERN.replace("'", "''")
+    dom_p = EMAIL_DOMAIN_PATTERN.replace("'", "''")
+    ip_p = EMAIL_IP_DOMAIN_PATTERN.replace("'", "''")
     return (
-        f"(regexp_matches({expr}, '{pat}') AND length({expr}) <= 254"
-        f" AND NOT suffix({expr}, '.'))"
+        f"(regexp_matches({expr}, '{split_p}') AND NOT suffix({expr}, '.')"
+        f" AND length({user}) <= 64 AND regexp_matches({user}, '{user_p}')"
+        f" AND CASE WHEN prefix({dom}, '[') THEN regexp_matches({dom}, '{ip_p}')"
+        f" ELSE length({dom}) <= 253 AND regexp_matches({dom}, '{dom_p}') END)"
     )

@@ -100,20 +100,51 @@ def phone_rule(result: str) -> str:
 
 
 # EmailValidator.getInstance(true, true): allowLocal (single-label domains
-# like "localhost") and allowTld (address may end at a TLD). Re-implemented
-# from the Apache commons-validator documented grammar. Known deltas
-# (documented, not load-bearing for the blocking key): no IP-literal
-# domains ([1.2.3.4]), no quoted local-parts — both rejected here,
-# accepted by commons-validator.
-_EMAIL_LOCAL = r"[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+(?:\.[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+)*"
+# like "localhost") and allowTld. Structural re-implementation of the
+# commons-validator 1.7 grammar (EmailValidator.java USER_REGEX/EMAIL_REGEX,
+# DomainValidator.java DOMAIN_NAME_REGEX, InetAddressValidator IPv4):
+#   - split at the LAST '@' (greedy ^(.+)@(\S+)$); reject trailing-dot email
+#   - local part: WORD(.WORD)* where WORD = 1+ of (backslash-escape | any
+#     char not whitespace/control/()<>@,;:\".[] | apostrophe) OR a quoted
+#     string "[^"]*"; length <= 64 (MAX_USERNAME_LEN)
+#   - domain: [IPv4-literal] (octets 0-255, no leading zeros), OR symbolic
+#     <= 253 chars: (label.)+toplabel with alpha-leading toplabel, or a
+#     single alnum label (allowLocal hostname)
+# Remaining deltas (documented, not load-bearing for the blocking key):
+# no IANA TLD-list membership check (commons rejects user@foo.notarealtld;
+# we accept any alpha-leading top label), no IDN punycoding (non-ASCII
+# domains rejected here), no bracketed IPv6 literals (rejected here).
+# Whitespace/control classes are pinned to explicit ASCII ranges so the
+# Spark (Java regex), DuckDB (RE2), and Python twins agree byte-for-byte.
+# Raw pattern strings are shared verbatim with the Spark (Java regex) and
+# DuckDB (RE2) twins — only constructs all three engines parse identically.
+_EMAIL_WORD = r'(?:(?:\\.|[^\x00-\x1F\x7F ()<>@,;:\\".\[\]])+|"[^"]*")'
+EMAIL_USER_PATTERN = rf"^{_EMAIL_WORD}(?:\.{_EMAIL_WORD})*$"
 _EMAIL_LABEL = r"[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
-EMAIL_RE = re.compile(rf"^{_EMAIL_LOCAL}@{_EMAIL_LABEL}(?:\.{_EMAIL_LABEL})*$")
+_EMAIL_TOP_LABEL = r"[A-Za-z](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+EMAIL_DOMAIN_PATTERN = rf"^(?:{_EMAIL_LABEL}\.)+{_EMAIL_TOP_LABEL}$|^{_EMAIL_LABEL}$"
+_IPV4_OCTET = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+EMAIL_IP_DOMAIN_PATTERN = rf"^\[{_IPV4_OCTET}(?:\.{_IPV4_OCTET}){{3}}\]$"
+# ^(.+)@(\S+)$ with Java-\s as explicit ASCII class; greedy (.+) -> last @.
+EMAIL_SPLIT_PATTERN = r"^(.+)@([^ \t\n\x0B\f\r]+)$"
+EMAIL_USER_RE = re.compile(EMAIL_USER_PATTERN)
+EMAIL_DOMAIN_RE = re.compile(EMAIL_DOMAIN_PATTERN)
+EMAIL_IP_DOMAIN_RE = re.compile(EMAIL_IP_DOMAIN_PATTERN)
+EMAIL_SPLIT_RE = re.compile(EMAIL_SPLIT_PATTERN)
 
 
 def email_is_valid(s: str) -> bool:
-    if not s or len(s) > 254 or s.endswith("."):
+    if not s or s.endswith("."):
         return False
-    return EMAIL_RE.match(s) is not None
+    m = EMAIL_SPLIT_RE.match(s)
+    if m is None:
+        return False
+    user, domain = m.group(1), m.group(2)
+    if len(user) > 64 or EMAIL_USER_RE.match(user) is None:
+        return False
+    if domain.startswith("["):
+        return EMAIL_IP_DOMAIN_RE.match(domain) is not None
+    return len(domain) <= 253 and EMAIL_DOMAIN_RE.match(domain) is not None
 
 
 def email_rule(result: str) -> str:

@@ -70,21 +70,84 @@ def test_phone_rule(spark):
     assert got == want
 
 
+# Structural branches of the commons-validator 1.7 port: quoted local-parts,
+# backslash escapes, 64-char user cap, [IPv4] literals, 253-char domains,
+# allowLocal single labels (EmailValidator.java USER_REGEX/EMAIL_REGEX,
+# DomainValidator.java DOMAIN_NAME_REGEX, InetAddressValidator IPv4).
+EMAIL_CASES = [
+    ("user@example.com", True),
+    ("user@localhost", True),            # allowLocal single label
+    ("user@123", True),                  # alnum single label (hostname regex)
+    ("a.b+c@sub.domain.org", True),
+    ('"john doe"@example.com', True),    # quoted local-part with space
+    ('"a@b"@example.com', True),         # @ inside quotes; split at LAST @
+    ("fo\\@o@example.com", True),        # backslash-escaped @ in local
+    ("joe'o@example.com", True),         # apostrophe allowed
+    ("user@[192.168.0.1]", True),        # IPv4 literal domain
+    ("user@[300.1.2.3]", False),         # octet > 255
+    ("user@[01.2.3.4]", False),          # leading-zero octet
+    ("a" * 64 + "@example.com", True),   # user at MAX_USERNAME_LEN
+    ("a" * 65 + "@example.com", False),  # user over cap
+    ("user@" + "a" * 250 + ".com", False),  # domain > 253
+    ("john doe@example.com", False),     # unquoted space
+    ("bad@@x", False),
+    ("no-at-sign", False),
+    ("trailing@dot.", False),
+    ("user@-bad.com", False),
+    ("user@exa_mple.com", False),
+    ("user@example.1com", False),        # digit-leading top label
+    ("UPPER@CASE.COM", True),
+]
+
+
 def test_email_rule(spark):
-    cases = [
-        "user@example.com",
-        "user@localhost",
-        "a.b+c@sub.domain.org",
-        "bad@@x",
-        "no-at-sign",
-        "trailing@dot.",
-        "user@-bad.com",
-        "UPPER@CASE.COM",
-    ]
+    cases = [v for v, _ in EMAIL_CASES]
     df = spark.createDataFrame([(v,) for v in cases], "v string")
     got = [r["e"] for r in df.select(C.email_rule(F.col("v")).alias("e")).collect()]
     want = [O.email_rule(v) for v in cases]
     assert got == want
+    # and pyoracle itself matches the expected commons-validator verdicts
+    assert [O.email_is_valid(v) for v, _ in EMAIL_CASES] == [e for _, e in EMAIL_CASES]
+
+
+def test_email_three_way_agreement(spark):
+    """Spark (Java regex), DuckDB (RE2), pyoracle (Python re) must agree."""
+    import duckdb
+
+    cases = [v for v, _ in EMAIL_CASES]
+    df = spark.createDataFrame([(v,) for v in cases], "v string")
+    spark_got = [
+        bool(r["ok"])
+        for r in df.select(C.email_is_valid(F.col("v")).alias("ok")).collect()
+    ]
+    con = duckdb.connect()
+    sql = C.email_is_valid_sql("s")
+    duck_got = [
+        bool(con.sql(f"SELECT {sql} AS v FROM (SELECT ? AS s)", params=[v]).fetchone()[0])
+        for v in cases
+    ]
+    py_got = [O.email_is_valid(v) for v in cases]
+    assert spark_got == py_got == duck_got
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    max_size=30,
+), min_size=1, max_size=20))
+@settings(max_examples=30, deadline=None)
+def test_email_property_py_vs_duck(values):
+    """Printable-ASCII fuzz: pyoracle and the DuckDB SQL twin agree.
+
+    (Spark agreement is covered by the fixed-case test above — a per-example
+    Spark job would be too slow for hypothesis.)
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    sql = C.email_is_valid_sql("s")
+    for v in values:
+        dk = con.sql(f"SELECT {sql} AS v FROM (SELECT ? AS s)", params=[v]).fetchone()[0]
+        assert bool(dk) == O.email_is_valid(v), repr(v)
 
 
 def test_map_and_concat(spark):
