@@ -222,7 +222,10 @@ def _ensure_scaling_corpus(n_docs: int) -> str:
     return path
 
 
-def _machine_capacity(levels: tuple, iters: int = 2_000_000) -> dict:
+def _machine_capacity(levels: tuple, iters: int = 8_000_000) -> dict:
+    # iters sized for a ~7s serial burn: 2-3s bursts overestimate sustained
+    # capacity on this hypervisor (measured swings 1.48x..1.98x at n=2
+    # within an hour); longer burns sample steal the way a Spark stage does.
     """Effective parallel speedup of THIS box at each process count,
     measured with a pure-CPU sha256 burn (no Spark, no I/O): serial_time *
     n / parallel_wall. One shared serial baseline for all levels — per-
