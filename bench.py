@@ -277,6 +277,9 @@ def _scaling(sf_dir: str) -> None:
         int(x)
         for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8,32").split(",")
     )
+    if len(levels) < 2:
+        raise SystemExit("SPARK_GRAFT_SCALING_LEVELS needs >= 2 levels (got "
+                         f"{levels!r}); scaling is a between-levels ratio")
     corpus = _ensure_scaling_corpus(n_docs)
     capacity = _machine_capacity(levels)
     results: dict[int, dict] = {}
@@ -326,7 +329,7 @@ def _scaling(sf_dir: str) -> None:
     }
     for lo, hi in zip(levels, levels[1:]):
         report[f"N{lo}_to_{hi}"] = _pair(lo, hi)
-    head = (levels[0], levels[-1] if len(levels) == 2 else levels[1])
+    head = (levels[0], levels[1])
     report["scaling_efficiency"] = _pair(*head)["e2e_efficiency_vs_4x"]
     print(json.dumps(report, indent=2))
 

@@ -846,22 +846,35 @@ def _sw_ratio_sql(lang: str) -> str:
     )
 
 
+# r3: 16 stopword languages + CJK script detection; the CASE chain is
+# generated from the SAME _LANG_STOPWORDS the Spark expression uses, and
+# checks languages in sorted order = the Spark tie-break (alphabetical
+# winner on equal ratios).
+_LANGS = sorted(TS._LANG_STOPWORDS)
+_G_R = "greatest(" + ", ".join(f"r_{lg}" for lg in _LANGS) + ")"
+_VOTE_CASE = (
+    f"CASE WHEN {_G_R} = 0 THEN 'und' "
+    + " ".join(f"WHEN r_{lg} = {_G_R} THEN '{lg}'" for lg in _LANGS[:-1])
+    + f" ELSE '{_LANGS[-1]}' END"
+)
 _LANG_CTE = (
-    "t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents), "
+    "t AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents), "
     "r AS (SELECT doc_id, "
-    + ", ".join(f"{_sw_ratio_sql(lg)} AS r_{lg}" for lg in ["de", "en", "es", "fr"])
+    f"length(regexp_replace(text, '[^{TS._HAN_RANGE}]', '', 'g')) AS han, "
+    f"length(regexp_replace(text, '[^{TS._KANA_RANGE}]', '', 'g')) AS kana, "
+    f"length(regexp_replace(text, '[^{TS._HANGUL_RANGE}]', '', 'g')) AS hangul, "
+    f"length(regexp_replace(text, '{TS._WS_CLASS}', '', 'g')) AS nonspace, "
+    + ", ".join(f"{_sw_ratio_sql(lg)} AS r_{lg}" for lg in _LANGS)
     + " FROM t)"
 )
 
 
 @_q(
     "lang_id",
-    f"WITH {_LANG_CTE} SELECT doc_id, CASE "
-    "WHEN greatest(r_de, r_en, r_es, r_fr) = 0 THEN 'und' "
-    "WHEN r_de = greatest(r_de, r_en, r_es, r_fr) THEN 'de' "
-    "WHEN r_en = greatest(r_de, r_en, r_es, r_fr) THEN 'en' "
-    "WHEN r_es = greatest(r_de, r_en, r_es, r_fr) THEN 'es' "
-    "ELSE 'fr' END AS lang_pred FROM r",
+    f"WITH {_LANG_CTE} SELECT doc_id, "
+    "CASE WHEN han + kana + hangul > 0 AND (han + kana + hangul) * 10 >= nonspace * 3 THEN "
+    "(CASE WHEN hangul > 0 THEN 'ko' WHEN kana > 0 THEN 'ja' ELSE 'zh' END) "
+    f"ELSE {_VOTE_CASE} END AS lang_pred FROM r",
 )
 def lang_id_q(spark, sf_dir):
     d = _docs(spark, sf_dir)
@@ -885,6 +898,46 @@ def quality_score_q(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id", F.round(TS.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+# quality v2 (r3): repetition-penalized score. The fixture text is single-
+# line, so the query scores a LINED variant (every space -> newline, a 1:1
+# translate that provably changes no v1 component: same length, same
+# tokens, same punct) — making the duplicate-line term compute real line
+# structure on both engines. Crafted boilerplate docs are pytest-covered.
+_V2_LINED = "replace(text, ' ', chr(10))"
+_V2_CTE = (
+    f"t AS (SELECT doc_id, {_V2_LINED} AS text FROM documents), "
+    "s AS (SELECT doc_id, text, "
+    "  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks, "
+    "  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS rtoks, "
+    "  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lines FROM t), "
+    "b AS (SELECT *, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])[1:512] AS bg FROM s), "
+    "c AS (SELECT doc_id, "
+    "  least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) AS len_score, "
+    "  CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS punct, "
+    "  CASE WHEN len(rtoks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(rtoks, x -> length(x))) AS DOUBLE) / len(rtoks) END AS mwl, "
+    f"  {_sw_ratio_sql('en')} AS sw, "
+    "  CASE WHEN len(lines) = 0 THEN 0.0 ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) END AS dup_lines, "
+    "  CASE WHEN len(toks) < 2 THEN 0.0 ELSE CAST(list_max(list_transform(list_distinct(bg), d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / len(bg) END AS top_bg "
+    "FROM b) "
+)
+
+
+@_q(
+    "quality_score_v2",
+    f"WITH {_V2_CTE}"
+    "SELECT doc_id, round(0.6 * (0.3 * len_score + 0.3 * greatest(0.0, 1.0 - punct * 4.0) "
+    " + 0.2 * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END) "
+    " + 0.2 * least(sw * 5.0, 1.0)) "
+    " + 0.2 * (1.0 - dup_lines) + 0.2 * (1.0 - top_bg), 6) AS quality FROM c",
+)
+def quality_score_v2_q(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    lined = F.translate(F.col("text"), " ", "\n")
+    return d.select(
+        "doc_id", F.round(TS.quality_score_v2(lined), 6).alias("quality")
     )
 
 
@@ -995,6 +1048,112 @@ def media_frame_plan(spark, sf_dir):
     from .operators.multimodal import frame_sample_plan
 
     return frame_sample_plan(_media(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# REAL media decode (r3): synth_real_media_table emits genuine WAV/BMP bytes,
+# extract_features(strict=True) parses them with stdlib struct, and the
+# oracle recomputes every feature from the generative sample/pixel formula —
+# WITHOUT ever seeing the bytes. A bug in either the encoder or the decoder
+# (header layout, stride padding, bottom-up order, chunk alignment, int16
+# unpack) breaks the hash match, so this checks the byte round trip end to
+# end. See operators/multimodal.py:_decode_wav/_decode_bmp.
+# ---------------------------------------------------------------------------
+
+
+def _hex_int_sql(hexpr: str, start: int, n: int) -> str:
+    """DuckDB BIGINT of n hex digits of `hexpr` from 1-based pos `start`."""
+    e = "CAST(0 AS BIGINT)"
+    for k in range(n):
+        e = f"({e} * 16 + {_hexv_sql(f'substr({hexpr}, {start + k}, 1)')})"
+    return e
+
+
+def _real_media(spark, sf_dir):
+    from .operators.multimodal import synth_real_media_table
+
+    return synth_real_media_table(_media(spark, sf_dir))
+
+
+def _media_decode_q(spark, sf_dir, kind: str):
+    from .operators.multimodal import extract_features
+
+    m = _real_media(spark, sf_dir).where(F.col("kind") == kind)
+    feats = extract_features(m, strict=True)  # real decode or die
+    return feats.select(
+        "media_ref", F.posexplode("feature").alias("idx", "value")
+    ).select(
+        "media_ref",
+        "idx",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+
+
+_WAV_SEED = _hex_int_sql("hh", 1, 8)
+
+@_q(
+    "media_decode_wav",
+    f"WITH {_MEDIA_REFS_CTE}, "
+    f"sd AS (SELECT media_ref, {_WAV_SEED} AS seed "
+    "  FROM (SELECT media_ref, sha256(media_ref) AS hh FROM refs WHERE kind = 'audio')), "
+    "pr AS (SELECT media_ref, seed, 64 + seed % 192 AS n FROM sd), "
+    "smp AS (SELECT media_ref, n, "
+    "  list_transform(range(0, n), i -> ((seed + i * 48271) % 65536) - 32768) AS s FROM pr), "
+    "ag AS (SELECT media_ref, n, s, list_sum(s) AS tot, "
+    "  list_sum(list_transform(s, x -> x * x)) AS ssq, "
+    "  len(list_filter(range(1, n), i -> (s[i] >= 0) <> (s[i + 1] >= 0))) AS zc, "
+    "  list_min(s) AS mn, list_max(s) AS mx FROM smp) "
+    # floor-quantized to 6 decimals, matching _q6 (round() tie semantics
+    # differ between engines — Python banker's vs DuckDB half-away)
+    "SELECT media_ref, CAST(idx AS INT) AS idx, floor((CASE idx "
+    "  WHEN 0 THEN 8000 / 48000.0 "
+    "  WHEN 1 THEN n / 65536.0 "
+    "  WHEN 2 THEN CAST(n AS DOUBLE) / 8000 "
+    "  WHEN 3 THEN CAST(tot AS DOUBLE) / n / 32768.0 "
+    "  WHEN 4 THEN sqrt(CAST(ssq AS DOUBLE) / n) / 32768.0 "
+    "  WHEN 5 THEN CAST(zc AS DOUBLE) / (n - 1) "
+    "  WHEN 6 THEN mn / 32768.0 "
+    "  WHEN 7 THEN mx / 32768.0 "
+    "  ELSE sqrt(CAST(list_sum(list_transform("
+    "    s[((idx - 8) * n // 8 + 1):((idx - 7) * n // 8)], x -> x * x)) AS DOUBLE) "
+    "    / ((idx - 7) * n // 8 - (idx - 8) * n // 8)) / 32768.0 "
+    "END) * 1000000) / 1000000 AS value "
+    "FROM (SELECT *, unnest(range(16)) AS idx FROM ag)",
+)
+def media_decode_wav(spark, sf_dir):
+    return _media_decode_q(spark, sf_dir, "audio")
+
+
+@_q(
+    "media_decode_bmp",
+    f"WITH {_MEDIA_REFS_CTE}, "
+    f"sd AS (SELECT media_ref, {_WAV_SEED} AS seed "
+    "  FROM (SELECT media_ref, sha256(media_ref) AS hh FROM refs WHERE kind = 'image')), "
+    "pr AS (SELECT media_ref, seed, 4 + seed % 12 AS w, 4 + (seed // 16) % 12 AS h FROM sd), "
+    "px AS (SELECT media_ref, w, h, w * h AS npx, "
+    "  list_transform(range(0, w * h), p -> (seed // 11 + 7 * p) % 256) AS rr, "
+    "  list_transform(range(0, w * h), p -> (seed // 7 + 5 * p) % 256) AS gg, "
+    "  list_transform(range(0, w * h), p -> (seed + 3 * p) % 256) AS bb FROM pr), "
+    "lm AS (SELECT *, list_transform(range(0, npx), "
+    "  p -> (rr[p + 1] * 299 + gg[p + 1] * 587 + bb[p + 1] * 114) // 1000) AS lum FROM px), "
+    "ag AS (SELECT media_ref, w, h, npx, list_sum(rr) AS rs, list_sum(gg) AS gs, "
+    "  list_sum(bb) AS bs, list_sum(lum) AS ls, list_max(lum) AS lmx, "
+    "  list_min(lum) AS lmn, lum FROM lm) "
+    "SELECT media_ref, CAST(idx AS INT) AS idx, floor((CASE idx "
+    "  WHEN 0 THEN w / 1024.0 "
+    "  WHEN 1 THEN h / 1024.0 "
+    "  WHEN 2 THEN CAST(rs AS DOUBLE) / npx / 255.0 "
+    "  WHEN 3 THEN CAST(gs AS DOUBLE) / npx / 255.0 "
+    "  WHEN 4 THEN CAST(bs AS DOUBLE) / npx / 255.0 "
+    "  WHEN 5 THEN CAST(ls AS DOUBLE) / npx / 255.0 "
+    "  WHEN 6 THEN lmx / 255.0 "
+    "  WHEN 7 THEN lmn / 255.0 "
+    "  ELSE CAST(len(list_filter(lum, x -> x * 8 // 256 = idx - 8)) AS DOUBLE) / npx "
+    "END) * 1000000) / 1000000 AS value "
+    "FROM (SELECT *, unnest(range(16)) AS idx FROM ag)",
+)
+def media_decode_bmp(spark, sf_dir):
+    return _media_decode_q(spark, sf_dir, "image")
 
 
 @_q(

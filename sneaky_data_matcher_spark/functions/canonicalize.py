@@ -96,7 +96,10 @@ def email_is_valid(col: Column) -> Column:
     # Greedy ^(.+)@ captures up to the LAST '@' (commons EMAIL_REGEX split).
     user = F.regexp_extract(col, r"^(.+)@", 1)
     domain = F.substring_index(col, "@", -1)
-    split_ok = col.rlike(EMAIL_SPLIT_PATTERN) & ~col.endswith(".")
+    # rlike is Java find(): $ matches before a FINAL \n, which Java
+    # matches()/RE2 reject — guard line terminators so the three twins agree.
+    no_terminators = ~col.rlike(r"[\r\n]")
+    split_ok = no_terminators & col.rlike(EMAIL_SPLIT_PATTERN) & ~col.endswith(".")
     user_ok = (F.length(user) <= 64) & user.rlike(EMAIL_USER_PATTERN)
     dom_ok = (
         F.when(domain.startswith("["), domain.rlike(EMAIL_IP_DOMAIN_PATTERN))
@@ -170,7 +173,8 @@ def email_is_valid_sql(expr: str) -> str:
     dom_p = EMAIL_DOMAIN_PATTERN.replace("'", "''")
     ip_p = EMAIL_IP_DOMAIN_PATTERN.replace("'", "''")
     return (
-        f"(regexp_matches({expr}, '{split_p}') AND NOT suffix({expr}, '.')"
+        f"(NOT regexp_matches({expr}, '[\\r\\n]')"
+        f" AND regexp_matches({expr}, '{split_p}') AND NOT suffix({expr}, '.')"
         f" AND length({user}) <= 64 AND regexp_matches({user}, '{user_p}')"
         f" AND CASE WHEN prefix({dom}, '[') THEN regexp_matches({dom}, '{ip_p}')"
         f" ELSE length({dom}) <= 253 AND regexp_matches({dom}, '{dom_p}') END)"

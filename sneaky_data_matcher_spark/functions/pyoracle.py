@@ -134,7 +134,12 @@ EMAIL_SPLIT_RE = re.compile(EMAIL_SPLIT_PATTERN)
 
 
 def email_is_valid(s: str) -> bool:
-    if not s or s.endswith("."):
+    # Line-terminator guard (shared across all three twins): Python/Java
+    # regex let $ match BEFORE a final \n while RE2 does not, and Java
+    # matches() requires the full region anyway — commons-validator rejects
+    # "user@host\n". Rejecting \r\n explicitly keeps the three engines
+    # byte-for-byte identical on terminator-bearing inputs.
+    if not s or s.endswith(".") or "\n" in s or "\r" in s:
         return False
     m = EMAIL_SPLIT_RE.match(s)
     if m is None:

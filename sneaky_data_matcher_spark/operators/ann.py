@@ -92,14 +92,20 @@ def hyperplane_bucket_keys(
             h = (h * LSH_A) % LSH_M
             return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
 
-        dot = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.size(v) - 1),
-                lambda x, j: x * sign(j),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        # Guard empty vectors (ADVICE r2): sequence(0, -1) on a zero-length
+        # embedding yields [0, -1] (descending), turning the dot NULL and
+        # the bit 0 — while the DuckDB twin's range(0, 0) gives dot 0.0 and
+        # bit 1. Pin empties to dot 0.0 so both engines emit bit 1.
+        dot = F.when(F.size(v) == 0, F.lit(0.0)).otherwise(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.sequence(F.lit(0), F.size(v) - 1),
+                    lambda x, j: x * sign(j),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         )
         return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
 

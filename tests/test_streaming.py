@@ -290,6 +290,116 @@ def test_gen_pairs_ttl_timeout_evicts():
     assert st.removed and out == []
 
 
+def test_state_cap_through_real_groupstate(spark):
+    """End-to-end applyInPandasWithState with max_state_per_block set
+    (ADVICE r2): the None-padded texts array must round-trip through
+    Spark's real state (de)serialization across micro-batches, and the
+    emitted pair counts must show retention pinned at the cap.
+
+    Three equal-size batches of one block, cap < batch size: whatever the
+    batch arrival order, total pairs = 3*C(n,2) (within-cohort) + 2*n*cap
+    (new x retained, retention capped after the first batch)."""
+    n, cap = 6, 4
+    schema = "doc_id string, doc_text string, pass string, block_key string"
+    d = tempfile.mkdtemp()
+    try:
+        for b in range(3):
+            rows = [
+                (f"b{b}d{i}", f"text {b} {i}", "p0", "blk") for i in range(n)
+            ]
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/b{b}")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/*")
+        )
+        # cap only — state_ttl_ms would put the query in ProcessingTime-
+        # timeout mode, where Spark schedules timeout-check batches forever
+        # and processAllAvailable never drains (see PipelineConfig notes)
+        pairs = S.streaming_candidate_pairs(stream, max_state_per_block=cap)
+        got = S.run_stream_to_memory(spark, pairs, "state_cap_real_test")
+        rows = got.collect()
+        import math
+
+        want_total = 3 * math.comb(n, 2) + 2 * n * cap
+        assert len(rows) == want_total, (len(rows), want_total)
+        assert len({(r["doc_id_a"], r["doc_id_b"]) for r in rows}) == want_total
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_topology_salted_matches_batch_salted(spark):
+    """Scale-safe flagship path: census-fed salting + state caps + trimmed
+    payload, end to end. A corpus with one genuinely hot block, salted via
+    hot_block_census, must produce EXACTLY the batch salted pipeline's
+    non-singleton clusters (same salt arithmetic -> same surviving pairs),
+    while the census proves the hot block actually split."""
+    from sneaky_data_matcher_spark.plans import pipeline as P
+    from sneaky_data_matcher_spark.sources.io import TableIO
+
+    # 30 duplicate pairs sharing a hot pfx block ("hot start ..." x60);
+    # each pair's srt key is distinctive, so true pairs survive salting
+    # via the multi-pass design (the same guarantee the batch skew test
+    # asserts).
+    rows = []
+    for i in range(30):
+        for side in ("a", "b"):
+            rows.append((f"{i:03d}{side}", f"hot start unique{i:02d} tail{i:02d}"))
+    spans = spark.createDataFrame(rows, "doc_id string, text string").select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    ).localCheckpoint(eager=True)
+
+    cfg = P.PipelineConfig(threshold=0.85, max_block_size=10)
+    batch = P.run(spans, cfg)
+    sizes = batch["clusters"].groupBy("cluster_id").count()
+    multi = (
+        batch["clusters"]
+        .join(sizes.where(F.col("count") > 1), "cluster_id")
+        .select("doc_id", "cluster_id")
+    )
+    want = {(r["doc_id"], r["cluster_id"]) for r in multi.collect()}
+    assert len(want) == 60  # all 30 duplicate pairs must cluster
+
+    census = S.hot_block_census(canonicalize_docs(spans), cfg)
+    hot = census.collect()
+    assert any(r["n_salts"] > 1 for r in hot)  # the pfx block is genuinely hot
+
+    d = tempfile.mkdtemp()
+    try:
+        half = F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0
+        spans.where(half).write.mode("overwrite").parquet(f"{d}/in/b0")
+        spans.where(~half).write.mode("overwrite").parquet(f"{d}/in/b1")
+        schema = spark.read.parquet(f"{d}/in/b0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/in/*")
+        )
+        io = TableIO(spark, f"{d}/state")
+        q = S.streaming_er_topology(
+            stream, io, cfg, checkpoint_dir=f"{d}/ckpt",
+            hot_blocks=census.localCheckpoint(eager=True),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {(r["doc_id"], r["cluster_id"]) for r in io.load("clusters").collect()}
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_salt_keyed_stream_splits_hot_block(spark):
     """Streaming salting: hot blocks split into per-salt sub-blocks (pairs
     only within a salt — batch salt_keys' recall trade), cold blocks pass
