@@ -1380,6 +1380,140 @@ def stream_er_clusters_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Survivorship: golden record per entity cluster (r3). Reuses the full er_*
+# chain; the oracle extends the recursive-CTE closure with a window pick
+# (longest canonical text, min doc_id tie-break) — the Spark side is a
+# map-side-combinable max(struct) agg, no window (clustering.golden_records).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "er_golden_records",
+    f"WITH RECURSIVE {_ER_SCORED_CTE}, "
+    f"edges AS MATERIALIZED (SELECT doc_id_a AS u, doc_id_b AS v FROM er_scored WHERE {_ER_MATCH_COND}), "
+    "sym AS MATERIALIZED (SELECT u, v FROM edges UNION SELECT v, u FROM edges), "
+    "reach(a, b) AS ("
+    "  SELECT doc_id, doc_id FROM canon WHERE doc_text <> '' "
+    "  UNION SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u), "
+    "clusters AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a), "
+    "j AS (SELECT cl.cluster_id, cl.doc_id, c.doc_text, length(c.doc_text) AS text_len "
+    "  FROM clusters cl JOIN canon c USING (doc_id)), "
+    "ranked AS (SELECT *, "
+    "  row_number() OVER (PARTITION BY cluster_id ORDER BY text_len DESC, doc_id ASC) AS rn, "
+    "  count(*) OVER (PARTITION BY cluster_id) AS n_members FROM j) "
+    "SELECT cluster_id, doc_id AS rep_doc_id, text_len AS rep_text_len, "
+    "doc_text AS rep_text, CAST(n_members AS BIGINT) AS n_members "
+    "FROM ranked WHERE rn = 1",
+)
+def er_golden_records(spark, sf_dir):
+    canon, _, _ = _er_frames(spark, sf_dir)
+    return clustering.golden_records(
+        er_clusters(spark, sf_dir), canon, id_col="doc_id", text_col="doc_text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scan + redaction (r3). Testdata text is a clean token soup, so the
+# query scans a deterministically AUGMENTED variant (same trick as
+# phone_normalize's constructed raws): every doc gets one PII kind keyed by
+# doc_id % 4, exercising all five detectors plus the Luhn gate end to end
+# on both engines.
+# ---------------------------------------------------------------------------
+
+_PII_AUG_SQL = (
+    "text || CASE doc_id % 4 "
+    "WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' "
+    "WHEN 1 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.' || CAST(doc_id % 251 AS VARCHAR) "
+    "WHEN 2 THEN ' card 4012 8888 8888 1881 ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "ELSE ' call +1 ' || CAST(200 + doc_id % 700 AS VARCHAR) || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END"
+)
+
+
+def _pii_oracle_sql() -> str:
+    from .functions import pii
+
+    card = pii.CARD_CANDIDATE_PAT.replace("'", "''")
+    phone = pii.PHONE_PAT.replace("'", "''")
+    return (
+        f"WITH t AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents) "
+        "SELECT doc_id, "
+        f"len(regexp_extract_all(text, '{pii.EMAIL_PAT}')) AS n_email, "
+        f"len(regexp_extract_all(text, '{pii.IPV4_PAT}')) AS n_ipv4, "
+        f"len(regexp_extract_all(text, '{pii.SSN_PAT}')) AS n_ssn, "
+        f"len(list_filter(regexp_extract_all(text, '{card}'), "
+        f"    c -> {pii.luhn_valid_sql('c')})) AS n_card, "
+        f"len(regexp_extract_all(text, '{phone}')) AS n_phone, "
+        f"{pii.redact_sql('text')} AS redacted "
+        "FROM t"
+    )
+
+
+@_q("pii_scan", _pii_oracle_sql())
+def pii_scan_q(spark, sf_dir):
+    from .functions import pii
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 4 == 0, F.concat(F.lit(" contact user"), s(did), F.lit("@example.com now")))
+        .when(did % 4 == 1, F.concat(F.lit(" from 10."), s(did % 200), F.lit(".3."), s(did % 251)))
+        .when(
+            did % 4 == 2,
+            F.concat(F.lit(" card 4012 8888 8888 1881 ssn 123-45-"), F.lpad(s(did % 10000), 4, "0")),
+        )
+        .otherwise(
+            F.concat(F.lit(" call +1 "), s(200 + did % 700), F.lit("-555-"), F.lpad(s(did % 10000), 4, "0"))
+        ),
+    )
+    return pii.pii_scan(d.select("doc_id", aug.alias("text")), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level duplicate-line removal (r3). Testdata text has no newlines,
+# so the query lines it up deterministically (8-token chunks) on both
+# engines, then Spark runs operators/dedup.line_dedup while the oracle
+# re-derives the census + ordered rebuild in SQL.
+# ---------------------------------------------------------------------------
+
+_LINED_SQL = (
+    "(SELECT doc_id, array_to_string(list_transform("
+    "  range(1, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) + 1), "
+    "  i -> array_to_string(string_split(text, ' ')[CAST((i-1)*8+1 AS BIGINT):CAST((i-1)*8+8 AS BIGINT)], ' ')), chr(10)) AS t "
+    "FROM documents)"
+)
+
+
+@_q(
+    "line_dedup",
+    f"WITH lined AS {_LINED_SQL}, "
+    "l2 AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM lined), "
+    "ex AS (SELECT doc_id, unnest(range(1, len(lines) + 1)) AS line_no, unnest(lines) AS line FROM l2), "
+    "census AS (SELECT line, count(*) AS n FROM ex GROUP BY line), "
+    "tagged AS (SELECT e.doc_id, e.line_no, e.line, c.n >= 2 AS is_dup "
+    "  FROM ex e JOIN census c USING (line)) "
+    "SELECT doc_id, count(*) AS n_lines, "
+    "CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines, "
+    "coalesce(array_to_string(list(line ORDER BY line_no) FILTER (WHERE NOT is_dup), chr(10)), '') AS clean_text "
+    "FROM tagged GROUP BY doc_id",
+)
+def line_dedup_q(spark, sf_dir):
+    from .operators.dedup import line_dedup
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ", -1)
+    n_chunks = F.ceil(F.size(toks) / F.lit(8.0))
+    lined = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), n_chunks),
+            lambda i: F.array_join(F.slice(toks, ((i - 1) * 8 + 1).cast("int"), 8), " "),
+        ),
+        "\n",
+    )
+    return line_dedup(d.select("doc_id", lined.alias("text")), "doc_id", "text")
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL

@@ -164,3 +164,70 @@ def connected_components(
         .groupBy("doc_id")
         .agg(F.min("cluster_id").alias("cluster_id"))
     )
+
+
+def golden_records(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "doc_text",
+    numeric_ids: bool = True,
+) -> DataFrame:
+    """Survivorship: pick one canonical record per entity cluster.
+
+    The reference stops at cluster assignment (the enrichment join merges
+    rows but never elects a representative); a production ER pipeline
+    needs the "golden record" — here: the member with the LONGEST
+    canonical text (most information), ties broken by smallest doc_id
+    (deterministic).
+
+    Scale notes: a single groupBy with map-side combine — the per-group
+    state is one (len, id, text) struct, so the combiner reduces each
+    cluster to one row per input partition before the shuffle. No window
+    (a window over cluster_id would sort whole partitions and cannot
+    partial-aggregate). `numeric_ids=True` packs the tie-break into one
+    max(struct) via id negation; for string ids the fallback is a two-agg
+    join (max len per cluster, then min id among the maximal members).
+    """
+    j = clusters.select(F.col(id_col).alias("doc_id"), "cluster_id").join(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+        ),
+        "doc_id",
+    )
+    if numeric_ids:
+        best = j.groupBy("cluster_id").agg(
+            F.count("*").alias("n_members"),
+            F.max(
+                F.struct(
+                    F.length("_text").alias("text_len"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                    F.col("_text").alias("text"),
+                )
+            ).alias("best"),
+        )
+        return best.select(
+            "cluster_id",
+            (-F.col("best.neg_id")).alias("rep_doc_id"),
+            F.col("best.text_len").alias("rep_text_len"),
+            F.col("best.text").alias("rep_text"),
+            "n_members",
+        )
+    lens = j.select("cluster_id", "doc_id", F.length("_text").alias("text_len"), "_text")
+    agg1 = lens.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"), F.max("text_len").alias("rep_text_len")
+    )
+    maximal = lens.join(agg1, "cluster_id").where(
+        F.col("text_len") == F.col("rep_text_len")
+    )
+    return (
+        maximal.groupBy("cluster_id", "n_members", "rep_text_len")
+        .agg(F.min(F.struct("doc_id", "_text")).alias("best"))
+        .select(
+            "cluster_id",
+            F.col("best.doc_id").alias("rep_doc_id"),
+            "rep_text_len",
+            F.col("best._text").alias("rep_text"),
+            "n_members",
+        )
+    )

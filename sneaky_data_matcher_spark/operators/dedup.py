@@ -315,3 +315,61 @@ def simhash_dedup(
     return cand.select(
         "doc_id_a", "doc_id_b", hamming.alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level duplicate-line removal (the CCNet / RefinedWeb cleanup:
+    boilerplate lines — nav bars, cookie banners, license headers — repeat
+    across millions of pages and must be dropped before training).
+
+    A line is a duplicate when it occurs >= min_count times across the
+    WHOLE corpus (occurrences inside one document count too). Returns one
+    row per document: the text with duplicate lines removed (original
+    order kept), plus line counts.
+
+    Scale notes (100 TB):
+      - the line census is a groupBy on the line itself with map-side
+        combine; hot boilerplate lines ("(c) 2024 ...") concentrate on one
+        reducer but carry only a count — no payload skew.
+      - the census join back is line->count on the exploded frame; the
+        rebuild groupBy(doc_id) carries (line_no, line) structs and
+        reassembles order with array_sort, so no window over the corpus.
+      - exactly two shuffles (census agg reuses the join's hash
+        partitioning on `line` under AQE).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        # sep is a regex (Spark split); "\n" splits lines, trailing
+        # empties kept (limit -1) so blank lines census like any other
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("line_no", "line"),
+    )
+    census = lines.groupBy("line").agg(F.count("*").alias("n_occurrences"))
+    tagged = lines.join(census, "line").withColumn(
+        "is_dup", F.col("n_occurrences") >= min_count
+    )
+    kept_struct = F.when(
+        ~F.col("is_dup"), F.struct(F.col("line_no"), F.col("line"))
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("is_dup").cast("int")).alias("n_dup_lines"),
+            F.array_join(
+                F.transform(
+                    # collect_list drops the nulls when() leaves for dup
+                    # lines; array_sort on (line_no, line) restores order
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.line,
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "n_lines", "n_dup_lines", "clean_text")
+    )

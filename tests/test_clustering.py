@@ -84,3 +84,62 @@ def test_optimized_runs_schedule_same_output(spark):
     }
     assert got == _oracle(edges)
     assert stats["large_stars"] >= stats["small_stars"] > 0
+
+
+# ---------------------------------------------------------------------------
+# golden_records — survivorship after clustering
+# ---------------------------------------------------------------------------
+
+def _gr_fixture(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 9), (10, 9)],
+        "doc_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "short"),
+            (2, "the longest text in cluster one"),
+            (3, "mid length text"),
+            (7, "singleton"),
+            (9, "same length AA"),
+            (10, "same length BB"),  # tie on len -> min doc_id (9) wins
+        ],
+        "doc_id long, doc_text string",
+    )
+    return clusters, docs
+
+
+def test_golden_records_numeric(spark):
+    from sneaky_data_matcher_spark.operators.clustering import golden_records
+
+    clusters, docs = _gr_fixture(spark)
+    out = {r["cluster_id"]: r.asDict() for r in golden_records(clusters, docs).collect()}
+    assert out[1]["rep_doc_id"] == 2 and out[1]["n_members"] == 3
+    assert out[1]["rep_text"] == "the longest text in cluster one"
+    assert out[7]["rep_doc_id"] == 7 and out[7]["n_members"] == 1
+    assert out[9]["rep_doc_id"] == 9  # deterministic tie-break
+    assert out[9]["rep_text_len"] == 14
+
+
+def test_golden_records_string_ids_match_numeric_path(spark):
+    from sneaky_data_matcher_spark.operators.clustering import golden_records
+
+    clusters, docs = _gr_fixture(spark)
+    num = sorted(
+        (r["cluster_id"], r["rep_doc_id"], r["rep_text_len"], r["n_members"])
+        for r in golden_records(clusters, docs).collect()
+    )
+    # zero-pad string ids so lexicographic == numeric order (string ids
+    # tie-break lexicographically by design — document via lpad here)
+    got = sorted(
+        (int(r["cluster_id"]), int(r["rep_doc_id"]), r["rep_text_len"], r["n_members"])
+        for r in golden_records(
+            clusters.selectExpr(
+                "lpad(cast(doc_id as string), 4, '0') doc_id",
+                "cast(cluster_id as string) cluster_id",
+            ),
+            docs.selectExpr("lpad(cast(doc_id as string), 4, '0') doc_id", "doc_text"),
+            numeric_ids=False,
+        ).collect()
+    )
+    assert got == num

@@ -222,3 +222,45 @@ def test_embedding_near_dup_bucketed_equals_exhaustive(spark):
     # bucketed candidates ⊆ exhaustive truth; at cos>=0.95 with 16 tables
     # the miss probability is ~4e-7, so equality is the expected outcome
     assert bucketed == exhaustive
+
+
+# ---------------------------------------------------------------------------
+# line_dedup — corpus-level duplicate-line removal (CCNet-style)
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_removes_corpus_duplicates(spark):
+    from sneaky_data_matcher_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "unique alpha\n(c) boilerplate footer\nunique beta"),
+            ("d2", "other text\n(c) boilerplate footer"),
+            ("d3", "solo document"),
+            ("d4", "repeat me\nrepeat me\nkeep this"),  # in-doc dup counts
+            ("d5", ""),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in line_dedup(docs, "doc_id", "text").collect()}
+    assert out["d1"]["clean_text"] == "unique alpha\nunique beta"
+    assert out["d1"]["n_lines"] == 3 and out["d1"]["n_dup_lines"] == 1
+    assert out["d2"]["clean_text"] == "other text"
+    assert out["d3"]["clean_text"] == "solo document"
+    # both in-doc repeats removed, order of survivors kept
+    assert out["d4"]["clean_text"] == "keep this"
+    assert out["d4"]["n_dup_lines"] == 2
+    # the empty doc's single empty line is unique -> survives as ""
+    assert out["d5"]["n_lines"] == 1 and out["d5"]["clean_text"] == ""
+    assert len(out) == 5  # one row per input doc, none lost
+
+
+def test_line_dedup_order_preserved_many_lines(spark):
+    from sneaky_data_matcher_spark.operators.dedup import line_dedup
+
+    # 30 unique lines + a dup salted in twice; survivor order must be exact
+    lines = [f"line number {i:02d}" for i in range(30)]
+    doc = "\n".join(lines[:10] + ["DUP"] + lines[10:20] + ["DUP"] + lines[20:])
+    docs = spark.createDataFrame([("d", doc)], "doc_id string, text string")
+    row = line_dedup(docs, "doc_id", "text").collect()[0]
+    assert row["clean_text"] == "\n".join(lines)
+    assert row["n_lines"] == 32 and row["n_dup_lines"] == 2
