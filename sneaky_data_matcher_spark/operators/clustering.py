@@ -85,7 +85,7 @@ def connected_components(
     matches: DataFrame,
     max_iterations: int = 25,
     checkpoint: bool = True,
-    optimized_runs: bool = False,
+    optimized_runs: bool = True,
     _stats: dict | None = None,
 ) -> DataFrame:
     """matches(doc_id_a, doc_id_b, ...) -> (doc_id, cluster_id).
@@ -94,15 +94,17 @@ def connected_components(
     are not emitted — callers left-join and coalesce to doc_id for
     singleton clusters (see pipeline.assign_clusters).
 
-    optimized_runs=True uses Kiveris et al. §4's "optimized runs"
-    schedule: repeat large-star until ITS OWN fixpoint, then one
-    small-star, then repeat — fewer small-star rounds on high-diameter
-    graphs. Measured on this workload (BENCH.md "CC schedule A/B"): each
-    extra inner fixpoint check costs a checksum job (a driver round
-    trip), which on the low-diameter match graphs this pipeline produces
-    outweighs the saved small-stars — hence default False. `_stats`, if
-    passed, receives {"rounds", "large_stars", "small_stars"} for
-    benchmarking.
+    optimized_runs=True (default) uses Kiveris et al. §4's "optimized
+    runs" schedule: repeat large-star until ITS OWN fixpoint, then one
+    small-star, then repeat. A/B'd in tools/bench_cc_schedule.py
+    (BENCH.md "CC schedule A/B", best-of-3 ×2 sessions): on a 20k-node
+    path graph (high diameter) it converges in 2 outer rounds vs 16 —
+    7.3-8.0x faster wall; on this pipeline's matcher-shaped graph (many
+    small dense clusters) it is 1.4-1.7x faster too, because skipping
+    half the small-stars saves more than the extra inner checksum jobs
+    cost. Identical assignments on both shapes (asserted per trial).
+    `_stats`, if passed, receives {"rounds", "large_stars",
+    "small_stars"} for benchmarking.
     """
     edges = matches.select(
         F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v")
