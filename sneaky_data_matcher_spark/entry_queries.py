@@ -611,11 +611,16 @@ def er_clusters(spark, sf_dir):
 # exact n-gram Jaccard over all pairs. Equality holds iff LSH recall is 1.0
 # at this threshold/band config on this data (verified; see test_dedup for
 # the probabilistic bound).
+_NGRAM_SH_CTE = (
+    "t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents), "
+    "sh AS MATERIALIZED (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+    "  ELSE list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) END AS s FROM t)"
+)
+
+
 @_q(
     "ngram_dup_pairs",
-    "WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents), "
-    "sh AS MATERIALIZED (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
-    "  ELSE list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) END AS s FROM t) "
+    f"WITH {_NGRAM_SH_CTE} "
     "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
     "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) AS jaccard "
     "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
@@ -1512,6 +1517,44 @@ def line_dedup_q(spark, sf_dir):
         "\n",
     )
     return line_dedup(d.select("doc_id", lined.alias("text")), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Dedup clusters (r3): the full near-dup pipeline composed end-to-end —
+# MinHash+LSH pairs -> connected components -> golden record per dup
+# group. Same LSH-recall caveat as ngram_dup_pairs (the oracle closes over
+# EXHAUSTIVE Jaccard pairs, so equality certifies recall 1.0 end to end),
+# plus the CC + survivorship stages verified transitively in one hash.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dedup_clusters",
+    f"WITH RECURSIVE {_NGRAM_SH_CTE}, "
+    "edges AS MATERIALIZED (SELECT a.doc_id AS u, b.doc_id AS v "
+    "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.7), "
+    "sym AS MATERIALIZED (SELECT u, v FROM edges UNION SELECT v, u FROM edges), "
+    "reach(a, b) AS ("
+    "  SELECT DISTINCT u, u FROM sym "
+    "  UNION SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u), "
+    "clusters AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a), "
+    "j AS (SELECT cl.cluster_id, cl.doc_id, d.text, length(d.text) AS text_len "
+    "  FROM clusters cl JOIN documents d USING (doc_id)), "
+    "ranked AS (SELECT *, "
+    "  row_number() OVER (PARTITION BY cluster_id ORDER BY text_len DESC, doc_id ASC) AS rn, "
+    "  count(*) OVER (PARTITION BY cluster_id) AS n_members FROM j) "
+    "SELECT cluster_id, doc_id AS rep_doc_id, text_len AS rep_text_len, "
+    "text AS rep_text, CAST(n_members AS BIGINT) AS n_members "
+    "FROM ranked WHERE rn = 1",
+)
+def dedup_clusters_q(spark, sf_dir):
+    from .operators import dedup
+    from .operators.clustering import connected_components, golden_records
+
+    d = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup(d, "doc_id", "text", threshold=0.7)
+    comp = connected_components(pairs.select("doc_id_a", "doc_id_b"))
+    return golden_records(comp, d, id_col="doc_id", text_col="text")
 
 
 def _export(name: str):

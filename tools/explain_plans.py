@@ -119,6 +119,42 @@ def main() -> int:
           len(set(_re.findall(r"Window \(\d+\)", plan))) == 1)],
     ))
 
+    # r3 ops: pii_scan is a pure projection (no shuffle, no Python);
+    # line_dedup aggregates with map-side combine and rebuilds order via
+    # array_sort (no Window over the corpus); golden_records is a single
+    # max(struct) agg with partial aggregation (no Window).
+    plan = _fmt(E.queries()["pii_scan"](spark, SF))
+    sections.append((
+        "pii_scan (pure map stage)", plan,
+        [("no shuffle (pipelines with the scan)", "Exchange" not in plan),
+         ("no Python/Arrow boundary",
+          "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan)],
+    ))
+
+    plan = _fmt(E.queries()["line_dedup"](spark, SF))
+    sections.append((
+        "line_dedup (census + ordered rebuild)", plan,
+        [("no window over the corpus",
+          len(set(_re.findall(r"Window \(\d+\)", plan))) == 0),
+         ("map-side partial agg before the census shuffle",
+          "partial_count" in plan),
+         ("no Python/Arrow boundary",
+          "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan)],
+    ))
+
+    from sneaky_data_matcher_spark.operators.clustering import golden_records
+
+    cl = spark.createDataFrame([(1, 1)], "doc_id long, cluster_id long")
+    dc = spark.createDataFrame([(1, "t")], "doc_id long, doc_text string")
+    plan = _fmt(golden_records(cl, dc))
+    sections.append((
+        "golden_records (max-struct agg, no window)", plan,
+        [("no window (survivorship via partial-aggregable max(struct))",
+          len(set(_re.findall(r"Window \(\d+\)", plan))) == 0),
+         ("map-side partial max before the cluster shuffle",
+          "partial_max" in plan or "partial_count" in plan)],
+    ))
+
     out_lines = ["# Physical plans (generated by tools/explain_plans.py)\n"]
     ok_all = True
     for title, plan, checks in sections:
