@@ -337,11 +337,13 @@ def line_dedup(
       - the line census is a groupBy on the line itself with map-side
         combine; hot boilerplate lines ("(c) 2024 ...") concentrate on one
         reducer but carry only a count — no payload skew.
-      - the census join back is line->count on the exploded frame; the
-        rebuild groupBy(doc_id) carries (line_no, line) structs and
+      - the join back onto the exploded frame uses only the DUPLICATE
+        side of the census (n >= min_count) as the build side with a left
+        join: the dup-line set is the corpus's distinct boilerplate — far
+        smaller than the distinct-line census — so AQE can broadcast it,
+        and unique lines (the vast majority) never shuffle for the tag.
+      - the rebuild groupBy(doc_id) carries (line_no, line) structs and
         reassembles order with array_sort, so no window over the corpus.
-      - exactly two shuffles (census agg reuses the join's hash
-        partitioning on `line` under AQE).
     """
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -349,9 +351,13 @@ def line_dedup(
         # empties kept (limit -1) so blank lines census like any other
         F.posexplode(F.split(F.col(text_col), sep, -1)).alias("line_no", "line"),
     )
-    census = lines.groupBy("line").agg(F.count("*").alias("n_occurrences"))
-    tagged = lines.join(census, "line").withColumn(
-        "is_dup", F.col("n_occurrences") >= min_count
+    dup_lines = (
+        lines.groupBy("line")
+        .agg(F.count("*").alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+    )
+    tagged = lines.join(dup_lines, "line", "left").withColumn(
+        "is_dup", F.col("n_occurrences").isNotNull()
     )
     kept_struct = F.when(
         ~F.col("is_dup"), F.struct(F.col("line_no"), F.col("line"))
@@ -373,3 +379,94 @@ def line_dedup(
         )
         .select("doc_id", "n_lines", "n_dup_lines", "clean_text")
     )
+
+
+def minhash_est_jaccard(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
+    """Jaccard estimate from two minhash signatures: the fraction of
+    agreeing components. Std error ~ sqrt(J(1-J)/K) ≈ 0.04 at K=128."""
+    agree = F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda z: z)
+    )
+    return agree.cast("double") / F.lit(float(num_hashes))
+
+
+def incremental_minhash_dedup(
+    io,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 128,
+    bands: int = 32,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+    table: str = "minhash_index",
+) -> DataFrame:
+    """Dedup an INCOMING batch against the committed corpus + itself —
+    the standard crawl-pipeline shape: each new shard must be checked
+    against everything already ingested without re-scanning old text.
+
+    The committed state is a signature index (doc_id, sig[K]) persisted
+    via TableIO (~1 KB/doc at K=128) — old TEXT is never re-read; matches
+    are decided by the minhash Jaccard ESTIMATE (minhash_est_jaccard), so
+    the only thing that ever joins across batches is band keys + two
+    signature arrays. Emits pairs (doc_id_a < doc_id_b, est_jaccard >=
+    threshold) covering new x committed and new x new, then appends the
+    new signatures to the index. Old x old pairs were emitted when those
+    batches were ingested.
+
+    Scale notes (100 TB):
+      - per-batch cost ∝ batch size + matched band buckets, never the
+        corpus: band keys are derived from the committed sigs in a
+        projection (at warehouse scale, persist the band table bucketed
+        by band_key instead and skip the recompute).
+      - candidate pairs shuffle bare ids; signatures attach AFTER the
+        distinct, exactly like the batch LSH path (r2 fix).
+      - ids must be totally ordered (least/greatest canonicalization);
+        re-ingesting an existing doc_id is the caller's contract to avoid.
+    """
+    sigs_new = minhash_signatures(
+        new_docs, id_col, text_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)  # reused 3x: keys, attach, append
+    keys_new = lsh_band_keys(sigs_new, bands, rows_per_band)
+
+    within = lsh_candidates(keys_new)
+    if io.exists(table):
+        sigs_old = io.load(table)
+        keys_old = lsh_band_keys(sigs_old, bands, rows_per_band)
+        cross = (
+            keys_new.select("band_key", F.col("doc_id").alias("new_id"))
+            .join(
+                keys_old.select("band_key", F.col("doc_id").alias("old_id")),
+                "band_key",
+            )
+            .select(
+                F.least("new_id", "old_id").alias("doc_id_a"),
+                F.greatest("new_id", "old_id").alias("doc_id_b"),
+            )
+            .distinct()
+        )
+        cand = within.unionByName(cross).distinct()
+        all_sigs = sigs_new.unionByName(sigs_old)
+    else:
+        cand = within
+        all_sigs = sigs_new
+
+    a = all_sigs.select(F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a"))
+    b = all_sigs.select(F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        cand.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            minhash_est_jaccard(F.col("sig_a"), F.col("sig_b"), num_hashes).alias(
+                "est_jaccard"
+            ),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+    pairs = pairs.localCheckpoint(eager=True)  # materialize BEFORE the
+    # index append mutates the table the plan reads from
+    io.append(sigs_new, table)
+    return pairs

@@ -264,3 +264,58 @@ def test_line_dedup_order_preserved_many_lines(spark):
     row = line_dedup(docs, "doc_id", "text").collect()[0]
     assert row["clean_text"] == "\n".join(lines)
     assert row["n_lines"] == 32 and row["n_dup_lines"] == 2
+
+
+# ---------------------------------------------------------------------------
+# incremental_minhash_dedup — cross-batch dedup against the committed index
+# ---------------------------------------------------------------------------
+
+def test_incremental_minhash_dedup_equals_single_shot(spark, tmp_path):
+    from sneaky_data_matcher_spark.operators.dedup import incremental_minhash_dedup
+    from sneaky_data_matcher_spark.sources.io import TableIO
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+
+    def run(batches, base):
+        io = TableIO(spark, str(base))
+        out = set()
+        for b in batches:
+            pairs = incremental_minhash_dedup(io, b, "doc_id", "text", threshold=0.7)
+            out |= {
+                (r["doc_id_a"], r["doc_id_b"], round(r["est_jaccard"], 9))
+                for r in pairs.collect()
+            }
+        return out
+
+    single = run([docs], tmp_path / "single")
+    split = run(
+        [docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1)],
+        tmp_path / "split",
+    )
+    assert single, "fixture should contain near-dups"
+    assert split == single  # cross-batch candidates == self-join candidates
+
+
+def test_incremental_minhash_dedup_no_old_text(spark, tmp_path):
+    """The second batch must match against the index WITHOUT the first
+    batch's text being readable anymore (the 100 TB contract: old text is
+    never re-scanned)."""
+    from sneaky_data_matcher_spark.operators.dedup import incremental_minhash_dedup
+    from sneaky_data_matcher_spark.sources.io import TableIO
+
+    io = TableIO(spark, str(tmp_path / "state"))
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(2, "the quick brown fox jumps over the lazy dog again and again"),
+         (3, "completely unrelated content about spark shuffles and joins")],
+        "doc_id long, text string",
+    )
+    assert incremental_minhash_dedup(io, b1, "doc_id", "text").count() == 0
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in incremental_minhash_dedup(io, b2, "doc_id", "text").collect()
+    }
+    assert got == {(1, 2)}  # identical text -> est_jaccard 1.0; 3 matches nothing
