@@ -1557,6 +1557,241 @@ def dedup_clusters_q(spark, sf_dir):
     return golden_records(comp, d, id_col="doc_id", text_col="text")
 
 
+# ---------------------------------------------------------------------------
+# Sessionization (r3): gap-based sessions over the events table
+# (operators/sessions.py). The oracle runs the identical lag/cumsum window
+# in DuckDB; session_stats additionally certifies that Spark's NATIVE
+# session_window operator produces the same sessions as the window idiom
+# (their agreement is also pytest-asserted in tests/test_sessions.py).
+# ---------------------------------------------------------------------------
+
+_SESS_GAP_S = 28800  # 8 h — ~half the fixture's inter-event gaps merge
+
+_SESS_CTE = (
+    "sb AS (SELECT event_id, user_id, ts, value, "
+    "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL "
+    f"  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {_SESS_GAP_S * 1_000_000} "
+    "THEN 1 ELSE 0 END AS brk "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+    "sa AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS session_no FROM sb)"
+)
+
+
+@_q(
+    "sessionize_events",
+    f"WITH {_SESS_CTE} SELECT event_id, user_id, "
+    "CAST(session_no AS BIGINT) AS session_no, "
+    "CAST(user_id AS VARCHAR) || '-' || CAST(session_no AS VARCHAR) AS session_id "
+    "FROM sa",
+)
+def sessionize_events_q(spark, sf_dir):
+    from .operators import sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessions.sessionize(ev, gap_s=_SESS_GAP_S).select(
+        "event_id",
+        "user_id",
+        F.col("session_no").cast("long").alias("session_no"),
+        "session_id",
+    )
+
+
+@_q(
+    "session_stats",
+    f"WITH {_SESS_CTE} SELECT user_id, min(ts) AS session_start, "
+    "count(*) AS session_events, "
+    "(max(epoch_us(ts)) - min(epoch_us(ts))) / CAST(1000000 AS DOUBLE) AS duration_s, "
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+    "FROM sa GROUP BY user_id, session_no",
+)
+def session_stats_q(spark, sf_dir):
+    from .operators import sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessions.session_stats(ev, gap_s=_SESS_GAP_S)
+
+
+# ---------------------------------------------------------------------------
+# Decontamination (r3): corpus docs sharing token n-grams with a benchmark
+# set (operators/decontam.py). Benchmark = doc_id % 37 == 0 (a stand-in
+# eval set); n=3 because fixture docs are short (production uses 13) —
+# 312 contaminated docs at sf0.01 vs 1 at n=5.
+# ---------------------------------------------------------------------------
+
+_DECON_CTE = (
+    "dt AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents), "
+    "dg AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+    "  ELSE list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) END AS grams FROM dt), "
+    "bg AS (SELECT DISTINCT unnest(grams) AS gram FROM dg WHERE doc_id % 37 = 0), "
+    "cg AS (SELECT doc_id, unnest(grams) AS gram FROM dg WHERE doc_id % 37 <> 0)"
+)
+
+
+@_q(
+    "decontaminate",
+    f"WITH {_DECON_CTE} "
+    "SELECT doc_id, count(*) AS n_overlap FROM cg JOIN bg USING (gram) GROUP BY doc_id",
+)
+def decontaminate_q(spark, sf_dir):
+    from .operators import decontam
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 37 == 0)
+    corpus = d.where(F.col("doc_id") % 37 != 0)
+    return decontam.decontaminate(corpus, bench, n=3)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling + mixture weighting (r3, operators/sampling.py).
+# The keep decision is the portable double-Lehmer hash, so the oracle
+# reproduces every kept row; weights are exact double arithmetic on the
+# (stratum, count) census, identical order of operations on both engines.
+# ---------------------------------------------------------------------------
+
+def _lehmer_sql(key: str, salt: int = 0) -> str:
+    m, a = 2147483647, 48271
+    x = f"(({key} + {salt}) % {m})"
+    return (
+        f"CAST((({x} * {a} % {m}) * {a} % {m}) AS DOUBLE) / CAST({m} AS DOUBLE)"
+    )
+
+
+@_q(
+    "deterministic_sample",
+    f"SELECT doc_id, lang FROM documents WHERE {_lehmer_sql('doc_id')} < CAST(0.2 AS DOUBLE)",
+)
+def deterministic_sample_q(spark, sf_dir):
+    from .operators import sampling
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return sampling.deterministic_sample(d, "doc_id", 0.2)
+
+
+_MIX_CTE = (
+    "census AS (SELECT lang AS stratum, count(*) AS n_rows FROM documents GROUP BY lang), "
+    "tot AS (SELECT sum(n_rows) AS total, count(*) AS n_strata FROM census), "
+    "sh2 AS (SELECT stratum, n_rows, CAST(n_rows AS DOUBLE) / total AS obs, "
+    "  CAST(1 AS DOUBLE) / n_strata AS tgt FROM census, tot), "
+    "mx AS (SELECT max(tgt / obs) AS mr FROM sh2)"
+)
+
+
+@_q(
+    "mixture_weights",
+    f"WITH {_MIX_CTE} SELECT stratum, n_rows, round(obs, 9) AS observed_share, "
+    "round(tgt, 9) AS target_share, round((tgt / obs) / mr, 9) AS weight FROM sh2, mx",
+)
+def mixture_weights_q(spark, sf_dir):
+    from .operators import sampling
+
+    return sampling.mixture_weights(_docs(spark, sf_dir), "lang")
+
+
+@_q(
+    "stratified_sample",
+    f"WITH {_MIX_CTE}, w AS (SELECT stratum AS lang, round((tgt / obs) / mr, 9) AS weight FROM sh2, mx) "
+    f"SELECT d.doc_id, d.lang FROM documents d JOIN w USING (lang) "
+    f"WHERE {_lehmer_sql('d.doc_id')} < weight",
+)
+def stratified_sample_q(spark, sf_dir):
+    from .operators import sampling
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return sampling.stratified_sample(d, "doc_id", "lang").select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# As-of join (r3, operators/asof.py): every event's most recent order at
+# or before a probe timestamp. The DuckDB oracle uses the NATIVE ASOF
+# LEFT JOIN, so this certifies the union/window implementation against an
+# independent engine's as-of semantics (incl. the no-match null rows).
+# Events live in 2024 and orders in 1995-2001, so the probe scatters each
+# event's epoch-second into the order era with a Lehmer step (plain mod
+# would collapse the one-month event range onto early 1995 -> 89% nulls).
+# Right side deduped to one row per (cust, date) so tie rules can't
+# differ between engines.
+# ---------------------------------------------------------------------------
+
+_ASOF_EPOCH_1995_US = 788918400000000
+_ASOF_SPAN_S = 189216000  # ~6 years
+
+
+@_q(
+    "asof_join_orders",
+    "WITH probe AS (SELECT event_id, user_id, make_timestamp("
+    f"{_ASOF_EPOCH_1995_US} + ((epoch_us(ts) // 1000000) * 48271 % {_ASOF_SPAN_S}) * 1000000) AS probe_ts FROM events), "
+    "ords AS (SELECT * FROM (SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice, "
+    "  row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn FROM orders) WHERE rn = 1) "
+    "SELECT p.event_id, p.user_id, o.o_orderdate AS asof_o_orderdate, "
+    "o.o_orderkey AS asof_o_orderkey, o.o_totalprice AS asof_o_totalprice "
+    "FROM probe p ASOF LEFT JOIN ords o "
+    "ON p.user_id = o.user_id AND p.probe_ts >= o.o_orderdate",
+)
+def asof_join_orders_q(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    secs = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    probe = ev.select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(
+            F.lit(_ASOF_EPOCH_1995_US)
+            + (secs * 48271 % _ASOF_SPAN_S) * 1_000_000
+        ).alias("probe_ts"),
+    )
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    ords = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    return asof_join(
+        probe, ords, "user_id", "probe_ts", "o_orderdate", tiebreak="o_orderkey"
+    ).drop("probe_ts")
+
+
+@_q(
+    "stream_session_stats",
+    # the batch session_stats twin RESTRICTED to closed sessions: session
+    # windows stream in APPEND mode only, emitting a session when the
+    # watermark (here max event ts, 0s delay) passes last_event + gap —
+    # i.e. every session except the one holding the globally-latest event.
+    # The HAVING clause is that emission rule, verbatim.
+    f"WITH {_SESS_CTE} SELECT user_id, min(ts) AS session_start, "
+    "count(*) AS session_events, "
+    "(max(epoch_us(ts)) - min(epoch_us(ts))) / CAST(1000000 AS DOUBLE) AS duration_s, "
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+    "FROM sa GROUP BY user_id, session_no "
+    f"HAVING max(epoch_us(ts)) + {_SESS_GAP_S * 1_000_000} "
+    "<= (SELECT max(epoch_us(ts)) FROM events)",
+)
+def stream_session_stats_q(spark, sf_dir):
+    from .streaming.incremental import run_stream_to_memory, streaming_session_stats
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = streaming_session_stats(stream, gap_s=_SESS_GAP_S, watermark="0 seconds")
+    return run_stream_to_memory(
+        spark, agg, "stream_session_stats_sink", output_mode="append"
+    )
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL

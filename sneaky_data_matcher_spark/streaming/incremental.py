@@ -69,6 +69,50 @@ def windowed_event_counts(
     )
 
 
+def streaming_session_stats(
+    events_stream: DataFrame,
+    gap_s: int = 1800,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming gap-sessionization via the NATIVE session_window operator —
+    the streaming twin of operators/sessions.session_stats (same
+    aggregates, same decimal-exact sum).
+
+    State is bounded by the watermark: a session's state drops once the
+    watermark passes last_event + gap, so per-key state is O(open
+    sessions), never O(history). Spark 4.1 session-window streaming
+    aggregation supports APPEND output only (update raises
+    STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION — verified): a session
+    emits once the watermark passes its end (last_event + gap). On a
+    replayed static file with a 0-second watermark that is every session
+    except the one holding the globally-latest event — the exact
+    closed-session subset the batch twin filters to in
+    tests/test_streaming.py and the stream_session_stats oracle."""
+    ev = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", f"{gap_s} seconds"))
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("session_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("first_ts").cast("timestamp_ntz").alias("session_start"),
+            "session_events",
+            (
+                (F.unix_micros(F.col("last_ts")) - F.unix_micros(F.col("first_ts")))
+                / 1_000_000.0
+            ).alias("duration_s"),
+            "sum_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stateful streaming candidate generation (applyInPandasWithState)
 # ---------------------------------------------------------------------------

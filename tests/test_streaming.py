@@ -36,6 +36,34 @@ def test_windowed_counts_match_batch(spark, events_dir):
     assert g == w and len(g) > 0
 
 
+def test_streaming_session_stats_match_batch(spark, events_dir):
+    from sneaky_data_matcher_spark.operators.sessions import session_stats
+
+    batch = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    got = S.run_stream_to_memory(
+        spark,
+        S.streaming_session_stats(stream, gap_s=600, watermark="0 seconds"),
+        "sess_test",
+        output_mode="append",
+    )
+    # append mode emits CLOSED sessions: last_event + gap <= watermark
+    # (= global max ts at 0s delay); filter the batch twin identically
+    mx = batch.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+    ).collect()[0][0]
+    last_us = (
+        F.unix_micros(F.col("session_start").cast("timestamp"))
+        + (F.col("duration_s") * 1_000_000).cast("long")
+    )
+    want = session_stats(batch, gap_s=600).where(last_us + 600 * 1_000_000 <= mx)
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) > 0
+    # exactly one session (the one holding the global max event) stays open
+    assert session_stats(batch, gap_s=600).count() == len(g) + 1
+
+
 def test_stream_probe_match_finds_all(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     spans = derive_spans(docs)
