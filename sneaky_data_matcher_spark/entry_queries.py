@@ -555,55 +555,89 @@ def er_pair_scores(spark, sf_dir):
     )
 
 
+def _er_scored_frame(spark, sf_dir):
+    """Candidate pairs with the SQL-portable feature columns of the
+    er_scored twin: (doc_id_a, doc_id_b, jw [rounded 6], lev_ratio,
+    tok_jaccard). Cached — er_matches, er_clusters, er_eval and the
+    Fellegi–Sunter queries all read it."""
+
+    def build():
+        from .functions.similarity import jaro_winkler, levenshtein_ratio
+
+        canon, _, pairs = _er_frames(spark, sf_dir)
+        a = canon.select(
+            F.col("doc_id").alias("doc_id_a"), F.col("doc_text").alias("ta")
+        )
+        b = canon.select(
+            F.col("doc_id").alias("doc_id_b"), F.col("doc_text").alias("tb")
+        )
+        t = pairs.join(a, "doc_id_a").join(b, "doc_id_b")
+        sa = F.array_distinct(F.split("ta", " "))
+        sb = F.array_distinct(F.split("tb", " "))
+        un = F.size(F.array_union(sa, sb))
+        tok_jac = F.when(un == 0, F.lit(1.0)).otherwise(
+            F.size(F.array_intersect(sa, sb)).cast("double") / un.cast("double")
+        )
+        return t.select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(jaro_winkler(F.col("ta"), F.col("tb")), 6).alias("jw"),
+            levenshtein_ratio(F.col("ta"), F.col("tb")).alias("lev_ratio"),
+            tok_jac.alias("tok_jaccard"),
+        )
+
+    return _cached(spark, sf_dir, "er_scored", build)
+
+
 @_q(
     "er_matches",
     f"WITH {_ER_SCORED_CTE} SELECT doc_id_a, doc_id_b FROM er_scored "
     f"WHERE {_ER_MATCH_COND}",
 )
 def er_matches(spark, sf_dir):
-    from .functions.similarity import jaro_winkler, levenshtein_ratio
-
-    canon, _, pairs = _er_frames(spark, sf_dir)
-    a = canon.select(F.col("doc_id").alias("doc_id_a"), F.col("doc_text").alias("ta"))
-    b = canon.select(F.col("doc_id").alias("doc_id_b"), F.col("doc_text").alias("tb"))
-    t = pairs.join(a, "doc_id_a").join(b, "doc_id_b")
-    sa = F.array_distinct(F.split("ta", " "))
-    sb = F.array_distinct(F.split("tb", " "))
-    un = F.size(F.array_union(sa, sb))
-    tok_jac = F.when(un == 0, F.lit(1.0)).otherwise(
-        F.size(F.array_intersect(sa, sb)).cast("double") / un.cast("double")
+    s = _er_scored_frame(spark, sf_dir)
+    score = (
+        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
     )
-    jw = F.round(jaro_winkler(F.col("ta"), F.col("tb")), 6)
-    score = 0.4 * jw + 0.2 * levenshtein_ratio(F.col("ta"), F.col("tb")) + 0.4 * tok_jac
-    return t.where(score >= 0.8).select("doc_id_a", "doc_id_b")
+    return s.where(score >= 0.8).select("doc_id_a", "doc_id_b")
 
 
 # Transitive clusters: Spark large-star/small-star vs DuckDB recursive-CTE
 # reachability closure (small graph at sf0.01 — the oracle's O(n*m) is fine).
-@_q(
-    "er_clusters",
-    f"WITH RECURSIVE {_ER_SCORED_CTE}, "
-    f"edges AS MATERIALIZED (SELECT doc_id_a AS u, doc_id_b AS v FROM er_scored WHERE {_ER_MATCH_COND}), "
+# The chain is a reusable CTE: er_cluster_stats and the Fellegi–Sunter
+# estimation queries build on `clusters`.
+_ER_CLUSTERS_CTE = (
+    _ER_SCORED_CTE
+    + f", edges AS MATERIALIZED (SELECT doc_id_a AS u, doc_id_b AS v FROM er_scored WHERE {_ER_MATCH_COND}), "
     "sym AS MATERIALIZED (SELECT u, v FROM edges UNION SELECT v, u FROM edges), "
     "reach(a, b) AS ("
     "  SELECT doc_id, doc_id FROM canon WHERE doc_text <> '' "
-    "  UNION SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u) "
-    "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a",
+    "  UNION SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u), "
+    "clusters AS MATERIALIZED (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)"
+)
+
+
+@_q(
+    "er_clusters",
+    f"WITH RECURSIVE {_ER_CLUSTERS_CTE} SELECT doc_id, cluster_id FROM clusters",
 )
 def er_clusters(spark, sf_dir):
     from .operators.clustering import connected_components
 
-    canon, _, _ = _er_frames(spark, sf_dir)
-    m = er_matches(spark, sf_dir)
-    comp = connected_components(m)
-    return (
-        canon.select("doc_id")
-        .join(comp, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    def build():
+        canon, _, _ = _er_frames(spark, sf_dir)
+        m = er_matches(spark, sf_dir)
+        comp = connected_components(m)
+        return (
+            canon.select("doc_id")
+            .join(comp, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            )
         )
-    )
+
+    return _cached(spark, sf_dir, "er_clusters", build)
 
 
 # MinHash-LSH near-dup pairs: the LSH path is hash-family specific (Spark
@@ -1159,6 +1193,52 @@ def media_decode_wav(spark, sf_dir):
 )
 def media_decode_bmp(spark, sf_dir):
     return _media_decode_q(spark, sf_dir, "image")
+
+
+# AVI video decode (r3): synth emits a structurally-valid RIFF/AVI (hdrl +
+# movi with uncompressed bottom-up BGR24 '00db' frames), _decode_avi parses
+# it, and the twin recomputes every feature from the generative per-frame
+# pixel formula r=(s//11+7p+13f)%256, g=(s//7+5p+17f)%256, b=(s+3p+19f)%256
+# — lum and motion in pure integer math (operators/multimodal.py).
+_AVI_LUM = (
+    "list_transform(range(0, nf), f -> list_transform(range(0, npx), p -> "
+    "(((seed // 11 + 7 * p + 13 * f) % 256) * 299 "
+    "+ ((seed // 7 + 5 * p + 17 * f) % 256) * 587 "
+    "+ ((seed + 3 * p + 19 * f) % 256) * 114) // 1000))"
+)
+
+
+@_q(
+    "media_decode_avi",
+    f"WITH {_MEDIA_REFS_CTE}, "
+    f"sd AS (SELECT media_ref, {_WAV_SEED} AS seed "
+    "  FROM (SELECT media_ref, sha256(media_ref) AS hh FROM refs WHERE kind = 'video')), "
+    "pr AS (SELECT media_ref, seed, 4 + seed % 8 AS w, 4 + (seed // 16) % 8 AS h, "
+    "  2 + (seed // 256) % 6 AS nf FROM sd), "
+    "px AS (SELECT *, w * h AS npx FROM pr), "
+    f"lm AS (SELECT media_ref, w, h, nf, npx, {_AVI_LUM} AS lum FROM px), "
+    "ag AS (SELECT media_ref, w, h, nf, npx, lum, "
+    "  list_sum(list_transform(lum, l -> list_sum(l))) AS ls, "
+    "  list_max(list_transform(lum, l -> list_max(l))) AS lmx, "
+    "  list_min(list_transform(lum, l -> list_min(l))) AS lmn, "
+    "  CASE WHEN nf = 1 THEN 0 ELSE list_sum(list_transform(range(1, nf), f -> "
+    "    list_sum(list_transform(range(0, npx), p -> abs(lum[f + 1][p + 1] - lum[f][p + 1]))))) END AS mot "
+    "FROM lm) "
+    "SELECT media_ref, CAST(idx AS INT) AS idx, floor((CASE idx "
+    "  WHEN 0 THEN w / 1024.0 "
+    "  WHEN 1 THEN h / 1024.0 "
+    "  WHEN 2 THEN nf / 64.0 "
+    "  WHEN 3 THEN 10.0 / 64.0 "
+    "  WHEN 4 THEN CAST(ls AS DOUBLE) / (nf * npx) / 255.0 "
+    "  WHEN 5 THEN lmx / 255.0 "
+    "  WHEN 6 THEN lmn / 255.0 "
+    "  WHEN 7 THEN (CASE WHEN nf = 1 THEN 0.0 ELSE CAST(mot AS DOUBLE) / ((nf - 1) * npx) END) / 255.0 "
+    "  ELSE CAST(list_sum(list_transform(lum, l -> len(list_filter(l, x -> x * 8 // 256 = idx - 8)))) AS DOUBLE) / (nf * npx) "
+    "END) * 1000000) / 1000000 AS value "
+    "FROM (SELECT *, unnest(range(16)) AS idx FROM ag)",
+)
+def media_decode_avi(spark, sf_dir):
+    return _media_decode_q(spark, sf_dir, "video")
 
 
 @_q(
@@ -1790,6 +1870,199 @@ def stream_session_stats_q(spark, sf_dir):
     return run_stream_to_memory(
         spark, agg, "stream_session_stats_sink", output_mode="append"
     )
+
+
+# ---------------------------------------------------------------------------
+# r3: linkage quality, meta-blocking, Fellegi–Sunter, BM25
+# ---------------------------------------------------------------------------
+
+# Pairwise evaluation of the ER matcher against an independent truth set:
+# truth = n-gram-Jaccard >= 0.7 near-dup pairs (the ngram_dup_pairs
+# relation), pred = er_matches. tp/fp/fn are exact longs; the ratios are
+# single divisions of those longs.
+@_q(
+    "er_eval",
+    f"WITH {_ER_SCORED_CTE}, {_NGRAM_SH_CTE}, "
+    f"pred AS (SELECT doc_id_a, doc_id_b FROM er_scored WHERE {_ER_MATCH_COND}), "
+    "truth AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
+    "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.7), "
+    "j AS (SELECT p.doc_id_a AS pa, t.doc_id_a AS ta FROM pred p "
+    "  FULL OUTER JOIN truth t ON p.doc_id_a = t.doc_id_a AND p.doc_id_b = t.doc_id_b), "
+    "c AS (SELECT count(CASE WHEN pa IS NOT NULL AND ta IS NOT NULL THEN 1 END) AS tp, "
+    "  count(CASE WHEN pa IS NOT NULL AND ta IS NULL THEN 1 END) AS fp, "
+    "  count(CASE WHEN ta IS NOT NULL AND pa IS NULL THEN 1 END) AS fn FROM j) "
+    "SELECT tp, fp, fn, "
+    "round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6) AS precision, "
+    "round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6) AS recall, "
+    "round(CAST(2 * tp AS DOUBLE) / greatest(2 * tp + fp + fn, 1), 6) AS f1 FROM c",
+)
+def er_eval_q(spark, sf_dir):
+    from .operators import evaluation
+
+    pred = er_matches(spark, sf_dir)
+    truth = ngram_dup_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    return evaluation.pairwise_confusion(pred, truth)
+
+
+@_q(
+    "er_cluster_stats",
+    f"WITH RECURSIVE {_ER_CLUSTERS_CTE}, "
+    "sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY cluster_id) "
+    "SELECT cluster_size, count(*) AS n_clusters, cluster_size * count(*) AS n_docs "
+    "FROM sizes GROUP BY cluster_size",
+)
+def er_cluster_stats_q(spark, sf_dir):
+    from .operators import evaluation
+
+    return evaluation.cluster_size_stats(er_clusters(spark, sf_dir))
+
+
+# Blocking skew diagnostics over the er keys frame: per-pass block counts,
+# the largest block, and the candidate-pair mass sum(s*(s-1)/2) split into
+# total vs hot (> cap) — the quantity that explodes at 100 TB when a key
+# degenerates. Cap mirrors blocking.DEFAULT_MAX_BLOCK_SIZE.
+@_q(
+    "blocking_census",
+    f"WITH {_ER_KEYS_CTE}, "
+    "census AS (SELECT pass, block_key, count(*) AS sz FROM er_keys GROUP BY pass, block_key) "
+    "SELECT pass, count(*) AS n_blocks, sum(sz) AS n_keys, max(sz) AS max_block, "
+    "sum((sz * (sz - 1)) // 2) AS pair_mass, "
+    "count(CASE WHEN sz > 50 THEN 1 END) AS hot_blocks, "
+    "coalesce(sum(CASE WHEN sz > 50 THEN (sz * (sz - 1)) // 2 END), 0) AS hot_pair_mass "
+    "FROM census GROUP BY pass",
+)
+def blocking_census_q(spark, sf_dir):
+    from .operators import evaluation
+
+    _, keys, _ = _er_frames(spark, sf_dir)
+    return evaluation.blocking_census(keys, max_block_size=50)
+
+
+# Meta-blocking (Papadakis et al.): CBS-weighted blocking graph + WEP
+# pruning. Edges surviving the global-mean threshold carry their CBS and
+# block-set Jaccard; the mean check is cross-multiplied so it stays in
+# exact integer arithmetic on both engines.
+@_q(
+    "meta_blocking_wep",
+    f"WITH {_ER_KEYS_CTE}, "
+    "edges AS MATERIALIZED (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS cbs "
+    "  FROM er_keys a JOIN er_keys b ON a.pass = b.pass AND a.block_key = b.block_key "
+    "  AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), "
+    "nbc AS (SELECT doc_id, count(*) AS nb FROM er_keys GROUP BY doc_id), "
+    "we AS (SELECT e.doc_id_a, e.doc_id_b, e.cbs, "
+    "  CAST(e.cbs AS DOUBLE) / CAST(na.nb + nbb.nb - e.cbs AS DOUBLE) AS jaccard "
+    "  FROM edges e JOIN nbc na ON e.doc_id_a = na.doc_id JOIN nbc nbb ON e.doc_id_b = nbb.doc_id), "
+    "st AS (SELECT sum(cbs) AS cbs_sum, count(*) AS n_edges FROM we) "
+    "SELECT doc_id_a, doc_id_b, cbs, jaccard FROM we, st "
+    "WHERE cbs * n_edges >= cbs_sum",
+)
+def meta_blocking_wep_q(spark, sf_dir):
+    from .operators import metablocking
+
+    _, keys, _ = _er_frames(spark, sf_dir)
+    return metablocking.wep_prune(metablocking.block_graph_edges(keys))
+
+
+# Fellegi–Sunter m/u estimation over candidate pairs, labeled by the
+# transitive clusters (same-cluster = match). Keep the CASE thresholds in
+# lock-step with fellegi_sunter.DEFAULT_BINS.
+_FS_FEATURES = ["jw", "tok_jaccard", "lev_ratio"]
+_FS_LVL_SQL = (
+    "CASE WHEN jw >= 0.95 THEN 2 WHEN jw >= 0.85 THEN 1 ELSE 0 END AS jw_lvl, "
+    "CASE WHEN tok_jaccard >= 0.6 THEN 2 WHEN tok_jaccard >= 0.3 THEN 1 ELSE 0 END AS tok_jaccard_lvl, "
+    "CASE WHEN lev_ratio >= 0.75 THEN 2 WHEN lev_ratio >= 0.5 THEN 1 ELSE 0 END AS lev_ratio_lvl"
+)
+
+_FS_WEIGHTS_CTE = (
+    _ER_CLUSTERS_CTE
+    + ", lab AS (SELECT s.*, (ca.cluster_id = cb.cluster_id) AS is_match "
+    "FROM er_scored s JOIN clusters ca ON s.doc_id_a = ca.doc_id "
+    "JOIN clusters cb ON s.doc_id_b = cb.doc_id), "
+    f"lvl AS (SELECT is_match, {_FS_LVL_SQL} FROM lab), "
+    "melted AS ("
+    "  SELECT is_match, 'jw' AS feature, jw_lvl AS level FROM lvl "
+    "  UNION ALL SELECT is_match, 'tok_jaccard', tok_jaccard_lvl FROM lvl "
+    "  UNION ALL SELECT is_match, 'lev_ratio', lev_ratio_lvl FROM lvl), "
+    "counts AS (SELECT feature, level, "
+    "  count(CASE WHEN is_match THEN 1 END) AS c_m, "
+    "  count(CASE WHEN NOT is_match THEN 1 END) AS c_u FROM melted GROUP BY feature, level), "
+    "totals AS (SELECT feature, sum(c_m) AS n_m, sum(c_u) AS n_u FROM counts GROUP BY feature), "
+    "grid AS (SELECT t.feature, g.level, t.n_m, t.n_u, "
+    "  coalesce(c.c_m, 0) AS c_m, coalesce(c.c_u, 0) AS c_u "
+    "  FROM totals t CROSS JOIN (SELECT unnest(range(3)) AS level) g "
+    "  LEFT JOIN counts c ON c.feature = t.feature AND c.level = g.level), "
+    "fs_weights AS (SELECT feature, CAST(level AS INT) AS level, "
+    "  CAST(c_m + 1 AS DOUBLE) / CAST(n_m + 3 AS DOUBLE) AS m_prob, "
+    "  CAST(c_u + 1 AS DOUBLE) / CAST(n_u + 3 AS DOUBLE) AS u_prob, "
+    "  floor(log2((CAST(c_m + 1 AS DOUBLE) / CAST(n_m + 3 AS DOUBLE)) "
+    "    / (CAST(c_u + 1 AS DOUBLE) / CAST(n_u + 3 AS DOUBLE))) * 1000000) / 1000000 AS weight "
+    "FROM grid)"
+)
+
+
+def _fs_levels_and_labels(spark, sf_dir):
+    from .operators import fellegi_sunter as FS
+
+    scored = _er_scored_frame(spark, sf_dir)
+    levels = FS.agreement_levels(scored)
+    cl = er_clusters(spark, sf_dir)
+    ca = cl.select(F.col("doc_id").alias("doc_id_a"), F.col("cluster_id").alias("cl_a"))
+    cb = cl.select(F.col("doc_id").alias("doc_id_b"), F.col("cluster_id").alias("cl_b"))
+    labels = (
+        scored.select("doc_id_a", "doc_id_b")
+        .join(ca, "doc_id_a")
+        .join(cb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (F.col("cl_a") == F.col("cl_b")).alias("is_match"),
+        )
+    )
+    return levels, labels
+
+
+@_q(
+    "fs_weights",
+    f"WITH RECURSIVE {_FS_WEIGHTS_CTE} "
+    "SELECT feature, level, m_prob, u_prob, weight FROM fs_weights",
+)
+def fs_weights_q(spark, sf_dir):
+    from .operators import fellegi_sunter as FS
+
+    levels, labels = _fs_levels_and_labels(spark, sf_dir)
+    return FS.estimate_mu_supervised(levels, labels, _FS_FEATURES)
+
+
+@_q(
+    "fs_match_weights",
+    f"WITH RECURSIVE {_FS_WEIGHTS_CTE}, "
+    f"plvl AS (SELECT doc_id_a, doc_id_b, {_FS_LVL_SQL} FROM er_scored) "
+    "SELECT p.doc_id_a, p.doc_id_b, p.jw_lvl, p.tok_jaccard_lvl, p.lev_ratio_lvl, "
+    "wj.weight + wt.weight + wl.weight AS fs_weight "
+    "FROM plvl p "
+    "JOIN fs_weights wj ON wj.feature = 'jw' AND wj.level = p.jw_lvl "
+    "JOIN fs_weights wt ON wt.feature = 'tok_jaccard' AND wt.level = p.tok_jaccard_lvl "
+    "JOIN fs_weights wl ON wl.feature = 'lev_ratio' AND wl.level = p.lev_ratio_lvl",
+)
+def fs_match_weights_q(spark, sf_dir):
+    from .operators import fellegi_sunter as FS
+
+    levels, labels = _fs_levels_and_labels(spark, sf_dir)
+    weights = FS.estimate_mu_supervised(levels, labels, _FS_FEATURES)
+    return FS.match_weights(levels, weights, _FS_FEATURES)
+
+
+# BM25 ranked retrieval over the documents table (fixed query terms from
+# the synthetic vocabulary).
+_BM25_TERMS = ["spark", "table", "query"]
+
+from .functions import ranking as _ranking  # noqa: E402
+
+
+@_q("bm25_topk", _ranking.bm25_sql(_BM25_TERMS, k=20))
+def bm25_topk_q(spark, sf_dir):
+    return _ranking.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=20)
 
 
 def _export(name: str):

@@ -1,0 +1,127 @@
+"""Linkage-quality evaluation — pairwise confusion metrics and cluster
+shape diagnostics.
+
+The reference exposes no evaluation surface at all (its only quality
+signal is the implicit LIMIT-1 EQUALS hit in
+services/SearchService.java:165); a production matcher needs to report
+precision/recall/F1 against whatever ground truth exists (exact-dup
+pairs, labeled audits, a high-precision near-dup oracle) and the shape
+of the clusters it emits. Both operators here are pure aggregations —
+one shuffle each — so they run at any corpus size.
+
+Scale notes (100 TB):
+  - `pairwise_confusion` is a full outer join of two bare-id pair sets
+    followed by a global count aggregation: the shuffled payload is two
+    longs + two booleans per row, and the output is ONE row. No vectors,
+    no text travel here.
+  - `cluster_size_stats` is two chained aggregations (cluster -> size,
+    size -> count), both map-side combinable; output is bounded by the
+    number of DISTINCT cluster sizes (tiny even at 10^12 docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon_pairs(pairs: DataFrame) -> DataFrame:
+    """Normalize a pair frame to (doc_id_a < doc_id_b), distinct."""
+    return pairs.select(
+        F.least("doc_id_a", "doc_id_b").alias("doc_id_a"),
+        F.greatest("doc_id_a", "doc_id_b").alias("doc_id_b"),
+    ).distinct()
+
+
+def pairwise_confusion(pred: DataFrame, truth: DataFrame) -> DataFrame:
+    """Pairwise-linkage confusion counts + precision/recall/F1.
+
+    pred, truth: (doc_id_a, doc_id_b) pair frames (orientation-insensitive;
+    both are canonicalized and deduped here). Returns ONE row:
+    (tp, fp, fn, precision, recall, f1) — counts are exact longs; the
+    ratios are single IEEE divisions of those longs (deterministic), F1
+    computed from counts directly as 2*tp / (2*tp + fp + fn) so no
+    intermediate rounding compounds. True negatives are intentionally
+    absent: over n docs there are O(n²) of them and no linkage metric
+    uses them.
+    """
+    p = _canon_pairs(pred).withColumn("in_pred", F.lit(True))
+    t = _canon_pairs(truth).withColumn("in_truth", F.lit(True))
+    j = p.join(t, ["doc_id_a", "doc_id_b"], "full_outer")
+    agg = j.agg(
+        F.count(F.when(F.col("in_pred") & F.col("in_truth"), 1)).alias("tp"),
+        F.count(
+            F.when(F.col("in_pred") & F.col("in_truth").isNull(), 1)
+        ).alias("fp"),
+        F.count(
+            F.when(F.col("in_truth") & F.col("in_pred").isNull(), 1)
+        ).alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return agg.select(
+        tp,
+        fp,
+        fn,
+        F.round(tp.cast("double") / F.greatest(tp + fp, F.lit(1)), 6).alias(
+            "precision"
+        ),
+        F.round(tp.cast("double") / F.greatest(tp + fn, F.lit(1)), 6).alias(
+            "recall"
+        ),
+        F.round(
+            (2 * tp).cast("double") / F.greatest(2 * tp + fp + fn, F.lit(1)), 6
+        ).alias("f1"),
+    )
+
+
+def cluster_size_stats(clusters: DataFrame) -> DataFrame:
+    """clusters(doc_id, cluster_id) -> (cluster_size, n_clusters, n_docs):
+    the cluster-size histogram. Two map-side-combinable aggregations; the
+    result is as wide as the number of distinct sizes, so it stays tiny at
+    any scale. Singletons count — a matcher that over-merges shows up as
+    a fat tail here before any labeled metric moves."""
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )
+
+
+def blocking_census(keys: DataFrame, max_block_size: int) -> DataFrame:
+    """Per-pass blocking diagnostics: block counts, the largest block, the
+    candidate-pair mass sum(s*(s-1)/2), and how much of that mass sits in
+    over-cap (hot) blocks. This is the number you watch at 100 TB — pair
+    mass, not row count, is what explodes when a key degenerates.
+
+    One census aggregation (pass, block_key) -> size, then a per-pass
+    rollup; all counts exact longs."""
+    census = keys.groupBy("pass", "block_key").agg(F.count("*").alias("sz"))
+    pair_mass = (F.col("sz") * (F.col("sz") - 1) / 2).cast("long")
+    hot = F.col("sz") > max_block_size
+    return (
+        census.groupBy("pass")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("sz").alias("n_keys"),
+            F.max("sz").alias("max_block"),
+            F.sum(pair_mass).alias("pair_mass"),
+            F.count(F.when(hot, 1)).alias("hot_blocks"),
+            F.coalesce(F.sum(F.when(hot, pair_mass)), F.lit(0)).alias(
+                "hot_pair_mass"
+            ),
+        )
+        .select(
+            "pass",
+            "n_blocks",
+            "n_keys",
+            "max_block",
+            "pair_mass",
+            "hot_blocks",
+            "hot_pair_mass",
+        )
+    )

@@ -1,0 +1,68 @@
+"""Pairwise confusion metrics, cluster-size stats, blocking census."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sneaky_data_matcher_spark.operators import evaluation as E
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id_a long, doc_id_b long")
+
+
+def test_pairwise_confusion_counts(spark):
+    pred = _pairs(spark, [(1, 2), (3, 4), (5, 6), (7, 8)])
+    truth = _pairs(spark, [(1, 2), (4, 3), (9, 10)])  # (4,3) flipped on purpose
+    r = E.pairwise_confusion(pred, truth).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"]) == (2, 2, 1)
+    assert r["precision"] == 0.5
+    assert r["recall"] == round(2 / 3, 6)
+    assert r["f1"] == round(4 / 7, 6)
+
+
+def test_pairwise_confusion_dedups_and_orients(spark):
+    # duplicate + mirrored edges collapse before counting
+    pred = _pairs(spark, [(2, 1), (1, 2), (1, 2)])
+    truth = _pairs(spark, [(1, 2)])
+    r = E.pairwise_confusion(pred, truth).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"]) == (1, 0, 0)
+    assert r["f1"] == 1.0
+
+
+def test_pairwise_confusion_empty_pred(spark):
+    pred = _pairs(spark, []).where(F.lit(False))
+    truth = _pairs(spark, [(1, 2)])
+    r = E.pairwise_confusion(pred, truth).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"]) == (0, 0, 1)
+    assert (r["precision"], r["recall"], r["f1"]) == (0.0, 0.0, 0.0)
+
+
+def test_cluster_size_stats(spark):
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 30)],
+        "doc_id long, cluster_id long",
+    )
+    rows = {r["cluster_size"]: r for r in E.cluster_size_stats(clusters).collect()}
+    assert rows[3]["n_clusters"] == 1 and rows[3]["n_docs"] == 3
+    assert rows[2]["n_clusters"] == 1 and rows[2]["n_docs"] == 2
+    assert rows[1]["n_clusters"] == 1 and rows[1]["n_docs"] == 1
+    assert sum(r["n_docs"] for r in rows.values()) == 6
+
+
+def test_blocking_census(spark):
+    keys = spark.createDataFrame(
+        [(i, "pfx", "hot") for i in range(5)]
+        + [(1, "pfx", "cold"), (2, "pfx", "cold")]
+        + [(1, "srt", "x"), (2, "srt", "y")],
+        "doc_id long, pass string, block_key string",
+    )
+    rows = {r["pass"]: r for r in E.blocking_census(keys, max_block_size=3).collect()}
+    pfx = rows["pfx"]
+    assert pfx["n_blocks"] == 2 and pfx["n_keys"] == 7
+    assert pfx["max_block"] == 5
+    assert pfx["pair_mass"] == 10 + 1
+    assert pfx["hot_blocks"] == 1 and pfx["hot_pair_mass"] == 10
+    srt = rows["srt"]
+    assert srt["n_blocks"] == 2 and srt["pair_mass"] == 0
+    assert srt["hot_blocks"] == 0 and srt["hot_pair_mass"] == 0

@@ -1,0 +1,137 @@
+"""Fellegi–Sunter agreement levels, supervised m/u, EM, match weights."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sneaky_data_matcher_spark.operators import fellegi_sunter as FS
+
+FEATURES = ["jw", "tok_jaccard", "lev_ratio"]
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id_a long, doc_id_b long, jw double, tok_jaccard double, lev_ratio double"
+    )
+
+
+def test_agreement_levels_bins(spark):
+    df = FS.agreement_levels(
+        _scored(
+            spark,
+            [
+                (1, 2, 0.96, 0.7, 0.8),   # all level 2
+                (3, 4, 0.90, 0.4, 0.6),   # all level 1
+                (5, 6, 0.20, 0.1, 0.1),   # all level 0
+                (7, 8, 0.95, 0.6, 0.75),  # boundary -> level 2 (>=)
+                (9, 10, 0.85, 0.3, 0.5),  # boundary -> level 1 (>=)
+            ],
+        )
+    )
+    got = {
+        (r["doc_id_a"]): (r["jw_lvl"], r["tok_jaccard_lvl"], r["lev_ratio_lvl"])
+        for r in df.collect()
+    }
+    assert got[1] == (2, 2, 2)
+    assert got[3] == (1, 1, 1)
+    assert got[5] == (0, 0, 0)
+    assert got[7] == (2, 2, 2)
+    assert got[9] == (1, 1, 1)
+
+
+def test_estimate_mu_supervised_exact_counts(spark):
+    # 4 labeled pairs: 2 matches (levels 2,2) on jw, 2 non-matches (0,1)
+    levels = FS.agreement_levels(
+        _scored(
+            spark,
+            [
+                (1, 2, 0.99, 0.9, 0.9),
+                (3, 4, 0.97, 0.9, 0.9),
+                (5, 6, 0.10, 0.1, 0.1),
+                (7, 8, 0.90, 0.1, 0.1),
+            ],
+        )
+    )
+    labels = spark.createDataFrame(
+        [(1, 2, True), (3, 4, True), (5, 6, False), (7, 8, False)],
+        "doc_id_a long, doc_id_b long, is_match boolean",
+    )
+    w = FS.estimate_mu_supervised(levels, labels, FEATURES)
+    rows = {(r["feature"], r["level"]): r for r in w.collect()}
+    assert len(rows) == 9  # densified grid: 3 features x 3 levels
+    # jw matches: both level 2 -> m[2] = (2+1)/(2+3); non-matches at 0 and 1
+    assert rows[("jw", 2)]["m_prob"] == 3 / 5
+    assert rows[("jw", 0)]["m_prob"] == 1 / 5
+    assert rows[("jw", 0)]["u_prob"] == 2 / 5
+    assert rows[("jw", 1)]["u_prob"] == 2 / 5
+    # weight = floor6(log2(m/u))
+    exp = math.floor(math.log2((3 / 5) / (1 / 5)) * 1e6) / 1e6
+    assert rows[("jw", 2)]["weight"] == exp
+
+
+def test_match_weights_fixed_order_sum(spark):
+    levels = FS.agreement_levels(_scored(spark, [(1, 2, 0.99, 0.9, 0.9)]))
+    weights = spark.createDataFrame(
+        [(f, lvl, 0.5, 0.25, float(i)) for i, (f, lvl) in enumerate(
+            (f, lvl) for f in FEATURES for lvl in range(3)
+        )],
+        "feature string, level int, m_prob double, u_prob double, weight double",
+    )
+    out = FS.match_weights(levels, weights, FEATURES).collect()[0]
+    # all three features at level 2 -> weights 2.0, 5.0, 8.0
+    assert out["fs_weight"] == 15.0
+
+
+def test_em_recovers_planted_mixture(spark):
+    # plant a mixture, generate EXPECTED pattern counts, run EM
+    lam = 0.2
+    m = {"jw": [0.05, 0.15, 0.8], "tok_jaccard": [0.1, 0.2, 0.7], "lev_ratio": [0.1, 0.3, 0.6]}
+    u = {"jw": [0.8, 0.15, 0.05], "tok_jaccard": [0.7, 0.2, 0.1], "lev_ratio": [0.6, 0.3, 0.1]}
+    n_total = 100_000
+    patterns = []
+    for a in range(3):
+        for b in range(3):
+            for c in range(3):
+                p = lam * m["jw"][a] * m["tok_jaccard"][b] * m["lev_ratio"][c] + (
+                    1 - lam
+                ) * u["jw"][a] * u["tok_jaccard"][b] * u["lev_ratio"][c]
+                patterns.append((a, b, c, round(p * n_total)))
+    est = FS.em_estimate_mu(patterns, FEATURES, n_iter=200)
+    assert abs(est["lambda"] - lam) < 0.02
+    for f in FEATURES:
+        for lvl in range(3):
+            assert abs(est["m"][f][lvl] - m[f][lvl]) < 0.05
+            assert abs(est["u"][f][lvl] - u[f][lvl]) < 0.05
+    # determinism: same inputs -> bit-identical output
+    est2 = FS.em_estimate_mu(patterns, FEATURES, n_iter=200)
+    assert est == est2
+
+
+def test_em_weights_frame_feeds_match_weights(spark):
+    est = {
+        "lambda": 0.1,
+        "m": {f: [0.1, 0.2, 0.7] for f in FEATURES},
+        "u": {f: [0.7, 0.2, 0.1] for f in FEATURES},
+    }
+    wdf = FS.em_weights_frame(spark, est, FEATURES)
+    assert wdf.count() == 9
+    levels = FS.agreement_levels(_scored(spark, [(1, 2, 0.99, 0.9, 0.9)]))
+    out = FS.match_weights(levels, wdf, FEATURES).collect()[0]
+    per = math.floor(math.log2(0.7 / 0.1) * 1e6) / 1e6
+    assert out["fs_weight"] == per + per + per
+
+
+def test_pattern_counts_reduces(spark):
+    levels = FS.agreement_levels(
+        _scored(
+            spark,
+            [(1, 2, 0.99, 0.9, 0.9), (3, 4, 0.99, 0.9, 0.9), (5, 6, 0.1, 0.1, 0.1)],
+        )
+    )
+    pats = {
+        (r["jw_lvl"], r["tok_jaccard_lvl"], r["lev_ratio_lvl"]): r["n_pairs"]
+        for r in FS.pattern_counts(levels, FEATURES).collect()
+    }
+    assert pats[(2, 2, 2)] == 2 and pats[(0, 0, 0)] == 1

@@ -98,22 +98,55 @@ def test_bmp_roundtrip_matches_formula():
         assert M._decode_bmp(M._bmp_bytes(ref)) == [M._q6(f) for f in want]
 
 
+def test_avi_roundtrip_matches_formula():
+    for ref in [f"m:{i:04x}-2" for i in range(20)]:
+        seed, w, h, nf = M.avi_params(ref)
+        npx = w * h
+        lums = [
+            [
+                (r * 299 + g * 587 + b * 114) // 1000
+                for r, g, b in (M._avi_pixel(seed, f, p) for p in range(npx))
+            ]
+            for f in range(nf)
+        ]
+        flat = [v for l in lums for v in l]
+        motion = sum(
+            abs(lums[f][p] - lums[f - 1][p])
+            for f in range(1, nf)
+            for p in range(npx)
+        ) / ((nf - 1) * npx)
+        hist = [0] * 8
+        for v in flat:
+            hist[v * 8 // 256] += 1
+        want = [
+            w / 1024.0,
+            h / 1024.0,
+            nf / 64.0,
+            10.0 / 64.0,
+            sum(flat) / (nf * npx) / 255.0,
+            max(flat) / 255.0,
+            min(flat) / 255.0,
+            motion / 255.0,
+        ] + [c / (nf * npx) for c in hist]
+        assert M._decode_avi(M._avi_bytes(ref)) == [M._q6(f) for f in want]
+
+
 def test_decode_rejects_malformed():
     with pytest.raises(ValueError):
         M._decode_wav(b"RIFFxxxxWAVE")  # no fmt/data chunks
     with pytest.raises(Exception):
         M._decode_bmp(b"BM" + b"\x00" * 10)  # truncated header
+    with pytest.raises(ValueError):
+        M._decode_avi(b"RIFF\x04\x00\x00\x00AVI ")  # no avih/movi
 
 
 def test_real_media_table_decodes_strict(spark, media):
-    """synth_real_media_table emits genuine WAV/BMP bytes: strict
-    extract_features must now SUCCEED for audio+image (r3 — was: always
-    raised) and agree with decoding the bytes locally."""
-    real = M.synth_real_media_table(media).where(
-        F.col("kind").isin("audio", "image")
-    ).localCheckpoint(eager=True)
+    """synth_real_media_table emits genuine WAV/BMP/AVI bytes: strict
+    extract_features must now SUCCEED for all three kinds (r3 — was:
+    always raised) and agree with decoding the bytes locally."""
+    real = M.synth_real_media_table(media).localCheckpoint(eager=True)
     if real.count() == 0:
-        pytest.skip("fixture corpus has no audio/image refs")
+        pytest.skip("fixture corpus has no media refs")
     rows = {r["media_ref"]: r for r in real.collect()}
     feats = {
         r["media_ref"]: [round(float(v), 6) for v in r["feature"]]
@@ -122,14 +155,20 @@ def test_real_media_table_decodes_strict(spark, media):
     for ref, r in rows.items():
         payload = bytes(r["payload"])
         if r["kind"] == "audio":
-            assert payload[:4] == b"RIFF"
+            assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
             assert feats[ref] == M._decode_wav(payload)
             assert r["meta"]["sample_rate"] == M.WAV_RATE
-        else:
+        elif r["kind"] == "image":
             assert payload[:2] == b"BM"
             assert feats[ref] == M._decode_bmp(payload)
             _, w, h = M.bmp_params(ref)
             assert (r["meta"]["width"], r["meta"]["height"]) == (w, h)
+        else:
+            assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+            assert feats[ref] == M._decode_avi(payload)
+            _, w, h, nf = M.avi_params(ref)
+            assert (r["meta"]["width"], r["meta"]["height"]) == (w, h)
+            assert r["meta"]["duration_ms"] == nf * 1000 // M.AVI_FPS
 
 
 def test_frame_sample_plan(media):
