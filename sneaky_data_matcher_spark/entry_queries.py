@@ -2065,6 +2065,62 @@ def bm25_topk_q(spark, sf_dir):
     return _ranking.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=20)
 
 
+# ---------------------------------------------------------------------------
+# r3: phonetic blocking (portable Soundex, functions/phonetic.py)
+# ---------------------------------------------------------------------------
+
+from .functions import phonetic as _phonetic  # noqa: E402
+
+_SDX_CAP = 50
+
+
+@_q(
+    "soundex_blocks",
+    f"WITH {flatdocs.CANON_CTE}, sdx AS ({_phonetic.phonetic_pass_sql()}) "
+    "SELECT block_key, count(*) AS n_docs, min(doc_id) AS min_doc, "
+    "max(doc_id) AS max_doc FROM sdx GROUP BY block_key",
+)
+def soundex_blocks_q(spark, sf_dir):
+    sdx = _phonetic.phonetic_pass(_canon(spark, sf_dir))
+    return sdx.groupBy("block_key").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@_q(
+    "phonetic_pairs",
+    f"WITH {flatdocs.CANON_CTE}, sdx AS ({_phonetic.phonetic_pass_sql()}), "
+    "census AS (SELECT block_key, count(*) AS sz FROM sdx GROUP BY block_key), "
+    f"cold AS (SELECT s.doc_id, s.block_key FROM sdx s JOIN census c "
+    f"ON s.block_key = c.block_key WHERE c.sz <= {_SDX_CAP}) "
+    "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.block_key "
+    "FROM cold a JOIN cold b ON a.block_key = b.block_key AND a.doc_id < b.doc_id",
+)
+def phonetic_pairs_q(spark, sf_dir):
+    return _phonetic.phonetic_candidate_pairs(
+        _canon(spark, sf_dir), max_block_size=_SDX_CAP
+    )
+
+
+# ---------------------------------------------------------------------------
+# r3: exact set-similarity join, prefix-filtered (operators/setsim.py)
+# ---------------------------------------------------------------------------
+
+from .operators import setsim as _setsim  # noqa: E402
+
+
+@_q(
+    "setsim_join",
+    # the oracle is the DEFINITION (exhaustive all-pairs Jaccard); the
+    # Spark side must reproduce it exactly through prefix filtering
+    f"WITH {flatdocs.CANON_CTE} SELECT * FROM ({_setsim.ppjoin_sql(0.6)})",
+)
+def setsim_join_q(spark, sf_dir):
+    return _setsim.ppjoin_pairs(_canon(spark, sf_dir), threshold=0.6)
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL

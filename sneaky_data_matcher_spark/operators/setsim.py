@@ -1,0 +1,145 @@
+"""Exact set-similarity self-join with prefix filtering (PPJoin-family).
+
+The reference's only similarity machinery is exact key equality
+(services/SearchService.java:165) — near-match joins are the gap this
+module fills, EXACTLY (unlike dedup.py's MinHash/SimHash paths, which
+are probabilistic): every pair with token-set Jaccard >= t is returned,
+no false negatives, at a fraction of the all-pairs cost.
+
+Method (Chaudhuri et al. SSJoin / Xiao et al. PPJoin, public VLDB/ICDE
+literature):
+  1. order the vocabulary by ascending global document frequency
+     (rarest first) — any total order works for correctness, rare-first
+     minimizes candidate counts;
+  2. sort each document's distinct-token set in that order;
+  3. a pair with Jaccard >= t and sizes (na, nb) must share a token in
+     each side's PREFIX of length n - ceil(t * n) + 1 (pigeonhole:
+     Jaccard >= t implies overlap >= ceil(t * max(na, nb)) >
+     n - prefix(n)), so an inverted index over prefix tokens only yields
+     a complete candidate set;
+  4. verify candidates with the exact Jaccard on the full sets, with the
+     PPJoin length filter (nb >= ceil(t * na)) applied inside the
+     candidate join before any payload moves.
+
+Scale notes (100 TB): the vocabulary rank frame is (token, rank) — built
+with one groupBy(token) agg and joined back on token (NOT broadcast: a
+web-corpus vocabulary exceeds driver memory; the join shuffles bare
+(doc_id, token) pairs). Per-doc re-sorting is one groupBy(doc_id) with
+array_sort over (rank, token) structs. The candidate join explodes ONLY
+prefix tokens (for t=0.7, ~30% of each set), and blocks on the rarest
+tokens by construction, so block sizes stay small without a census; the
+verify step joins the two full token arrays back by doc_id AFTER bare-id
+pair dedup, mirroring dedup.py's r2 lesson (never carry payload through
+the pair shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def token_sets(canon: DataFrame) -> DataFrame:
+    """(doc_id, doc_text) -> (doc_id, toks array<string> distinct, n)."""
+    toks = F.array_distinct(
+        F.filter(F.split(F.col("doc_text"), " "), lambda x: x != "")
+    )
+    return canon.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n")
+    ).filter(F.col("n") > 0)
+
+
+def _rank_ordered(sets: DataFrame) -> DataFrame:
+    """Re-sort each doc's toks by (global df ASC, token ASC); adds
+    `ordered` array<string>. No numeric rank is materialized — the
+    (df, token) struct IS the sort key, so there is no global window /
+    zipWithIndex over the vocabulary, just one groupBy(token) agg and
+    one groupBy(doc_id) re-collect."""
+    long = sets.select("doc_id", F.explode("toks").alias("token"))
+    df_counts = long.groupBy("token").agg(F.count("*").alias("df"))
+    ranked = long.join(df_counts, "token").select("doc_id", "df", "token")
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "token"))).alias("rt"),
+        )
+        .select(
+            "doc_id",
+            F.col("rt.token").alias("ordered"),
+            F.size("rt").alias("n"),
+        )
+    )
+
+
+def ppjoin_pairs(canon: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """All pairs (doc_id_a < doc_id_b) with token-set Jaccard >=
+    threshold -> (doc_id_a, doc_id_b, jaccard). Exact: prefix filtering
+    is lossless for Jaccard."""
+    t = float(threshold)
+    sets = _rank_ordered(token_sets(canon))
+    # prefix length n - ceil(t*n) + 1
+    plen = (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int")
+    pref = sets.select(
+        "doc_id",
+        "n",
+        F.explode(F.slice("ordered", 1, plen)).alias("token"),
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    # length filter: t <= J(a,b) <= min(na,nb)/max(na,nb) => nb in
+    # [ceil(t*na), floor(na/t)]; with doc_id_a < doc_id_b both orders of
+    # each unordered pair are probed, so one-sided nb >= ceil(t*na) AND
+    # na >= ceil(t*nb) is the symmetric form.
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") >= F.ceil(F.lit(t) * F.col("a.n")))
+            & (F.col("a.n") >= F.ceil(F.lit(t) * F.col("b.n"))),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    # verify on full sets — attach payload only after the bare-id dedup
+    sa = sets.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("ordered").alias("toks_a")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("ordered").alias("toks_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .filter(jac >= t)  # threshold on the UNROUNDED value, like the twin
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+def ppjoin_sql(threshold: float = 0.7, canon_rel: str = "canon") -> str:
+    """DuckDB twin: EXHAUSTIVE all-pairs Jaccard (the oracle is the
+    definition, not the algorithm — prefix filtering must return exactly
+    this set)."""
+    t = float(threshold)
+    return (
+        "WITH ts AS (SELECT doc_id, "
+        "list_distinct(list_filter(string_split(doc_text, ' '), x -> x <> '')) AS toks "
+        f"FROM {canon_rel} "
+        "WHERE len(list_filter(string_split(doc_text, ' '), x -> x <> '')) > 0) "
+        "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+        "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) "
+        "/ CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 6) AS jaccard "
+        "FROM ts a JOIN ts b ON a.doc_id < b.doc_id "
+        "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) "
+        f"/ CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= {t}"
+    )
