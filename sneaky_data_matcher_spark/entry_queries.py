@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import canonicalize as C
@@ -2119,6 +2119,159 @@ from .operators import setsim as _setsim  # noqa: E402
 )
 def setsim_join_q(spark, sf_dir):
     return _setsim.ppjoin_pairs(_canon(spark, sf_dir), threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# r3: OLAP rollup/cube (multi-level aggregation — Catalyst Expand) and
+# column profiling (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "rollup_revenue",
+    "SELECT c_mktsegment, o_orderstatus, "
+    "GROUPING(c_mktsegment) AS g_seg, GROUPING(o_orderstatus) AS g_st, "
+    "count(*) AS n_orders, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY ROLLUP (c_mktsegment, o_orderstatus)",
+)
+def rollup_revenue_q(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .rollup("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.grouping("c_mktsegment").cast("long").alias("g_seg"),
+            F.grouping("o_orderstatus").cast("long").alias("g_st"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "cube_lineitem_counts",
+    "SELECT l_returnflag, l_linestatus, "
+    "GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls, "
+    "count(*) AS n_items, "
+    "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty "
+    "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
+)
+def cube_lineitem_counts_q(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_rf"),
+        F.grouping("l_linestatus").cast("long").alias("g_ls"),
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+    )
+
+
+from .operators import profiling as _profiling  # noqa: E402
+
+_PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+_PROFILE_NUMERIC = {"c_custkey", "c_nationkey", "c_acctbal"}
+
+
+@_q(
+    "profile_customer",
+    _profiling.profile_sql("customer", _PROFILE_COLS, _PROFILE_NUMERIC),
+)
+def profile_customer_q(spark, sf_dir):
+    return _profiling.profile(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"), _PROFILE_COLS
+    )
+
+
+# ---------------------------------------------------------------------------
+# r3: window frames, exact percentiles, date functions — the generic-OLAP
+# analytics surface SURVEY §2 lists as absent from the reference
+# (no window frames, no numeric/date functions).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_moving_avg",
+    # ROWS frame over a deterministic total order (ts, event_id); decimal
+    # sum keeps the frame aggregate IEEE-order-independent across engines.
+    "SELECT event_id, user_id, "
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) "
+    "  / count(*) OVER w AS mov_avg_7, "
+    "count(*) OVER w AS n_in_frame "
+    "FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)",
+)
+def events_moving_avg_q(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("mov_avg_7"),
+        F.count("*").over(w).alias("n_in_frame"),
+    )
+
+
+@_q(
+    "orders_quartiles",
+    # Exact (interpolating) quartiles over integer cents: every interpolation
+    # a + f*(b-a) with f in {0,.25,.5,.75} and integer a,b is exact in
+    # binary64, so Spark and DuckDB agree bit-for-bit; /100.0 of identical
+    # doubles stays identical.
+    "SELECT o_orderpriority, "
+    "quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.25) / 100.0 AS p25, "
+    "quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.50) / 100.0 AS p50, "
+    "quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.75) / 100.0 AS p75, "
+    "count(*) AS n_orders "
+    "FROM orders GROUP BY o_orderpriority",
+)
+def orders_quartiles_q(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return o.groupBy("o_orderpriority").agg(
+        (F.percentile(cents, F.lit(0.25)) / 100.0).alias("p25"),
+        (F.percentile(cents, F.lit(0.50)) / 100.0).alias("p50"),
+        (F.percentile(cents, F.lit(0.75)) / 100.0).alias("p75"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@_q(
+    "orders_monthly",
+    "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start, "
+    "CAST(year(o_orderdate) AS BIGINT) AS y, "
+    "CAST(month(o_orderdate) AS BIGINT) AS m, "
+    "CAST(max(day(o_orderdate)) AS BIGINT) AS last_day_seen, "
+    "count(*) AS n_orders, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+    "FROM orders GROUP BY 1, 2, 3 ",
+)
+def orders_monthly_q(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+        )
+        .agg(
+            F.max(F.dayofmonth("o_orderdate")).cast("long").alias("last_day_seen"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
 
 
 def _export(name: str):
