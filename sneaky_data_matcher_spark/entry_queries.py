@@ -1905,6 +1905,48 @@ def er_eval_q(spark, sf_dir):
     return evaluation.pairwise_confusion(pred, truth)
 
 
+# Threshold sweep: P/R/F1 of "match iff score >= t" for EVERY quantized
+# threshold t in one job (the threshold-tuning loop without re-running the
+# matcher). Truth pairs outside the candidate set are charged as fn at
+# every threshold.
+@_q(
+    "er_threshold_sweep",
+    f"WITH {_ER_SCORED_CTE}, {_NGRAM_SH_CTE}, "
+    "scored AS (SELECT doc_id_a, doc_id_b, "
+    "  CAST(floor((0.4*jw + 0.2*lev_ratio + 0.4*tok_jaccard) * 100) AS BIGINT) AS threshold_pct "
+    "  FROM er_scored), "
+    "truth AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
+    "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.7), "
+    "tot AS (SELECT count(*) AS total_pos FROM truth), "
+    "lab AS (SELECT s.threshold_pct, CASE WHEN t.doc_id_a IS NOT NULL THEN 1 ELSE 0 END AS is_pos "
+    "  FROM scored s LEFT JOIN truth t ON s.doc_id_a = t.doc_id_a AND s.doc_id_b = t.doc_id_b), "
+    "buck AS (SELECT threshold_pct, count(*) AS n_all, CAST(sum(is_pos) AS BIGINT) AS n_pos "
+    "  FROM lab GROUP BY threshold_pct), "
+    "cum AS (SELECT threshold_pct, "
+    "  CAST(sum(n_all) OVER (ORDER BY threshold_pct DESC) AS BIGINT) AS n_pred, "
+    "  CAST(sum(n_pos) OVER (ORDER BY threshold_pct DESC) AS BIGINT) AS tp FROM buck) "
+    "SELECT threshold_pct, n_pred, tp, n_pred - tp AS fp, total_pos - tp AS fn, "
+    "round(CAST(tp AS DOUBLE) / greatest(n_pred, 1), 6) AS precision, "
+    "round(CAST(tp AS DOUBLE) / greatest(total_pos, 1), 6) AS recall, "
+    "round(CAST(2 * tp AS DOUBLE) / greatest(2 * tp + (n_pred - tp) + (total_pos - tp), 1), 6) AS f1 "
+    "FROM cum CROSS JOIN tot",
+)
+def er_threshold_sweep_q(spark, sf_dir):
+    from .operators import evaluation
+
+    s = _er_scored_frame(spark, sf_dir)
+    scored = s.select(
+        "doc_id_a",
+        "doc_id_b",
+        (
+            0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+        ).alias("score"),
+    )
+    truth = ngram_dup_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    return evaluation.threshold_sweep(scored, truth)
+
+
 @_q(
     "er_cluster_stats",
     f"WITH RECURSIVE {_ER_CLUSTERS_CTE}, "

@@ -21,7 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -89,6 +89,76 @@ def cluster_size_stats(clusters: DataFrame) -> DataFrame:
             "n_clusters",
             (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
         )
+    )
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    truth: DataFrame,
+    score_col: str = "score",
+    scale: int = 100,
+) -> DataFrame:
+    """P/R/F1 at EVERY candidate match threshold in one pass.
+
+    scored: distinct (doc_id_a, doc_id_b, <score_col>) candidate pairs;
+    truth: ground-truth pair frame (orientation-insensitive). The score is
+    quantized to an integer grid (`floor(score*scale)`, exact on identical
+    doubles in any engine), bucketed, and cumulated from the highest bucket
+    down, so row t reports the confusion counts of the rule
+    "match iff score >= t/scale". Truth pairs the candidate stage never
+    surfaced count as fn at every threshold (blocking misses are charged,
+    not hidden).
+
+    Scale notes (100 TB): the only pair-sized work is one bare-id left
+    join (scored x truth) and ONE groupBy onto <= scale+1 buckets; the
+    cumulative window runs over that tiny bucket frame (single partition
+    by construction — bounded by `scale`, not the data). Counts are exact
+    longs; ratios are single IEEE divisions. This replaces re-running the
+    matcher per candidate threshold — the classic threshold-tuning loop —
+    with one job.
+    """
+    s = scored.select(
+        F.least("doc_id_a", "doc_id_b").alias("doc_id_a"),
+        F.greatest("doc_id_a", "doc_id_b").alias("doc_id_b"),
+        F.floor(F.col(score_col) * scale).cast("long").alias("threshold_pct"),
+    )
+    t = _canon_pairs(truth)
+    lab = s.join(
+        t.withColumn("is_pos", F.lit(1)), ["doc_id_a", "doc_id_b"], "left"
+    ).select("threshold_pct", F.coalesce("is_pos", F.lit(0)).alias("is_pos"))
+    buck = lab.groupBy("threshold_pct").agg(
+        F.count("*").alias("n_all"), F.sum("is_pos").alias("n_pos")
+    )
+    w = (
+        Window.orderBy(F.col("threshold_pct").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = buck.select(
+        "threshold_pct",
+        F.sum("n_all").over(w).alias("n_pred"),
+        F.sum("n_pos").over(w).alias("tp"),
+    )
+    tot = t.agg(F.count("*").alias("total_pos"))
+    j = cum.crossJoin(F.broadcast(tot))
+    tp, npred, totp = F.col("tp"), F.col("n_pred"), F.col("total_pos")
+    fp, fn = (npred - tp).alias("fp"), (totp - tp).alias("fn")
+    return j.select(
+        "threshold_pct",
+        npred,
+        tp,
+        fp,
+        fn,
+        F.round(tp.cast("double") / F.greatest(npred, F.lit(1)), 6).alias(
+            "precision"
+        ),
+        F.round(tp.cast("double") / F.greatest(totp, F.lit(1)), 6).alias(
+            "recall"
+        ),
+        F.round(
+            (2 * tp).cast("double")
+            / F.greatest(2 * tp + (npred - tp) + (totp - tp), F.lit(1)),
+            6,
+        ).alias("f1"),
     )
 
 

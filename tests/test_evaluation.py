@@ -66,3 +66,54 @@ def test_blocking_census(spark):
     srt = rows["srt"]
     assert srt["n_blocks"] == 2 and srt["pair_mass"] == 0
     assert srt["hot_blocks"] == 0 and srt["hot_pair_mass"] == 0
+
+
+def test_threshold_sweep_hand_computed(spark):
+    # scored candidates: (pair, score); truth = {(1,2),(3,4),(9,10)} where
+    # (9,10) was never surfaced by blocking -> fn at every threshold.
+    scored = spark.createDataFrame(
+        [
+            (1, 2, 0.95),   # pos
+            (3, 4, 0.80),   # pos
+            (5, 6, 0.80),   # neg
+            (7, 8, 0.40),   # neg
+        ],
+        "doc_id_a long, doc_id_b long, score double",
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (4, 3), (9, 10)], "doc_id_a long, doc_id_b long"
+    )
+    rows = {
+        r["threshold_pct"]: r.asDict()
+        for r in E.threshold_sweep(scored, truth).collect()
+    }
+    assert set(rows) == {95, 80, 40}
+    # t=0.95: pred={(1,2)} -> tp=1 fp=0 fn=2
+    assert (rows[95]["tp"], rows[95]["fp"], rows[95]["fn"]) == (1, 0, 2)
+    assert rows[95]["precision"] == 1.0
+    assert rows[95]["recall"] == round(1 / 3, 6)
+    # t=0.80: pred adds (3,4)+(5,6) -> tp=2 fp=1 fn=1
+    assert (rows[80]["n_pred"], rows[80]["tp"], rows[80]["fp"], rows[80]["fn"]) == (
+        3,
+        2,
+        1,
+        1,
+    )
+    assert rows[80]["f1"] == round(4 / 6, 6)
+    # t=0.40: everything predicted -> tp=2 fp=2 fn=1
+    assert (rows[40]["tp"], rows[40]["fp"], rows[40]["fn"]) == (2, 2, 1)
+
+
+def test_threshold_sweep_orientation_and_quantization(spark):
+    # mirrored scored pair matches flipped truth; scores quantize by floor
+    scored = spark.createDataFrame(
+        [(2, 1, 0.8349), (3, 4, 0.8351)],
+        "doc_id_a long, doc_id_b long, score double",
+    )
+    truth = spark.createDataFrame([(1, 2)], "doc_id_a long, doc_id_b long")
+    rows = {
+        r["threshold_pct"]: r.asDict()
+        for r in E.threshold_sweep(scored, truth).collect()
+    }
+    assert set(rows) == {83}
+    assert (rows[83]["tp"], rows[83]["fp"], rows[83]["fn"]) == (1, 1, 0)
