@@ -2163,6 +2163,14 @@ def setsim_join_q(spark, sf_dir):
     return _setsim.ppjoin_pairs(_canon(spark, sf_dir), threshold=0.6)
 
 
+@_q(
+    "tfidf_cosine_join",
+    f"WITH {flatdocs.CANON_CTE} SELECT * FROM ({_setsim.tfidf_cosine_sql(0.4, 100)})",
+)
+def tfidf_cosine_join_q(spark, sf_dir):
+    return _setsim.tfidf_cosine_pairs(_canon(spark, sf_dir), threshold=0.4, max_df=100)
+
+
 # ---------------------------------------------------------------------------
 # r3: OLAP rollup/cube (multi-level aggregation — Catalyst Expand) and
 # column profiling (operators/profiling.py)

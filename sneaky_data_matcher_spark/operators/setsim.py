@@ -126,6 +126,113 @@ def ppjoin_pairs(canon: DataFrame, threshold: float = 0.7) -> DataFrame:
     )
 
 
+def tfidf_cosine_pairs(
+    canon: DataFrame, threshold: float = 0.6, max_df: int = 100
+) -> DataFrame:
+    """All pairs (doc_id_a < doc_id_b) with idf-weighted cosine >=
+    threshold over token SETS -> (doc_id_a, doc_id_b, cosine).
+
+    Weighted comparator semantics (Bayardo et al. WWW'07 family): with
+    set-valued docs the per-doc weight of token t is the global
+    w_t = ln(1 + N/df_t), so dot(a,b) = sum_{t in a∩b} w_t^2 and
+    ||a|| = sqrt(sum_{t in a} w_t^2). Tokens with df > max_df are
+    excluded from BOTH weighting and matching — a stopband, i.e. the
+    score is DEFINED over the filtered vocabulary (standard IR stop-word
+    removal), not an approximation of the unfiltered score.
+
+    Exactness + determinism: w_t^2 is quantized to DECIMAL(18,6), so
+    every sum here (per-pair dot via groupBy, per-doc norm^2) is exact
+    integer arithmetic — order-independent, hence engine-independent; the
+    only float ops are the final sqrt/divide on identical exact inputs.
+
+    Scale notes (100 TB): the inverted-index join explodes only retained
+    tokens, and `max_df` bounds the hottest posting list by construction
+    (pair mass per token <= max_df^2) — no census needed. The pair
+    shuffle carries (ids, one decimal); norms join on bare ids after the
+    per-pair aggregation. One groupBy(token), one index self-join, one
+    groupBy(pair), two bare-id joins.
+    """
+    t = float(threshold)
+    sets = token_sets(canon)
+    long = sets.select("doc_id", F.explode("toks").alias("token"))
+    df_counts = long.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = sets.agg(F.count("*").alias("n_docs"))
+    w = F.log(
+        1.0 + F.col("n_docs").cast("double") / F.col("df").cast("double")
+    )
+    weighted = (
+        long.join(df_counts.where(F.col("df") <= max_df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(w * w, 6).cast("decimal(18,6)").alias("w2"),
+        )
+    )
+    norms = weighted.groupBy("doc_id").agg(F.sum("w2").alias("norm2"))
+    a = weighted.alias("a")
+    b = weighted.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.sum(F.col("a.w2")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("norm2").alias("n2a")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("norm2").alias("n2b")
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("n2a").cast("double") * F.col("n2b").cast("double")
+    )
+    return (
+        dots.join(na, "doc_id_a")
+        .join(nb, "doc_id_b")
+        .filter(cos >= t)
+        .select("doc_id_a", "doc_id_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+def tfidf_cosine_sql(
+    threshold: float = 0.6, max_df: int = 100, canon_rel: str = "canon"
+) -> str:
+    """DuckDB twin of `tfidf_cosine_pairs` — same definition, recomputed
+    from scratch (df census, stopband, decimal-quantized w^2, exhaustive
+    shared-token pair sum)."""
+    t = float(threshold)
+    return (
+        "WITH ts AS MATERIALIZED (SELECT doc_id, "
+        "list_distinct(list_filter(string_split(doc_text, ' '), x -> x <> '')) AS toks "
+        f"FROM {canon_rel} "
+        "WHERE len(list_filter(string_split(doc_text, ' '), x -> x <> '')) > 0), "
+        "long AS MATERIALIZED (SELECT doc_id, unnest(toks) AS token FROM ts), "
+        "dfc AS (SELECT token, count(*) AS df FROM long GROUP BY token), "
+        "nd AS (SELECT count(*) AS n_docs FROM ts), "
+        "weighted AS MATERIALIZED (SELECT doc_id, l.token, "
+        "CAST(round(ln(1.0 + CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) "
+        "* ln(1.0 + CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w2 "
+        f"FROM long l JOIN dfc USING (token) CROSS JOIN nd WHERE df <= {max_df}), "
+        "norms AS (SELECT doc_id, sum(w2) AS norm2 FROM weighted GROUP BY doc_id), "
+        "dots AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, sum(a.w2) AS dot "
+        "FROM weighted a JOIN weighted b ON a.token = b.token AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT doc_id_a, doc_id_b, "
+        "round(CAST(dot AS DOUBLE) / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)), 6) AS cosine "
+        "FROM dots JOIN norms na ON dots.doc_id_a = na.doc_id "
+        "JOIN norms nb ON dots.doc_id_b = nb.doc_id "
+        "WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) "
+        f">= {t}"
+    )
+
+
 def ppjoin_sql(threshold: float = 0.7, canon_rel: str = "canon") -> str:
     """DuckDB twin: EXHAUSTIVE all-pairs Jaccard (the oracle is the
     definition, not the algorithm — prefix filtering must return exactly

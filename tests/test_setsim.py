@@ -96,3 +96,105 @@ def test_ppjoin_sql_twin_matches_spark(spark):
     assert got == want
     assert (1, 3, 1.0) in got  # identical sets
     assert (4, 5, 0.8) in got  # 4/5 overlap
+
+
+def _brute_tfidf_cosine(rows, threshold, max_df):
+    """Independent Python oracle: idf-weighted set cosine with the same
+    stopband + decimal quantization semantics."""
+    import math
+    from decimal import Decimal
+
+    sets = {i: set(t.split()) - {""} for i, t in rows}
+    sets = {i: s for i, s in sets.items() if s}
+    n = len(sets)
+    df = {}
+    for s in sets.values():
+        for t in s:
+            df[t] = df.get(t, 0) + 1
+    w2 = {
+        t: Decimal(str(round(math.log(1.0 + n / d) ** 2, 6)))
+        for t, d in df.items()
+        if d <= max_df
+    }
+    out = []
+    ids = sorted(sets)
+    for ix, a in enumerate(ids):
+        for b in ids[ix + 1 :]:
+            sa = {t for t in sets[a] if t in w2}
+            sb = {t for t in sets[b] if t in w2}
+            shared = sa & sb
+            if not shared:
+                continue
+            dot = float(sum(w2[t] for t in shared))
+            na = math.sqrt(float(sum(w2[t] for t in sa)))
+            nb = math.sqrt(float(sum(w2[t] for t in sb)))
+            c = dot / (na * nb)
+            if c >= threshold:
+                out.append((a, b, round(c, 6)))
+    return sorted(out)
+
+
+def test_tfidf_cosine_vs_brute_force(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma epsilon"),
+        (3, "alpha beta gamma delta"),
+        (4, "zeta eta theta iota"),
+        (5, "zeta eta theta iota kappa"),
+        (6, "unrelated words only here"),
+        (7, ""),
+        (8, "alpha"),
+    ]
+    canon = spark.createDataFrame(rows, "doc_id long, doc_text string")
+    got = sorted(
+        (r["doc_id_a"], r["doc_id_b"], r["cosine"])
+        for r in setsim.tfidf_cosine_pairs(canon, threshold=0.3, max_df=100).collect()
+    )
+    want = _brute_tfidf_cosine(rows, 0.3, 100)
+    assert got == want
+    assert (1, 3, 1.0) in got  # identical sets -> cosine exactly 1
+
+
+def test_tfidf_cosine_stopband_drops_hot_tokens(spark):
+    # 'common' appears in every doc; with max_df=2 it is excluded from the
+    # vocabulary, so docs sharing ONLY 'common' never pair.
+    rows = [
+        (1, "common rare1"),
+        (2, "common rare2"),
+        (3, "common rare1"),
+    ]
+    canon = spark.createDataFrame(rows, "doc_id long, doc_text string")
+    got = sorted(
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in setsim.tfidf_cosine_pairs(canon, threshold=0.1, max_df=2).collect()
+    )
+    assert got == [(1, 3)]  # rare1-only overlap; 'common' stopbanded (df=3)
+    # and the retained-vocab cosine of (1,3) is exactly 1.0
+    full = setsim.tfidf_cosine_pairs(canon, threshold=0.1, max_df=2).collect()
+    assert full[0]["cosine"] == 1.0
+
+
+def test_tfidf_cosine_sql_twin_matches_spark(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma epsilon"),
+        (3, "alpha beta gamma delta"),
+        (4, "zeta eta theta iota"),
+        (5, "zeta eta theta iota kappa"),
+        (6, "unrelated words only here"),
+        (7, ""),
+        (8, "alpha"),
+    ]
+    canon = spark.createDataFrame(rows, "doc_id long, doc_text string")
+    got = sorted(
+        (r["doc_id_a"], r["doc_id_b"], r["cosine"])
+        for r in setsim.tfidf_cosine_pairs(canon, threshold=0.3, max_df=100).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE canon AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, doc_text)"
+    )
+    want = sorted(tuple(r) for r in con.sql(setsim.tfidf_cosine_sql(0.3, 100)).fetchall())
+    assert got == want
