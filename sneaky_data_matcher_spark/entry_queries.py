@@ -23,7 +23,7 @@ from .functions.similarity import (
     levenshtein_ratio,
     token_jaccard,
 )
-from .operators import clustering, search
+from .operators import clustering, pprl, search
 from .sources import flatdocs
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2095,6 +2095,71 @@ def fs_match_weights_q(spark, sf_dir):
     return FS.match_weights(levels, weights, _FS_FEATURES)
 
 
+# Unsupervised Fellegi–Sunter: EM over the agreement-pattern contingency
+# table (no labels anywhere). The Spark side reduces candidate pairs to
+# <=3^3 pattern counts (the sufficient statistic) and runs EM driver-side
+# on the sorted table (fellegi_sunter.em_estimate_mu); the oracle UNROLLS
+# the same 30 EM iterations in SQL with ordered list folds, so the whole
+# unsupervised training loop is value-hash-checked bit-for-bit.
+_FS_EM_ITER = 30
+_FS_PAT_CTE = (
+    _ER_SCORED_CTE
+    + f", lvl AS (SELECT {_FS_LVL_SQL} FROM er_scored), "
+    "pat AS (SELECT jw_lvl, tok_jaccard_lvl, lev_ratio_lvl, count(*) AS n_pairs "
+    "FROM lvl GROUP BY jw_lvl, tok_jaccard_lvl, lev_ratio_lvl)"
+)
+
+
+def fellegi_sunter_em_sql_ctes() -> str:
+    from .operators import fellegi_sunter as FS
+
+    return FS.em_weights_sql_ctes(_FS_FEATURES, n_iter=_FS_EM_ITER)
+
+
+def _fs_em_weights_frame(spark, sf_dir):
+    from .operators import fellegi_sunter as FS
+
+    levels, _ = _fs_levels_and_labels(spark, sf_dir)
+    pat = FS.pattern_counts(levels, _FS_FEATURES)
+    rows = [tuple(r) for r in pat.collect()]  # <= 27 rows: sufficient stats
+    em = FS.em_estimate_mu(rows, _FS_FEATURES, n_iter=_FS_EM_ITER)
+    return levels, FS.em_weights_frame(spark, em, _FS_FEATURES)
+
+
+@_q(
+    "fs_em_weights",
+    "WITH "
+    + _FS_PAT_CTE
+    + ", "
+    + fellegi_sunter_em_sql_ctes()
+    + " SELECT feature, level, m_prob, u_prob, weight FROM em_weights",
+)
+def fs_em_weights_q(spark, sf_dir):
+    _, weights = _fs_em_weights_frame(spark, sf_dir)
+    return weights
+
+
+@_q(
+    "fs_em_match_weights",
+    "WITH "
+    + _FS_PAT_CTE
+    + ", "
+    + fellegi_sunter_em_sql_ctes()
+    + f", plvl AS (SELECT doc_id_a, doc_id_b, {_FS_LVL_SQL} FROM er_scored) "
+    "SELECT p.doc_id_a, p.doc_id_b, p.jw_lvl, p.tok_jaccard_lvl, p.lev_ratio_lvl, "
+    "wj.weight + wt.weight + wl.weight AS fs_weight "
+    "FROM plvl p "
+    "JOIN em_weights wj ON wj.feature = 'jw' AND wj.level = p.jw_lvl "
+    "JOIN em_weights wt ON wt.feature = 'tok_jaccard' AND wt.level = p.tok_jaccard_lvl "
+    "JOIN em_weights wl ON wl.feature = 'lev_ratio' AND wl.level = p.lev_ratio_lvl",
+)
+def fs_em_match_weights_q(spark, sf_dir):
+    from .operators import fellegi_sunter as FS
+
+    levels, weights = _fs_em_weights_frame(spark, sf_dir)
+    return FS.match_weights(levels, weights, _FS_FEATURES)
+
+
 # BM25 ranked retrieval over the documents table (fixed query terms from
 # the synthetic vocabulary).
 _BM25_TERMS = ["spark", "table", "query"]
@@ -2321,6 +2386,95 @@ def orders_monthly_q(spark, sf_dir):
             .cast("double")
             .alias("revenue"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PPRL — privacy-preserving record linkage over CLK Bloom encodings
+# (operators/pprl.py). Two-party fixture: party A = customer
+# quasi-identifiers (name+address+phone, the classic PPRL domain), party
+# B = the same records with one character deleted (a deterministic typo
+# both engines compute identically). Records are linked WITHOUT ever
+# joining on plaintext — only on Bloom-filter bit overlap (Dice).
+# ---------------------------------------------------------------------------
+
+_PPRL_QID_SQL = (
+    "lower(concat_ws(' ', c_name, c_mktsegment, "
+    "CAST(c_nationkey AS VARCHAR), "
+    "CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR)))"
+)
+_PPRL_PARTIES_CTE = (
+    "qids AS (SELECT c_custkey, "
+    + _PPRL_QID_SQL
+    + " AS qid FROM customer WHERE c_custkey % 5 = 0), "
+    "parties AS (SELECT c_custkey * 2 AS rec_id, qid FROM qids "
+    "UNION ALL SELECT c_custkey * 2 + 1, substr(qid, 1, length(qid) - 3) FROM qids)"
+)
+
+
+def _pprl_parties(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_custkey") % 5 == 0
+    )
+    qid = F.lower(
+        F.concat_ws(
+            " ",
+            F.col("c_name"),
+            F.col("c_mktsegment"),
+            F.col("c_nationkey").cast("string"),
+            F.round(F.col("c_acctbal") * 100).cast("bigint").cast("string"),
+        )
+    )
+    base = cust.select("c_custkey", qid.alias("qid"))
+    a = base.select((F.col("c_custkey") * 2).alias("rec_id"), "qid")
+    typo = F.substring(F.col("qid"), F.lit(1), F.length("qid") - 3)
+    b = base.select((F.col("c_custkey") * 2 + 1).alias("rec_id"), typo.alias("qid"))
+    return a.unionByName(b)
+
+
+@_q(
+    "pprl_dice_pairs",
+    pprl.dice_pairs_sql(
+        0.93,
+        canon_rel="parties",
+        extra_ctes=_PPRL_PARTIES_CTE,
+        id_col="rec_id",
+        text_col="qid",
+        qgram=2,
+    ),
+)
+def pprl_dice_pairs_q(spark, sf_dir):
+    return pprl.dice_pairs(
+        _pprl_parties(spark, sf_dir),
+        threshold=0.93,
+        id_col="rec_id",
+        text_col="qid",
+        qgram=2,
+    )
+
+
+@_q(
+    "pprl_hlsh_dice",
+    pprl.hlsh_dice_pairs_sql(
+        0.93,
+        n_tables=8,
+        bits_per_key=12,
+        canon_rel="parties",
+        extra_ctes=_PPRL_PARTIES_CTE,
+        id_col="rec_id",
+        text_col="qid",
+        qgram=2,
+    ),
+)
+def pprl_hlsh_dice_q(spark, sf_dir):
+    return pprl.hlsh_dice_pairs(
+        _pprl_parties(spark, sf_dir),
+        threshold=0.93,
+        n_tables=8,
+        bits_per_key=12,
+        id_col="rec_id",
+        text_col="qid",
+        qgram=2,
     )
 
 

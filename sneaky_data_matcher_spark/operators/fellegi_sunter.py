@@ -181,21 +181,14 @@ def em_estimate_mu(
     Returns {"lambda": float, "m": {feat: [p0..]}, "u": {...}}.
     """
     k = len(features)
-    rows = [(tuple(p[:k]), int(p[k])) for p in patterns]
-    # monotone-in-level init, normalized
-    def _init(hi: bool) -> dict[str, list[float]]:
-        out = {}
-        for f in features:
-            raw = [
-                (lvl + 1.0) if hi else (n_levels - lvl + 0.0)
-                for lvl in range(n_levels)
-            ]
-            s = sum(raw)
-            out[f] = [r / s for r in raw]
-        return out
-
+    rows = sorted((tuple(p[:k]), int(p[k])) for p in patterns)
+    # Canonical pattern order: float folds below depend on summation
+    # order, so sorting makes the result independent of the collect()
+    # order AND lets the SQL twin (`em_weights_sql_ctes`) reproduce
+    # every intermediate bit-for-bit with ordered list folds.
     lam = init_lambda
-    m, u = _init(True), _init(False)
+    m = _em_init(features, n_levels, True)
+    u = _em_init(features, n_levels, False)
     for _ in range(n_iter):
         # E-step: responsibility of the match class per pattern
         resp = []
@@ -220,6 +213,128 @@ def em_estimate_mu(
             m[f] = [(c + 1.0) / (nm + n_levels) for c in cm]
             u[f] = [(c + 1.0) / (nu + n_levels) for c in cu]
     return {"lambda": lam, "m": m, "u": u}
+
+
+def _em_init(features: list[str], n_levels: int, hi: bool) -> dict[str, list[float]]:
+    """The monotone-in-level init used by `em_estimate_mu`, factored out
+    so the SQL twin embeds the SAME IEEE doubles as literals."""
+    out = {}
+    for f in features:
+        raw = [
+            (lvl + 1.0) if hi else (n_levels - lvl + 0.0) for lvl in range(n_levels)
+        ]
+        s = sum(raw)
+        out[f] = [r / s for r in raw]
+    return out
+
+
+def em_weights_sql_ctes(
+    features: list[str],
+    n_levels: int = N_LEVELS,
+    n_iter: int = 50,
+    init_lambda: float = 0.1,
+    pat_rel: str = "pat",
+) -> str:
+    """DuckDB twin of `em_estimate_mu` + `em_weights_frame`: the EM loop
+    UNROLLED into one CTE pair per iteration over the pattern
+    contingency table `pat_rel(<f>_lvl ..., n_pairs)`.
+
+    Bit-for-bit float parity with the Python EM:
+      - init probabilities are embedded as repr() literals parsed via
+        CAST('…' AS DOUBLE) (correctly-rounded string->double, no
+        decimal intermediate);
+      - the E-step product multiplies left-to-right in declared feature
+        order, exactly like the Python `pm *= m[f][lv]` loop;
+      - every M-step sum is an ORDERED left fold
+        (list_reduce over list(x ORDER BY l0..lk)) in the same
+        canonical pattern order `em_estimate_mu` sorts into, because
+        float addition is not associative.
+    The resulting CTE `em_weights(feature, level, m_prob, u_prob,
+    weight)` matches `em_weights_frame` exactly. Output CTE chain has
+    O(n_iter) CTEs over <= n_levels^k rows each — trivial for DuckDB.
+    """
+    k = len(features)
+    lc = [f"l{i}" for i in range(k)]
+    order = ", ".join(lc)
+
+    def lit(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    def fold(expr: str, flt: str | None = None) -> str:
+        f = f" FILTER (WHERE {flt})" if flt else ""
+        return (
+            f"coalesce(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list({expr} ORDER BY {order}){f}), (a, b) -> a + b), CAST(0 AS DOUBLE))"
+        )
+
+    m0 = _em_init(features, n_levels, True)
+    u0 = _em_init(features, n_levels, False)
+    init_cols = [f"{lit(init_lambda)} AS lam"]
+    for pref, vals in (("m", m0), ("u", u0)):
+        for f in features:
+            for lvl in range(n_levels):
+                init_cols.append(f"{lit(vals[f][lvl])} AS {pref}_{f}_{lvl}")
+    pat_cols = ", ".join(f"{f}_lvl AS l{i}" for i, f in enumerate(features))
+    ctes = [
+        f"empat AS (SELECT {pat_cols}, n_pairs AS n FROM {pat_rel})",
+        f"mu_0 AS (SELECT {', '.join(init_cols)})",
+    ]
+
+    def sel(pref: str, i: int, f: str) -> str:
+        whens = " ".join(
+            f"WHEN {lvl} THEN mu.{pref}_{f}_{lvl}" for lvl in range(n_levels - 1)
+        )
+        return f"CASE p.l{i} {whens} ELSE mu.{pref}_{f}_{n_levels - 1} END"
+
+    for it in range(1, n_iter + 1):
+        pm = " * ".join(["mu.lam"] + [sel("m", i, f) for i, f in enumerate(features)])
+        pu = " * ".join(
+            ["(1.0 - mu.lam)"] + [sel("u", i, f) for i, f in enumerate(features)]
+        )
+        ctes.append(
+            f"resp_{it} AS MATERIALIZED (SELECT {order}, n, "
+            "CASE WHEN pm + pu > 0 THEN pm / (pm + pu) ELSE 0.5 END AS r "
+            f"FROM (SELECT p.*, {pm} AS pm, {pu} AS pu "
+            f"FROM empat p CROSS JOIN mu_{it - 1} mu))"
+        )
+        aggs = [
+            f"{fold('n * r')} AS nm",
+            f"{fold('n * (1.0 - r)')} AS nu",
+        ]
+        for i, f in enumerate(features):
+            for lvl in range(n_levels):
+                aggs.append(f"{fold('n * r', f'l{i} = {lvl}')} AS cm_{f}_{lvl}")
+                aggs.append(
+                    f"{fold('n * (1.0 - r)', f'l{i} = {lvl}')} AS cu_{f}_{lvl}"
+                )
+        outs = [
+            f"CASE WHEN nm + nu <> 0 THEN nm / (nm + nu) "
+            f"ELSE {lit(init_lambda)} END AS lam"
+        ]
+        for f in features:
+            for lvl in range(n_levels):
+                outs.append(
+                    f"(cm_{f}_{lvl} + 1.0) / (nm + {float(n_levels)!r}) AS m_{f}_{lvl}"
+                )
+        for f in features:
+            for lvl in range(n_levels):
+                outs.append(
+                    f"(cu_{f}_{lvl} + 1.0) / (nu + {float(n_levels)!r}) AS u_{f}_{lvl}"
+                )
+        ctes.append(
+            f"mu_{it} AS MATERIALIZED (SELECT {', '.join(outs)} "
+            f"FROM (SELECT {', '.join(aggs)} FROM resp_{it}))"
+        )
+    finals = []
+    for f in features:
+        for lvl in range(n_levels):
+            finals.append(
+                f"SELECT '{f}' AS feature, {lvl} AS level, m_{f}_{lvl} AS m_prob, "
+                f"u_{f}_{lvl} AS u_prob, floor(log2(m_{f}_{lvl} / u_{f}_{lvl}) "
+                f"* 1000000) / 1000000 AS weight FROM mu_{n_iter}"
+            )
+    ctes.append("em_weights AS (" + " UNION ALL ".join(finals) + ")")
+    return ", ".join(ctes)
 
 
 def em_weights_frame(spark, em: dict, features: list[str], n_levels: int = N_LEVELS) -> DataFrame:

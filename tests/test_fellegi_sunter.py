@@ -135,3 +135,41 @@ def test_pattern_counts_reduces(spark):
         for r in FS.pattern_counts(levels, FEATURES).collect()
     }
     assert pats[(2, 2, 2)] == 2 and pats[(0, 0, 0)] == 1
+
+
+def test_em_sql_twin_bit_exact():
+    """The unrolled DuckDB EM (em_weights_sql_ctes) reproduces the
+    Python EM bit-for-bit: same init literals, same left-to-right
+    E-step products, same ordered left-fold M-step sums — including an
+    absent (feature, level) cell (empty filtered fold -> 0.0) and the
+    collect-order independence guaranteed by the canonical sort."""
+    import math
+
+    import duckdb
+
+    pats = [
+        (2, 2, 2, 40), (2, 1, 2, 7), (1, 1, 0, 55), (0, 0, 0, 900),
+        (1, 0, 0, 120), (2, 0, 2, 3), (0, 1, 0, 60), (0, 2, 2, 2),
+    ]  # no pattern has lev_ratio_lvl == 1 -> exercises the empty fold
+    em = FS.em_estimate_mu(pats, FEATURES, n_iter=30)
+    em_shuffled = FS.em_estimate_mu(list(reversed(pats)), FEATURES, n_iter=30)
+    assert em == em_shuffled  # canonical sort: input order irrelevant
+    rows_py = sorted(
+        (f, lvl, em["m"][f][lvl], em["u"][f][lvl],
+         math.floor(math.log2(em["m"][f][lvl] / em["u"][f][lvl]) * 1e6) / 1e6)
+        for f in FEATURES
+        for lvl in range(3)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE pat (jw_lvl INT, tok_jaccard_lvl INT, "
+        "lev_ratio_lvl INT, n_pairs BIGINT)"
+    )
+    con.executemany("INSERT INTO pat VALUES (?,?,?,?)", pats)
+    sql = (
+        "WITH "
+        + FS.em_weights_sql_ctes(FEATURES, n_iter=30)
+        + " SELECT * FROM em_weights"
+    )
+    rows_sql = sorted(map(tuple, con.sql(sql).fetchall()))
+    assert rows_py == rows_sql  # bit-exact, not approx

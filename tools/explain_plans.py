@@ -155,6 +155,33 @@ def main() -> int:
           "partial_max" in plan or "partial_count" in plan)],
     ))
 
+    # PPRL: the exact dice join shuffles bare (id, id) pairs with a
+    # map-side partial count (the inverted-index explode never carries
+    # the CLK arrays into the pair shuffle); HLSH dedups bare id pairs
+    # BEFORE the CLK arrays join on for verification.
+    plan = _fmt(E.queries()["pprl_dice_pairs"](spark, SF))
+    sections.append((
+        "pprl_dice_pairs (bare-id inverted-index join)", plan,
+        [("pair agg keys are exactly the two bare id columns",
+          bool(_re.search(
+              r"Keys \[2\]: \[(?:doc_id_a#\d+L?, doc_id_b#\d+L?"
+              r"|doc_id#\d+L?, doc_id#\d+L?)\]", plan))),
+         ("map-side partial count before the pair shuffle",
+          "partial_count" in plan),
+         ("no Python/Arrow boundary",
+          "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan)],
+    ))
+
+    plan = _fmt(E.queries()["pprl_hlsh_dice"](spark, SF))
+    sections.append((
+        "pprl_hlsh_dice (bucket-then-verify)", plan,
+        [("candidate dedup on bare ids (CLKs attach after distinct)",
+          bool(_re.search(r"Keys \[2\]: \[doc_id_a#\d+L?, doc_id_b#\d+L?\]", plan))),
+         ("no window, no Python boundary",
+          len(set(_re.findall(r"Window \(\d+\)", plan))) == 0
+          and "ArrowEvalPython" not in plan)],
+    ))
+
     out_lines = ["# Physical plans (generated by tools/explain_plans.py)\n"]
     ok_all = True
     for title, plan, checks in sections:
