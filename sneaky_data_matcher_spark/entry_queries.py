@@ -24,6 +24,7 @@ from .functions.similarity import (
     token_jaccard,
 )
 from .operators import clustering, pprl, search
+from .operators.dedup import repeated_kgram_spans_sql, repeated_kgram_stats_sql
 from .sources import flatdocs
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2093,6 +2094,38 @@ def fs_match_weights_q(spark, sf_dir):
     levels, labels = _fs_levels_and_labels(spark, sf_dir)
     weights = FS.estimate_mu_supervised(levels, labels, _FS_FEATURES)
     return FS.match_weights(levels, weights, _FS_FEATURES)
+
+
+# Repeated k-gram spans (Lee et al. 2022 substring dedup, DataFrame
+# form): corpus-wide 5-gram census -> duplicated positions -> maximal
+# merged spans per doc, plus the per-doc duplicated-token coverage
+# signal. operators/dedup.py repeated_kgram_spans / repeated_kgram_stats.
+@_q(
+    "dup_span_detect",
+    "WITH "
+    + flatdocs.CANON_CTE
+    + ", "
+    + repeated_kgram_spans_sql(k=5, min_count=2)
+    + " SELECT doc_id, span_start, span_end, n_grams FROM dup_spans",
+)
+def dup_span_detect_q(spark, sf_dir):
+    from .operators import dedup
+
+    return dedup.repeated_kgram_spans(_canon(spark, sf_dir), k=5, min_count=2)
+
+
+@_q(
+    "dup_span_stats",
+    "WITH "
+    + flatdocs.CANON_CTE
+    + ", "
+    + repeated_kgram_stats_sql(k=5, min_count=2)
+    + " SELECT doc_id, n_toks, dup_tokens, dup_ratio FROM dup_stats",
+)
+def dup_span_stats_q(spark, sf_dir):
+    from .operators import dedup
+
+    return dedup.repeated_kgram_stats(_canon(spark, sf_dir), k=5, min_count=2)
 
 
 # Unsupervised Fellegi–Sunter: EM over the agreement-pattern contingency

@@ -16,7 +16,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textstats import tokens
@@ -378,6 +378,174 @@ def line_dedup(
             ).alias("clean_text"),
         )
         .select("doc_id", "n_lines", "n_dup_lines", "clean_text")
+    )
+
+
+def repeated_kgram_grams(
+    canon: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "doc_text"
+) -> DataFrame:
+    """(doc_id, start, gram): every overlapping word k-gram with its
+    0-based start token position (positions index the blank-filtered
+    token array, so both engines agree on them)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    docs = canon.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).where(
+        F.size("toks") >= k
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - k),
+        lambda j: F.array_join(F.slice("toks", j + 1, k), " "),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(grams).alias("start", "gram")
+    )
+
+
+def repeated_kgram_spans(
+    canon: DataFrame,
+    k: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "doc_text",
+) -> DataFrame:
+    """Corpus-level repeated-substring spans (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": exact
+    duplicate text segments dominate crawl corpora and should be
+    surfaced/cut at the SPAN level, not the document level; k-grams of
+    words approximate their suffix-array pass in pure DataFrame ops).
+
+    A token position is "duplicated" when the k-gram starting there
+    occurs >= min_count times ACROSS THE WHOLE CORPUS; overlapping or
+    adjacent duplicated windows merge into maximal spans
+    (gaps-and-islands over per-doc positions). Output:
+    (doc_id, span_start, span_end, n_grams) with token-index bounds
+    inclusive.
+
+    Scale notes (100 TB):
+      - the k-gram census is ONE groupBy with map-side partial counts
+        (like line_dedup); only grams passing min_count come back.
+      - the positions join shuffles (doc_id, start, gram) once on the
+        gram key; payload is two ints + the gram itself, never doc text.
+      - the islands window partitions by doc_id, so its state is
+        bounded by one document's duplicated positions, not the corpus.
+    The reference has no substring-level operator at all (document
+    identity is whole-key equality, services/SearchService.java:165).
+    """
+    grams = repeated_kgram_grams(canon, k, id_col, text_col)
+    census = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n_occ"))
+        .where(F.col("n_occ") >= min_count)
+        .select("gram")
+    )
+    dup = grams.join(census, "gram").select(
+        "doc_id", "start", (F.col("start") + (k - 1)).alias("end")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    brk = F.when(
+        F.col("start") > F.coalesce(F.max("end").over(w_prev), F.lit(-1)), 1
+    ).otherwise(0)
+    islands = dup.withColumn("island", F.sum(brk).over(w_cum))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )
+
+
+def repeated_kgram_stats(
+    canon: DataFrame,
+    k: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "doc_text",
+) -> DataFrame:
+    """Per-doc duplicated-token coverage from the merged spans:
+    (doc_id, n_toks, dup_tokens, dup_ratio) — the corpus-quality signal
+    (docs that are mostly boilerplate have dup_ratio near 1). Docs with
+    >= k tokens and no duplicated span report 0."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    sizes = canon.select(
+        F.col(id_col).alias("doc_id"), F.size(toks).alias("n_toks")
+    ).where(F.col("n_toks") >= k)
+    spans = repeated_kgram_spans(canon, k, min_count, id_col, text_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens")
+    )
+    return sizes.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_toks"), 6
+        ).alias("dup_ratio"),
+    )
+
+
+def repeated_kgram_spans_sql(
+    k: int = 5,
+    min_count: int = 2,
+    canon_rel: str = "canon",
+    id_col: str = "doc_id",
+    text_col: str = "doc_text",
+) -> str:
+    """DuckDB twin CTE chain ending in dup_spans(doc_id, span_start,
+    span_end, n_grams) — same blank-filtered token positions, census
+    threshold, and gaps-and-islands merge."""
+    return (
+        f"kgtoks AS (SELECT {id_col} AS doc_id, "
+        f"list_filter(string_split({text_col}, ' '), x -> x <> '') AS toks "
+        f"FROM {canon_rel}), "
+        f"kgrams AS MATERIALIZED (SELECT doc_id, j AS start, "
+        f"array_to_string(toks[j+1 : j+{k}], ' ') AS gram "
+        f"FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - {k} + 1)) AS j "
+        f"FROM kgtoks WHERE len(toks) >= {k})), "
+        f"kgcensus AS (SELECT gram FROM kgrams GROUP BY gram "
+        f"HAVING count(*) >= {min_count}), "
+        f"kgdup AS (SELECT g.doc_id, g.start, g.start + {k - 1} AS end_ "
+        "FROM kgrams g JOIN kgcensus c ON g.gram = c.gram), "
+        "kgbrk AS (SELECT doc_id, start, end_, CASE WHEN start > "
+        "coalesce(max(end_) OVER (PARTITION BY doc_id ORDER BY start "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk "
+        "FROM kgdup), "
+        "kgisl AS (SELECT doc_id, start, end_, sum(brk) "
+        "OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS island "
+        "FROM kgbrk), "
+        "dup_spans AS (SELECT doc_id, min(start) AS span_start, max(end_) AS span_end, "
+        "count(*) AS n_grams FROM kgisl GROUP BY doc_id, island)"
+    )
+
+
+def repeated_kgram_stats_sql(
+    k: int = 5,
+    min_count: int = 2,
+    canon_rel: str = "canon",
+    id_col: str = "doc_id",
+    text_col: str = "doc_text",
+) -> str:
+    """Twin of `repeated_kgram_stats`, composing the spans chain."""
+    return (
+        repeated_kgram_spans_sql(k, min_count, canon_rel, id_col, text_col)
+        + ", kgsizes AS (SELECT doc_id, len(toks) AS n_toks FROM kgtoks "
+        f"WHERE len(toks) >= {k}), "
+        "kgper AS (SELECT doc_id, sum(span_end - span_start + 1) AS dup_tokens "
+        "FROM dup_spans GROUP BY doc_id), "
+        "dup_stats AS (SELECT s.doc_id, s.n_toks, "
+        "coalesce(p.dup_tokens, 0) AS dup_tokens, "
+        "round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / s.n_toks, 6) AS dup_ratio "
+        "FROM kgsizes s LEFT JOIN kgper p ON s.doc_id = p.doc_id)"
     )
 
 

@@ -319,3 +319,99 @@ def test_incremental_minhash_dedup_no_old_text(spark, tmp_path):
         for r in incremental_minhash_dedup(io, b2, "doc_id", "text").collect()
     }
     assert got == {(1, 2)}  # identical text -> est_jaccard 1.0; 3 matches nothing
+
+
+def _brute_dup_spans(docs, k=5, min_count=2):
+    """Single-node oracle: census k-grams, mark positions, merge
+    overlapping/adjacent windows into maximal spans."""
+    from collections import Counter
+
+    toks = {i: [t for t in txt.split(" ") if t] for i, txt in docs}
+    grams = {
+        i: [" ".join(ts[j : j + k]) for j in range(len(ts) - k + 1)]
+        for i, ts in toks.items()
+        if len(ts) >= k
+    }
+    census = Counter(g for gs in grams.values() for g in gs)
+    spans = []
+    for i, gs in grams.items():
+        cur = None
+        n = 0
+        for j, g in enumerate(gs):
+            if census[g] < min_count:
+                continue
+            if cur is not None and j <= cur[1] + 1 and j <= cur[1] - k + 2 + k - 1:
+                pass
+            if cur is not None and j <= cur[1]:  # overlaps/abuts current span
+                cur = (cur[0], max(cur[1], j + k - 1))
+                n += 1
+            else:
+                if cur is not None:
+                    spans.append((i, cur[0], cur[1], n))
+                cur = (j, j + k - 1)
+                n = 1
+        if cur is not None:
+            spans.append((i, cur[0], cur[1], n))
+    return spans
+
+
+def test_repeated_kgram_spans_vs_bruteforce(spark):
+    from sneaky_data_matcher_spark.operators import dedup as D
+
+    boiler = "please subscribe to our newsletter for updates today"
+    docs = [
+        (1, f"alpha beta gamma {boiler} delta epsilon"),
+        (2, f"{boiler} unrelated tail content here now"),
+        (3, "totally unique words nothing shared anywhere at all"),
+        (4, f"one two {boiler} {boiler} end"),  # adjacent repeats merge
+        (5, "tiny doc"),  # < k tokens: excluded
+    ]
+    f = spark.createDataFrame(docs, "doc_id long, doc_text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in D.repeated_kgram_spans(f, k=5, min_count=2).collect()
+    )
+    expect = sorted(_brute_dup_spans(docs, k=5, min_count=2))
+    assert got == expect
+    assert any(r[0] == 1 for r in got) and any(r[0] == 2 for r in got)
+    assert not any(r[0] == 3 for r in got)
+
+
+def test_repeated_kgram_spans_sql_twin(spark):
+    import duckdb
+
+    from sneaky_data_matcher_spark.operators import dedup as D
+
+    boiler = "please subscribe to our newsletter for updates today"
+    docs = [
+        (1, f"alpha beta gamma {boiler} delta epsilon"),
+        (2, f"{boiler} unrelated tail content here now"),
+        (3, "totally unique words nothing shared anywhere at all"),
+        (4, f"one two {boiler} {boiler} end"),
+    ]
+    f = spark.createDataFrame(docs, "doc_id long, doc_text string")
+    con = duckdb.connect()
+    con.sql("CREATE TABLE c (doc_id BIGINT, doc_text VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?, ?)", docs)
+    spans_sql = (
+        "WITH "
+        + D.repeated_kgram_spans_sql(k=5, min_count=2, canon_rel="c")
+        + " SELECT * FROM dup_spans"
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in D.repeated_kgram_spans(f, k=5, min_count=2).collect()
+    )
+    assert got == sorted(map(tuple, con.sql(spans_sql).fetchall()))
+    stats_sql = (
+        "WITH "
+        + D.repeated_kgram_stats_sql(k=5, min_count=2, canon_rel="c")
+        + " SELECT * FROM dup_stats"
+    )
+    got_stats = sorted(
+        (r.doc_id, r.n_toks, r.dup_tokens, r.dup_ratio)
+        for r in D.repeated_kgram_stats(f, k=5, min_count=2).collect()
+    )
+    assert got_stats == sorted(map(tuple, con.sql(stats_sql).fetchall()))
+    by_id = {r[0]: r for r in got_stats}
+    assert by_id[3][2] == 0 and by_id[3][3] == 0.0  # clean doc reports 0

@@ -182,6 +182,21 @@ def main() -> int:
           and "ArrowEvalPython" not in plan)],
     ))
 
+    # Repeated k-gram spans: census with map-side partial count, the
+    # islands window partitioned by doc_id (bounded per-doc state), no
+    # Python boundary anywhere.
+    plan = _fmt(E.queries()["dup_span_detect"](spark, SF))
+    sections.append((
+        "dup_span_detect (k-gram census + islands merge)", plan,
+        [("map-side partial count before the census shuffle",
+          "partial_count" in plan),
+         ("islands window partitioned by doc_id only",
+          bool(_re.search(r"windowspecdefinition\(doc_id#\d+L?, start#\d+", plan))
+          and not _re.search(r"windowspecdefinition\((?!doc_id#)", plan)),
+         ("no Python/Arrow boundary",
+          "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan)],
+    ))
+
     out_lines = ["# Physical plans (generated by tools/explain_plans.py)\n"]
     ok_all = True
     for title, plan, checks in sections:
