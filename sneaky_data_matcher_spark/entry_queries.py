@@ -823,6 +823,60 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(q, emb, cent, k=5, n_probe=2)
 
 
+# PQ ANN (Jégou et al.): 64-dim vectors → 8 subspaces × 8 dims; codebook =
+# every 50th vector (deterministic stand-in for per-subspace k-means, the
+# same trick as IVF's centroids); corpus encoded to 8 one-byte codes,
+# queries scored by asymmetric distance (per-query lookup table). Encode
+# argmins, table lookups, and the fold order are identical double
+# arithmetic on both engines, so the oracle hash-checks codes AND ranking.
+_PQ_CTE = (
+    "cbi AS (SELECT vec_id AS cb_id, CAST(embedding AS DOUBLE[]) AS cbv, "
+    "  CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS idx "
+    "  FROM embeddings WHERE vec_id % 50 = 1), "
+    "cbm AS (SELECT list(cbv ORDER BY idx) AS mat FROM cbi), "
+    "corp AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "qry AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v "
+    "  FROM embeddings WHERE vec_id % 50 = 0), "
+    "subs AS (SELECT unnest(range(8)) AS s), "
+    "enc AS (SELECT neighbor_id, s, idx AS code FROM ("
+    "  SELECT c.neighbor_id, subs.s, b.idx, ROW_NUMBER() OVER ("
+    "    PARTITION BY c.neighbor_id, subs.s ORDER BY "
+    "    list_sum(list_transform(range(8), j -> "
+    "      (c.v[CAST(subs.s*8 + j + 1 AS INT)] - b.cbv[CAST(subs.s*8 + j + 1 AS INT)]) "
+    "      * (c.v[CAST(subs.s*8 + j + 1 AS INT)] - b.cbv[CAST(subs.s*8 + j + 1 AS INT)]))), "
+    "    b.idx) rn "
+    "  FROM corp c CROSS JOIN subs CROSS JOIN cbi b) WHERE rn = 1), "
+    "encl AS (SELECT neighbor_id, list(code ORDER BY s) AS codes FROM enc GROUP BY neighbor_id)"
+)
+
+
+@_q(
+    "ann_pq_topk",
+    f"WITH {_PQ_CTE} "
+    "SELECT query_id, neighbor_id, adist FROM ("
+    "  SELECT query_id, neighbor_id, adist, ROW_NUMBER() OVER ("
+    "    PARTITION BY query_id ORDER BY adist, neighbor_id) rn FROM ("
+    "  SELECT q.query_id, e.neighbor_id, "
+    "    round(list_sum(list_transform(range(8), s -> "
+    "      list_sum(list_transform(range(8), j -> "
+    "        (q.v[CAST(s*8 + j + 1 AS INT)] "
+    "          - m.mat[e.codes[CAST(s + 1 AS INT)]][CAST(s*8 + j + 1 AS INT)]) "
+    "        * (q.v[CAST(s*8 + j + 1 AS INT)] "
+    "          - m.mat[e.codes[CAST(s + 1 AS INT)]][CAST(s*8 + j + 1 AS INT)]))))), 6) AS adist "
+    "  FROM qry q CROSS JOIN encl e CROSS JOIN cbm m "
+    "  WHERE q.query_id <> e.neighbor_id)) WHERE rn <= 5",
+)
+def ann_pq_topk(spark, sf_dir):
+    from .operators.ann import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    cb = emb.where(F.col("vec_id") % 50 == 1).select(
+        F.col("vec_id").alias("cb_id"), "embedding"
+    )
+    return pq_topk(q, emb, cb, k=5, m=8)
+
+
 # Embedding-cosine near-duplicate detection: corpus ∪ rescaled copies of
 # every 10th vector (cosine with the original = 1.0 — deterministic true
 # near-dups on both sides); Spark runs the LSH-bucketed path, the oracle is
@@ -870,6 +924,112 @@ def winnow_fingerprints_q(spark, sf_dir):
     return d.select(
         "doc_id", F.explode(TS.winnow_fingerprints(F.col("text"))).alias("fp")
     )
+
+
+# Sequence packing (concat-and-split): docs laid end-to-end in doc_id order,
+# cut into 512-token chunks; one row per (doc, chunk) a doc's tokens land in.
+# Spark computes the global prefix sum with the two-phase partition-offset
+# pattern (no single-partition window); the oracle is the literal window
+# spec it must equal.
+@_q(
+    "pack_chunks",
+    "WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\\s+'), "
+    "  x -> x <> '')) AS BIGINT) AS n FROM documents), "
+    "c AS (SELECT doc_id, n, COALESCE(SUM(n) OVER (ORDER BY doc_id "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s FROM t), "
+    "e AS (SELECT doc_id, n, s, unnest(range(s // 512, (s + n - 1) // 512 + 1)) AS chunk_id "
+    "  FROM c WHERE n > 0) "
+    "SELECT doc_id, chunk_id, "
+    "  least((chunk_id + 1) * 512, s + n) - greatest(chunk_id * 512, s) AS toks_in_chunk, "
+    "  n AS n_tokens FROM e",
+)
+def pack_chunks_q(spark, sf_dir):
+    from .operators.packing import pack_chunks
+
+    return pack_chunks(_docs(spark, sf_dir), cap=512)
+
+
+@_q(
+    "packing_stats",
+    "WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\\s+'), "
+    "  x -> x <> '')) AS BIGINT) AS n FROM documents), "
+    "c AS (SELECT doc_id, n, COALESCE(SUM(n) OVER (ORDER BY doc_id "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s FROM t), "
+    "e AS (SELECT doc_id, n, s, unnest(range(s // 512, (s + n - 1) // 512 + 1)) AS chunk_id "
+    "  FROM c WHERE n > 0), "
+    "x AS (SELECT doc_id, chunk_id, "
+    "  least((chunk_id + 1) * 512, s + n) - greatest(chunk_id * 512, s) AS toks_in_chunk FROM e) "
+    "SELECT chunk_id, COUNT(*) AS n_docs, SUM(toks_in_chunk) AS fill_tokens, "
+    "  round(CAST(SUM(toks_in_chunk) AS DOUBLE) / 512, 6) AS fill_ratio "
+    "FROM x GROUP BY chunk_id",
+)
+def packing_stats_q(spark, sf_dir):
+    from .operators.packing import pack_chunks, packing_stats
+
+    return packing_stats(pack_chunks(_docs(spark, sf_dir), cap=512), cap=512)
+
+
+# Corpus boilerplate mining: top-50 most frequent token 5-grams with
+# occurrence + distinct-doc counts; deterministic (occurrences desc, ngram
+# asc) so the LIMIT set is stable under the driver's order-insensitive hash.
+@_q(
+    "ngram_census",
+    "WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), "
+    "  x -> x <> '') AS toks FROM documents), "
+    "g AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 4), "
+    "  i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))) AS ngram "
+    "  FROM t WHERE len(toks) >= 5) "
+    "SELECT ngram, COUNT(*) AS occurrences, COUNT(DISTINCT doc_id) AS n_docs "
+    "FROM g GROUP BY ngram ORDER BY occurrences DESC, ngram LIMIT 50",
+)
+def ngram_census_q(spark, sf_dir):
+    from .operators.dedup import ngram_census
+
+    return ngram_census(_docs(spark, sf_dir), n=5, top=50)
+
+
+# RAG-style overlapping token chunking: per-doc windows of 32 tokens with
+# stride 24 (windows start while start < n_tokens; last may be short);
+# chunk text re-joined with single spaces. Pure per-row explode.
+@_q(
+    "chunk_overlapping",
+    "WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), "
+    "  x -> x <> '') AS toks FROM documents), "
+    "e AS (SELECT doc_id, toks, unnest(range(0, (len(toks) - 1) // 24 + 1)) AS ci "
+    "  FROM t WHERE len(toks) > 0) "
+    "SELECT doc_id, ci AS chunk_idx, "
+    "  array_to_string(list_slice(toks, ci * 24 + 1, least(ci * 24 + 32, len(toks))), ' ') "
+    "    AS chunk_text, "
+    "  CAST(least(ci * 24 + 32, len(toks)) - ci * 24 AS BIGINT) AS chunk_tokens "
+    "FROM e",
+)
+def chunk_overlapping_q(spark, sf_dir):
+    from .operators.packing import chunk_overlapping
+
+    return chunk_overlapping(_docs(spark, sf_dir), size=32, stride=24)
+
+
+# Unigram LM quality scoring: add-one-smoothed mean token log-prob under
+# counts trained on the corpus itself. Per-(doc,tok) terms c·ln(p) are
+# rounded to 9 decimals and summed as DECIMAL (order-independent), so the
+# oracle reproduces the score bit-for-bit.
+@_q(
+    "lm_logprob",
+    "WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), "
+    "  x -> x <> '')) AS tok FROM documents), "
+    "dt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok), "
+    "cnt AS (SELECT tok, SUM(c) AS n FROM dt GROUP BY tok), "
+    "tot AS (SELECT SUM(n) AS N, COUNT(*) AS V FROM cnt), "
+    "terms AS (SELECT d.doc_id, d.c, CAST(round(d.c * ln((cn.n + 1) / CAST(t.N + t.V AS DOUBLE)), 9) "
+    "  AS DECIMAL(28,10)) AS term FROM dt d JOIN cnt cn USING (tok) CROSS JOIN tot t) "
+    "SELECT doc_id, SUM(c) AS n_tokens, "
+    "  round(CAST(SUM(term) AS DOUBLE) / SUM(c), 6) AS mean_logprob "
+    "FROM terms GROUP BY doc_id",
+)
+def lm_logprob_q(spark, sf_dir):
+    from .operators.lm import unigram_logprob_scores
+
+    return unigram_logprob_scores(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

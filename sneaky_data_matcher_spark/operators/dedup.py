@@ -638,3 +638,44 @@ def incremental_minhash_dedup(
     # index append mutates the table the plan reads from
     io.append(sigs_new, table)
     return pairs
+
+
+def ngram_census(
+    docs: DataFrame,
+    n: int = 5,
+    top: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus boilerplate mining: the ``top`` most frequent token n-grams
+    across the corpus — (ngram, occurrences, n_docs), ordered by
+    occurrences desc then ngram asc (deterministic). High-n_docs n-grams
+    are template/boilerplate candidates to strip before training; pairs
+    with line_dedup (exact repeated lines) and repeated_kgram_spans
+    (within-doc repetition).
+
+    Scale shape: n-grams explode map-side; the census is one hash agg with
+    map-side partial counts (hot boilerplate keys combine before the
+    shuffle). The final top-k is a sort of the aggregated census — at 100 TB
+    add a HAVING occurrences > c pre-filter if the full census must spill.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+    tc = F.col("toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tc) - n),
+        lambda i: F.array_join(F.slice(tc, i + 1, n), " "),
+    )
+    exploded = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .where(F.size("toks") >= n)
+        .select("doc_id", F.explode(grams).alias("ngram"))
+    )
+    return (
+        exploded.groupBy("ngram")
+        .agg(
+            F.count("*").alias("occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("occurrences"), F.asc("ngram"))
+        .limit(top)
+    )

@@ -1,0 +1,159 @@
+"""Sequence packing for LLM training pipelines: concat-and-split.
+
+Documents are laid end-to-end in a deterministic order (doc_id) to form one
+token stream, which is cut into fixed-size chunks of ``cap`` tokens; a doc
+whose tokens straddle a boundary spans multiple chunks. This is the
+"concatenate then split" packing used by most large-scale pretraining
+pipelines (no padding waste, deterministic layout), re-expressed as
+DataFrame ops.
+
+Scale shape: the global token-offset (a prefix sum over the whole corpus)
+is NOT a single-partition window — it's the same two-phase pattern as
+sorted-neighborhood blocking (blocking.py): a range-partitioned sort by
+doc_id, a per-partition running sum inside each partition, then one tiny
+driver-side frame (one row per partition) of partition totals broadcast
+back as offsets. At 100 TB that collect is a few thousand longs.
+
+Generalizes the reference's fixed export paging (SearchService.java:233-259
+pages of 50 rows) to token-budgeted chunking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textstats import token_count
+
+
+def global_token_offsets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, tok_start) — tok_start is the number of tokens in
+    all docs strictly before this one in doc_id order (0-based exclusive
+    prefix sum). Zero-token docs are kept (they occupy no stream space but
+    remain addressable)."""
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    t = (
+        t.repartitionByRange(num_partitions, "doc_id")
+        if num_partitions
+        else t.repartitionByRange("doc_id")
+    )
+    ranked = t.withColumn("pid", F.spark_partition_id()).withColumn(
+        "lsum",
+        F.sum("n_tokens").over(
+            Window.partitionBy("pid")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # pin: read twice (totals + join) — pid/lsum must not be recomputed
+    ranked = ranked.localCheckpoint(eager=True)
+    totals = sorted(
+        (r["pid"], r["tot"])
+        for r in ranked.groupBy("pid").agg(F.sum("n_tokens").alias("tot")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, tot in totals:
+        offsets.append((pid, acc))
+        acc += int(tot or 0)
+    off_df = ranked.sparkSession.createDataFrame(offsets, "pid int, off long")
+    return ranked.join(F.broadcast(off_df), "pid").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("off") + F.col("lsum") - F.col("n_tokens")).alias("tok_start"),
+    )
+
+
+def pack_chunks(
+    docs: DataFrame,
+    cap: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exploded packing plan: one row per (doc, chunk) the doc's tokens land
+    in. Output: (doc_id, chunk_id, toks_in_chunk, n_tokens) — chunk_id is
+    the 0-based index of the cap-token chunk; toks_in_chunk is how many of
+    this doc's tokens fall inside it. Zero-token docs emit no rows.
+
+    sum(toks_in_chunk) per chunk == cap for every chunk but the last — the
+    no-padding-waste invariant (tested)."""
+    off = global_token_offsets(docs, id_col, text_col, num_partitions)
+    spanned = off.where(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "tok_start",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("tok_start") / cap),
+                F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / cap),
+            )
+        ).alias("chunk_id"),
+    )
+    return spanned.select(
+        "doc_id",
+        "chunk_id",
+        (
+            F.least((F.col("chunk_id") + 1) * cap, F.col("tok_start") + F.col("n_tokens"))
+            - F.greatest(F.col("chunk_id") * cap, F.col("tok_start"))
+        ).alias("toks_in_chunk"),
+        "n_tokens",
+    )
+
+
+def packing_stats(chunks: DataFrame, cap: int) -> DataFrame:
+    """Per-chunk packing diagnostics over a pack_chunks frame: docs per
+    chunk, fill tokens, and fill ratio. One hash-agg, map-side combinable."""
+    return chunks.groupBy("chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks_in_chunk").alias("fill_tokens"),
+        F.round(F.sum("toks_in_chunk") / cap, 6).alias("fill_ratio"),
+    )
+
+
+def chunk_overlapping(
+    docs: DataFrame,
+    size: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document overlapping token windows (RAG-style chunking): chunk i
+    covers whitespace tokens [i*stride, i*stride+size); windows start while
+    start < n_tokens, so the last window may be short. Chunk text re-joins
+    tokens with single spaces (whitespace-normalizing, same as NRM's output
+    shape). Zero-token docs emit no rows.
+
+    Pure per-row explode — embarrassingly parallel, no shuffle; at 100 TB
+    the only cost is the output amplification factor size/stride.
+
+    Output: (doc_id, chunk_idx, chunk_text, chunk_tokens).
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks"), n.alias("n")
+    ).where(F.col("n") > 0)
+    exploded = base.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.col("n") - 1) / stride).cast("int"))
+        ).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * stride + 1, size)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+    )

@@ -120,3 +120,87 @@ def test_ivf_with_trained_centroids_recall(spark, emb):
     # n_probe=4 of 8 lists scans ~half the corpus; on near-uniform random
     # vectors expect at least half of the true neighbors back
     assert recall >= 0.5, recall
+
+
+def test_pq_codes_match_numpy(spark, emb):
+    """pq_encode's argmin codes agree with a direct numpy PQ encoder."""
+    import numpy as np
+
+    m = 8
+    cb_rows = sorted(
+        (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        for r in emb.where(F.col("vec_id") % 40 == 1).collect()
+    )
+    cbmat = np.stack([v for _, v in cb_rows])  # (K, D) sorted by cb_id
+    cb = emb.where(F.col("vec_id") % 40 == 1).select(
+        F.col("vec_id").alias("cb_id"), "embedding"
+    )
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in ann.pq_encode(emb, cb, m=m).collect()
+    }
+    d = cbmat.shape[1] // m
+    for r in emb.collect():
+        v = np.array(r["embedding"], dtype=np.float64)
+        want = []
+        for s in range(m):
+            dists = ((cbmat[:, s * d : (s + 1) * d] - v[s * d : (s + 1) * d]) ** 2).sum(axis=1)
+            want.append(int(np.argmin(dists)) + 1)  # 1-based, ties→lowest (argmin)
+        assert got[r["vec_id"]] == want, r["vec_id"]
+
+
+def test_pq_topk_matches_numpy_adc(spark, emb):
+    """pq_topk's ADC ranking agrees with numpy lookup-table distances."""
+    import numpy as np
+
+    m, k = 8, 4
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    cb_ids = sorted(i for i in vecs if i % 40 == 1)
+    cbmat = np.stack([vecs[i] for i in cb_ids])
+    d = cbmat.shape[1] // m
+    codes = {}
+    for nid, v in vecs.items():
+        codes[nid] = [
+            int(np.argmin(((cbmat[:, s * d : (s + 1) * d] - v[s * d : (s + 1) * d]) ** 2).sum(axis=1)))
+            for s in range(m)
+        ]
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    cb = emb.where(F.col("vec_id") % 40 == 1).select(
+        F.col("vec_id").alias("cb_id"), "embedding"
+    )
+    got = {}
+    for r in ann.pq_topk(q, emb, cb, k=k, m=m).collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["adist"]))
+    for qid in [i for i in vecs if i % 100 == 0]:
+        qv = vecs[qid]
+        dtab = np.stack(
+            [((cbmat[:, s * d : (s + 1) * d] - qv[s * d : (s + 1) * d]) ** 2).sum(axis=1) for s in range(m)]
+        )  # (m, K)
+        scored = sorted(
+            (round(float(sum(dtab[s][codes[nid][s]] for s in range(m))), 6), nid)
+            for nid in vecs
+            if nid != qid
+        )
+        expected = [(n, a) for a, n in scored[:k]]
+        assert [n for n, _ in got[qid]] == [n for n, _ in expected], qid
+        for (gn, ga), (en, ea) in zip(got[qid], expected):
+            assert ga == pytest.approx(ea, abs=1e-5)
+
+
+def test_pq_identical_vector_is_nearest(spark, emb):
+    """A duplicated vector quantizes to the same codes, so its ADC distance
+    (= the query's own quantization error — NOT zero; ADC compares the
+    exact query against the RECONSTRUCTED neighbor) is the minimum
+    achievable over any code assignment — PQ must rank the twin first."""
+    dup = emb.where(F.col("vec_id") == 7).select(
+        F.lit(999999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    aug = emb.unionByName(dup)
+    q = aug.where(F.col("vec_id") == 999999)
+    cb = emb.where(F.col("vec_id") % 40 == 1).select(
+        F.col("vec_id").alias("cb_id"), "embedding"
+    )
+    top = ann.pq_topk(q, aug, cb, k=1, m=8).collect()
+    assert len(top) == 1 and top[0]["neighbor_id"] == 7
+    assert top[0]["adist"] >= 0.0

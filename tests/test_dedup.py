@@ -415,3 +415,25 @@ def test_repeated_kgram_spans_sql_twin(spark):
     assert got_stats == sorted(map(tuple, con.sql(stats_sql).fetchall()))
     by_id = {r[0]: r for r in got_stats}
     assert by_id[3][2] == 0 and by_id[3][3] == 0.0  # clean doc reports 0
+
+
+def test_ngram_census_counts(spark):
+    from sneaky_data_matcher_spark.operators.dedup import ngram_census
+
+    docs = spark.createDataFrame(
+        [
+            (1, "click here to unsubscribe from this list"),
+            (2, "please click here to unsubscribe now"),
+            (3, "short doc"),
+            (4, "click here to unsubscribe from everything"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["ngram"]: (r["occurrences"], r["n_docs"])
+        for r in ngram_census(docs, n=4, top=10).collect()
+    }
+    assert rows["click here to unsubscribe"] == (3, 3)
+    assert "short doc" not in rows  # below n tokens -> no grams
+    # every count is (occurrences >= n_docs)
+    assert all(occ >= nd for occ, nd in rows.values())

@@ -119,6 +119,21 @@ def main() -> int:
           len(set(_re.findall(r"Window \(\d+\)", plan))) == 1)],
     ))
 
+    # r3: PQ ADC — encode is map-side (codebook broadcast; argmin in
+    # codegen), the query side is broadcast into the code scan, and the
+    # only Window is the final per-query top-k.
+    plan = _fmt(E.queries()["ann_pq_topk"](spark, SF))
+    sections.append((
+        "pq_topk (map-side encode, broadcast ADC tables)", plan,
+        [("codebook + query tables broadcast", "BroadcastExchange" in plan
+          or "BroadcastNestedLoopJoin" in plan),
+         ("one window for final top-k",
+          len(set(_re.findall(r"Window \(\d+\)", plan))) == 1),
+         ("exactly one hash-partitioned exchange (the top-k window's; encode "
+          "+ ADC shuffle nothing but the two tiny codebook collect_list aggs)",
+          plan.count("hashpartitioning(") == 1)],
+    ))
+
     # r3 ops: pii_scan is a pure projection (no shuffle, no Python);
     # line_dedup aggregates with map-side combine and rebuilds order via
     # array_sort (no Window over the corpus); golden_records is a single
