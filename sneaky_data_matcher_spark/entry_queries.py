@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from .functions import canonicalize as C
 from .functions import textstats as TS
+from .functions import urls as U
 from .functions.similarity import (
     cosine_similarity,
     jaro_winkler,
@@ -2668,6 +2669,232 @@ def pprl_hlsh_dice_q(spark, sf_dir):
         id_col="rec_id",
         text_col="qid",
         qgram=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 interval assembly (r3, operators/scd.py): per-user event_type change
+# history as half-open [valid_from, valid_to) versions, plus a point-in-
+# time snapshot. Oracle runs the identical lag/cumsum/lead gaps-and-
+# islands assembly in DuckDB; ties order by (ts, event_id) on both sides.
+# ---------------------------------------------------------------------------
+
+_SCD2_CTE = (
+    "sb AS (SELECT user_id AS entity, event_type AS attr_value, ts, event_id, "
+    "CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "sv AS (SELECT *, sum(chg) OVER (PARTITION BY entity ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS version FROM sb), "
+    "runs AS (SELECT entity, CAST(version AS BIGINT) AS version, "
+    "min(attr_value) AS attr_value, min(ts) AS valid_from, "
+    "count(*) AS n_events FROM sv GROUP BY entity, version), "
+    "scd2 AS (SELECT entity, attr_value, version, valid_from, "
+    "lead(valid_from) OVER wv AS valid_to, n_events, "
+    "lead(valid_from) OVER wv IS NULL AS is_current "
+    "FROM runs WINDOW wv AS (PARTITION BY entity ORDER BY version))"
+)
+
+
+@_q(
+    "scd2_intervals",
+    f"WITH {_SCD2_CTE} SELECT * FROM scd2",
+)
+def scd2_intervals_q(spark, sf_dir):
+    from .operators import scd
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return scd.scd2_assemble(
+        ev, "user_id", "event_type", ts_col="ts", tiebreak_col="event_id"
+    )
+
+
+_SCD2_AT = "2024-06-15 00:00:00"
+
+
+@_q(
+    "scd2_snapshot",
+    f"WITH {_SCD2_CTE} SELECT * FROM scd2 "
+    f"WHERE valid_from <= TIMESTAMP '{_SCD2_AT}' "
+    f"AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_SCD2_AT}')",
+)
+def scd2_snapshot_q(spark, sf_dir):
+    from .operators import scd
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = scd.scd2_assemble(
+        ev, "user_id", "event_type", ts_col="ts", tiebreak_col="event_id"
+    )
+    return scd.scd2_snapshot(dim, _SCD2_AT)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed temporal joins (r3, operators/intervals.py). The oracle uses the
+# plain theta join (fine at sf0.01); the Spark side uses the bucketed
+# equi-join rewrite, so a hash-match certifies that the rewrite produces
+# EXACTLY the theta-join pairs (incl. the open-interval union path and the
+# later-start exactly-once rule).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "temporal_dim_lookup",
+    f"WITH {_SCD2_CTE}, "
+    "probes AS (SELECT event_id, user_id, "
+    "  ts + INTERVAL 1 HOUR AS probe_ts FROM events WHERE event_id % 7 = 0) "
+    "SELECT p.event_id, p.user_id, p.probe_ts, s.attr_value, s.version "
+    "FROM probes p JOIN scd2 s ON p.user_id = s.entity "
+    "AND s.valid_from <= p.probe_ts "
+    "AND (s.valid_to IS NULL OR p.probe_ts < s.valid_to)",
+)
+def temporal_dim_lookup_q(spark, sf_dir):
+    from .operators import intervals, scd
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = scd.scd2_assemble(
+        ev, "user_id", "event_type", ts_col="ts", tiebreak_col="event_id"
+    ).select(
+        F.col("entity").alias("user_id"), "attr_value", "version",
+        "valid_from", "valid_to",
+    )
+    probes = ev.where(F.col("event_id") % 7 == 0).select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(F.unix_micros(F.col("ts").cast("timestamp")) + 3_600_000_000)
+        .cast("timestamp_ntz")
+        .alias("probe_ts"),
+    )
+    return intervals.point_in_interval_join(
+        probes, dim,
+        point_ts="probe_ts", start_col="valid_from", end_col="valid_to",
+        key_cols=["user_id"], bucket_width_s=7 * 86400,
+    ).select("event_id", "user_id", "probe_ts", "attr_value", "version")
+
+
+_SESS_IV_CTE = (
+    f"{_SESS_CTE}, "
+    "sess AS (SELECT user_id, session_no, min(ts) AS session_start, "
+    "  epoch_ms(epoch_ms(max(ts)) + 1) AS session_end "
+    "  FROM sa GROUP BY user_id, session_no), "
+    "bounds AS (SELECT date_trunc('day', min(ts)) AS d0, "
+    "  date_trunc('day', max(ts)) AS d1 FROM events), "
+    "days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) "
+    "  AS day_start FROM bounds)"
+)
+
+
+@_q(
+    "session_day_overlap",
+    f"WITH {_SESS_IV_CTE} "
+    "SELECT user_id, CAST(session_no AS BIGINT) AS session_no, session_start, "
+    "day_start FROM sess JOIN days "
+    "ON session_start < day_start + INTERVAL 1 DAY AND day_start < session_end",
+)
+def session_day_overlap_q(spark, sf_dir):
+    from .operators import intervals, sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sess = (
+        sessions.sessionize(ev, gap_s=_SESS_GAP_S)
+        .groupBy("user_id", F.col("session_no").cast("long").alias("session_no"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            # +1ms so single-event sessions are non-empty half-open intervals
+            F.timestamp_millis(F.unix_millis(F.max("ts").cast("timestamp")) + 1)
+            .cast("timestamp_ntz")
+            .alias("session_end"),
+        )
+    )
+    days = (
+        ev.agg(
+            F.date_trunc("DAY", F.min("ts")).alias("d0"),
+            F.date_trunc("DAY", F.max("ts")).alias("d1"),
+        )
+        .select(
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+            ).alias("day_start")
+        )
+        .withColumn(
+            "day_end",
+            F.timestamp_micros(
+                F.unix_micros(F.col("day_start").cast("timestamp")) + 86400 * 1_000_000
+            ).cast("timestamp_ntz"),
+        )
+    )
+    return intervals.interval_overlap_join(
+        sess, days,
+        a_start="session_start", a_end="session_end",
+        b_start="day_start", b_end="day_end",
+        bucket_width_s=86400,
+    ).select("user_id", "session_no", "session_start", "day_start")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (r3, functions/urls.py): messy crawl URLs
+# synthesized deterministically from doc_id (4 variants per page — case,
+# default ports, www, duplicate slashes, trailing slash, unsorted params,
+# tracking params, fragments), canonicalized natively on both engines.
+# ---------------------------------------------------------------------------
+
+_RAW_URL_SQL = (
+    "CASE doc_id % 4 "
+    "WHEN 0 THEN 'https://site' || CAST(doc_id % 37 AS VARCHAR) || '.com/p/' "
+    "  || CAST(doc_id % 111 AS VARCHAR) || '?a=1&b=2' "
+    "WHEN 1 THEN 'HTTPS://Site' || CAST(doc_id % 37 AS VARCHAR) || '.COM:443/p/' "
+    "  || CAST(doc_id % 111 AS VARCHAR) || '/?b=2&a=1&utm_source=feed#top' "
+    "WHEN 2 THEN 'https://www.site' || CAST(doc_id % 37 AS VARCHAR) || '.com//p//' "
+    "  || CAST(doc_id % 111 AS VARCHAR) || '?a=1&utm_campaign=x&b=2' "
+    "ELSE 'HTTP://site' || CAST(doc_id % 37 AS VARCHAR) || '.com:8080/p/' "
+    "  || CAST(doc_id % 111 AS VARCHAR) || '?fbclid=abc' END"
+)
+
+
+def _raw_url_col():
+    h = (F.col("doc_id") % 37).cast("string")
+    p = (F.col("doc_id") % 111).cast("string")
+    v = F.col("doc_id") % 4
+    return (
+        F.when(v == 0, F.concat(F.lit("https://site"), h, F.lit(".com/p/"), p,
+                                F.lit("?a=1&b=2")))
+        .when(v == 1, F.concat(F.lit("HTTPS://Site"), h, F.lit(".COM:443/p/"), p,
+                               F.lit("/?b=2&a=1&utm_source=feed#top")))
+        .when(v == 2, F.concat(F.lit("https://www.site"), h, F.lit(".com//p//"), p,
+                               F.lit("?a=1&utm_campaign=x&b=2")))
+        .otherwise(F.concat(F.lit("HTTP://site"), h, F.lit(".com:8080/p/"), p,
+                            F.lit("?fbclid=abc")))
+    )
+
+
+@_q(
+    "url_canonicalize",
+    "SELECT doc_id, raw_url, " + U.canonical_url_sql("raw_url") + " AS canon_url "
+    f"FROM (SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM documents)",
+)
+def url_canonicalize_q(spark, sf_dir):
+    from .functions import urls
+
+    d = _docs(spark, sf_dir).select("doc_id", _raw_url_col().alias("raw_url"))
+    return d.select(
+        "doc_id", "raw_url", urls.canonical_url(F.col("raw_url")).alias("canon_url")
+    )
+
+
+@_q(
+    "url_dup_groups",
+    "WITH c AS (SELECT doc_id, " + U.canonical_url_sql("raw_url") + " AS canon_url "
+    f"FROM (SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM documents)) "
+    "SELECT canon_url, count(*) AS n_docs, min(doc_id) AS canonical_doc "
+    "FROM c GROUP BY canon_url HAVING count(*) > 1",
+)
+def url_dup_groups_q(spark, sf_dir):
+    from .functions import urls
+
+    d = _docs(spark, sf_dir).select("doc_id", _raw_url_col().alias("raw_url"))
+    return (
+        d.select("doc_id", urls.canonical_url(F.col("raw_url")).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_doc"))
+        .where(F.col("n_docs") > 1)
     )
 
 
