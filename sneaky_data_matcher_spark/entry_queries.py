@@ -936,8 +936,8 @@ def winnow_fingerprints_q(spark, sf_dir):
     "pack_chunks",
     "WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\\s+'), "
     "  x -> x <> '')) AS BIGINT) AS n FROM documents), "
-    "c AS (SELECT doc_id, n, COALESCE(SUM(n) OVER (ORDER BY doc_id "
-    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s FROM t), "
+    "c AS (SELECT doc_id, n, CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM t), "
     "e AS (SELECT doc_id, n, s, unnest(range(s // 512, (s + n - 1) // 512 + 1)) AS chunk_id "
     "  FROM c WHERE n > 0) "
     "SELECT doc_id, chunk_id, "
@@ -954,8 +954,8 @@ def pack_chunks_q(spark, sf_dir):
     "packing_stats",
     "WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\\s+'), "
     "  x -> x <> '')) AS BIGINT) AS n FROM documents), "
-    "c AS (SELECT doc_id, n, COALESCE(SUM(n) OVER (ORDER BY doc_id "
-    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s FROM t), "
+    "c AS (SELECT doc_id, n, CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM t), "
     "e AS (SELECT doc_id, n, s, unnest(range(s // 512, (s + n - 1) // 512 + 1)) AS chunk_id "
     "  FROM c WHERE n > 0), "
     "x AS (SELECT doc_id, chunk_id, "
@@ -2895,6 +2895,102 @@ def url_dup_groups_q(spark, sf_dir):
         .groupBy("canon_url")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_doc"))
         .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster refinement + cohesion (r3, operators/clustering.py
+# refine_clusters): two-tier thresholding — clusters over max_size are
+# re-cut with strict edges only (the standard over-merge fix). Oracle runs
+# a SECOND recursive-CTE closure restricted to the strong subgraph of the
+# big clusters' members. Strict threshold 0.809 picked so the fixture's
+# size-4/6 clusters split PARTIALLY (not shatter) — see BENCH notes.
+# ---------------------------------------------------------------------------
+
+_REFINE_MAX = 3
+_REFINE_THR = 0.809
+_ER_SCORE_SQL = "0.4*jw + 0.2*lev_ratio + 0.4*tok_jaccard"
+
+_ER_REFINED_CTE = (
+    _ER_CLUSTERS_CTE
+    + ", sizes AS (SELECT cluster_id, count(*) AS n FROM clusters GROUP BY 1), "
+    f"bigc AS (SELECT cluster_id FROM sizes WHERE n > {_REFINE_MAX}), "
+    "bigm AS MATERIALIZED (SELECT doc_id FROM clusters JOIN bigc USING (cluster_id)), "
+    "sedges AS MATERIALIZED (SELECT doc_id_a AS u, doc_id_b AS v FROM er_scored "
+    f"WHERE {_ER_SCORE_SQL} >= {_REFINE_THR} "
+    "AND doc_id_a IN (SELECT doc_id FROM bigm) "
+    "AND doc_id_b IN (SELECT doc_id FROM bigm)), "
+    "ssym AS MATERIALIZED (SELECT u, v FROM sedges UNION SELECT v, u FROM sedges), "
+    "reach2(a, b) AS (SELECT doc_id, doc_id FROM bigm "
+    "  UNION SELECT r.a, s.v FROM reach2 r JOIN ssym s ON r.b = s.u), "
+    "refined AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach2 GROUP BY a)"
+)
+
+
+@_q(
+    "er_refined_clusters",
+    f"WITH RECURSIVE {_ER_REFINED_CTE} "
+    "SELECT doc_id, cluster_id FROM refined "
+    "UNION ALL SELECT c.doc_id, c.cluster_id FROM clusters c "
+    "WHERE c.doc_id NOT IN (SELECT doc_id FROM bigm)",
+)
+def er_refined_clusters_q(spark, sf_dir):
+    from .operators.clustering import refine_clusters
+
+    assign = er_clusters(spark, sf_dir)
+    scored = _er_scored_frame(spark, sf_dir)
+    score = (
+        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+    )
+    return refine_clusters(
+        assign, scored, score, max_size=_REFINE_MAX, strict_threshold=_REFINE_THR
+    )
+
+
+@_q(
+    "er_cluster_cohesion",
+    f"WITH RECURSIVE {_ER_CLUSTERS_CTE}, "
+    "medges AS (SELECT doc_id_a, doc_id_b, "
+    f"  round({_ER_SCORE_SQL}, 6) AS score FROM er_scored WHERE {_ER_MATCH_COND}), "
+    "cedges AS (SELECT c.cluster_id, m.score FROM medges m "
+    "  JOIN clusters c ON m.doc_id_a = c.doc_id), "
+    "csz AS (SELECT cluster_id, count(*) AS n_members FROM clusters GROUP BY 1) "
+    "SELECT s.cluster_id, s.n_members, count(*) AS n_edges, "
+    "min(e.score) AS min_score, "
+    "CAST(sum(CAST(e.score AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_score, "
+    "2.0 * count(*) / (s.n_members * (s.n_members - 1)) AS density "
+    "FROM cedges e JOIN csz s USING (cluster_id) "
+    "WHERE s.n_members > 1 GROUP BY s.cluster_id, s.n_members",
+)
+def er_cluster_cohesion_q(spark, sf_dir):
+    assign = er_clusters(spark, sf_dir)
+    scored = _er_scored_frame(spark, sf_dir)
+    score = (
+        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+    )
+    medges = scored.where(score >= 0.8).select(
+        "doc_id_a", "doc_id_b", F.round(score, 6).alias("score")
+    )
+    cedges = medges.join(
+        assign.withColumnRenamed("doc_id", "doc_id_a"), "doc_id_a"
+    ).select("cluster_id", "score")
+    csz = assign.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return (
+        cedges.join(csz, "cluster_id")
+        .where(F.col("n_members") > 1)
+        .groupBy("cluster_id", "n_members")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.min("score").alias("min_score"),
+            (
+                F.sum(F.col("score").cast("decimal(18,9)")).cast("double")
+                / F.count("*")
+            ).alias("avg_score"),
+            (
+                2.0 * F.count("*")
+                / (F.col("n_members") * (F.col("n_members") - 1))
+            ).alias("density"),
+        )
     )
 
 

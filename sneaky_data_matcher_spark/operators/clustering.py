@@ -168,6 +168,64 @@ def connected_components(
     )
 
 
+def refine_clusters(
+    assign: DataFrame,
+    scored_pairs: DataFrame,
+    score,
+    max_size: int,
+    strict_threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split over-merged clusters: any cluster larger than ``max_size``
+    is re-clustered using only edges whose ``score`` (a Column over
+    ``scored_pairs``) is >= ``strict_threshold``; smaller clusters pass
+    through untouched.
+
+    Over-merging is the classic transitive-closure failure mode — one
+    borderline pair chains two real entities into a single component. The
+    standard production fix is exactly this two-tier scheme (loose
+    threshold to recall candidates, strict threshold to re-cut the big
+    components), cf. Dedoop/Magellan post-processing.
+
+    Scale notes (100 TB):
+      - the oversized-cluster id frame is tiny (clusters > max_size are
+        rare by construction) and is BROADCAST to both the membership
+        filter and the edge filter — no extra shuffle over the full
+        assignment or edge set beyond the two semi-joins.
+      - the re-clustering CC runs ONLY on the strong subgraph of the big
+        clusters' members (bounded by member count, not corpus size).
+      - labels stay min-member-id on both paths, so refined sub-cluster
+        ids never collide with pass-through cluster ids (a pass-through
+        label is the min over a SUPERSET of any refined sub-cluster).
+    """
+    sizes = assign.groupBy("cluster_id").agg(F.count("*").alias("_n"))
+    big = sizes.where(F.col("_n") > max_size).select("cluster_id")
+    bigm = assign.join(F.broadcast(big), "cluster_id").select(id_col)
+
+    strong = scored_pairs.where(score >= strict_threshold).select(
+        "doc_id_a", "doc_id_b"
+    )
+    strong = strong.join(
+        F.broadcast(bigm.select(F.col(id_col).alias("doc_id_a"))),
+        "doc_id_a",
+        "left_semi",
+    ).join(
+        F.broadcast(bigm.select(F.col(id_col).alias("doc_id_b"))),
+        "doc_id_b",
+        "left_semi",
+    )
+    sub = connected_components(strong)
+    refined = (
+        bigm.join(sub.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    keep = assign.join(F.broadcast(big), "cluster_id", "left_anti")
+    return keep.select(id_col, "cluster_id").unionByName(refined)
+
+
 def golden_records(
     clusters: DataFrame,
     docs: DataFrame,
