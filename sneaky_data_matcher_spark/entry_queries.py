@@ -2994,6 +2994,40 @@ def er_cluster_cohesion_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Streaming dedup (r3, streaming/incremental.py streaming_dedup):
+# watermark-bounded dropDuplicatesWithinWatermark over a stream that
+# replays every event twice; the batch twin is plain DISTINCT (exact here
+# because both copies arrive inside the delay window — see operator doc).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "stream_dedup_events",
+    "SELECT DISTINCT event_id, user_id, event_type, ts FROM events",
+)
+def stream_dedup_events_q(spark, sf_dir):
+    from .streaming.incremental import run_stream_to_memory, streaming_dedup
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("_copy", F.explode(F.array(F.lit(1), F.lit(2))))
+        .select("event_id", "user_id", "event_type", F.col("ts").cast("timestamp"))
+    )
+    out = run_stream_to_memory(
+        spark,
+        streaming_dedup(stream, ["event_id"], "ts", "1 hour"),
+        "stream_dedup_events_sink",
+    )
+    return out.select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+    )
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL

@@ -62,13 +62,30 @@ def _iceberg_available(spark: SparkSession) -> bool:
 
 
 class TableIO:
-    """save/load/exists for named stage tables under a base location."""
+    """save/load/exists for named stage tables under a base location.
 
-    def __init__(self, spark: SparkSession, base: str, catalog: str | None = None):
+    ``fmt`` selects the fallback file format when no Iceberg catalog is
+    in play: parquet (default), orc (both columnar, splittable, and
+    predicate-pushdown-capable — the only two sane choices at 100 TB),
+    or json/csv for interchange with non-columnar consumers (row
+    formats — exports only, never intermediate stage tables)."""
+
+    FORMATS = ("parquet", "orc", "json", "csv")
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: str,
+        catalog: str | None = None,
+        fmt: str = "parquet",
+    ):
+        if fmt not in self.FORMATS:
+            raise ValueError(f"fmt must be one of {self.FORMATS}, got {fmt!r}")
         self.spark = spark
         self.base = base.rstrip("/")
         self.use_iceberg = catalog is not None and _iceberg_available(spark)
         self.catalog = catalog
+        self.fmt = fmt
 
     def _path(self, name: str) -> str:
         return f"{self.base}/{name}"
@@ -79,18 +96,27 @@ class TableIO:
             writer = df.writeTo(full)
             (writer.createOrReplace() if mode == "overwrite" else writer.append())
         else:
-            df.write.mode(mode).parquet(self._path(name))
+            w = df.write.mode(mode).format(self.fmt)
+            if self.fmt == "csv":
+                w = w.option("header", "true")
+            w.save(self._path(name))
 
     def append(self, df: DataFrame, name: str) -> None:
         if self.use_iceberg:
             df.writeTo(f"{self.catalog}.{name}").append()
         else:
-            df.write.mode("append").parquet(self._path(name))
+            w = df.write.mode("append").format(self.fmt)
+            if self.fmt == "csv":
+                w = w.option("header", "true")
+            w.save(self._path(name))
 
     def load(self, name: str) -> DataFrame:
         if self.use_iceberg:
             return self.spark.table(f"{self.catalog}.{name}")
-        return self.spark.read.parquet(self._path(name))
+        r = self.spark.read.format(self.fmt)
+        if self.fmt == "csv":
+            r = r.option("header", "true").option("inferSchema", "true")
+        return r.load(self._path(name))
 
     def exists(self, name: str) -> bool:
         """Committed output only: Parquet dir must carry _SUCCESS (the

@@ -547,6 +547,32 @@ def streaming_er_topology(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    event_time_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once emission of the first row per key from a stream, with
+    WATERMARK-BOUNDED state: ``dropDuplicatesWithinWatermark`` keeps a
+    key's dedup state only until the watermark passes its event time +
+    ``delay``, so state size is O(keys per delay window) — the unbounded
+    ``dropDuplicates`` would retain every key forever, the same failure
+    mode the r2 ER topology fixed with TTL + caps.
+
+    Semantics contract (why WithinWatermark and not plain
+    dropDuplicates): duplicates arriving within ``delay`` of the first
+    occurrence are suppressed; a duplicate arriving later than the delay
+    MAY re-emit — the standard at-least-once-window trade every streaming
+    dedup at scale makes (cf. Kafka Streams' windowed suppression). The
+    batch twin (global DISTINCT) therefore matches exactly whenever the
+    replay's duplicate spacing fits inside ``delay`` — asserted by the
+    driver query, which replays each event twice in the same batch."""
+    return stream.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

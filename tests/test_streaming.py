@@ -464,3 +464,31 @@ def test_salt_keyed_stream_splits_hot_block(spark):
         assert len(by_salt) > 1  # the hot block genuinely split
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_dedup_within_watermark(spark):
+    # 3 copies of each key inside the delay window -> one emission per key;
+    # the plan must carry watermark-bounded dedup state (not global dedup)
+    import datetime as dt
+
+    d = tempfile.mkdtemp()
+    try:
+        t0 = dt.datetime(2026, 1, 1)
+        rows = [
+            (k, t0 + dt.timedelta(seconds=k * 60 + c), f"p{k}")
+            for k in range(20)
+            for c in range(3)
+        ]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, payload string"
+        ).write.mode("overwrite").parquet(f"{d}/in")
+        schema = spark.read.parquet(f"{d}/in").schema
+        stream = spark.readStream.schema(schema).parquet(f"{d}/in")
+        deduped = S.streaming_dedup(stream, ["event_id"], "ts", "1 hour")
+        logical = deduped._jdf.queryExecution().logical().toString()
+        assert "DeduplicateWithinWatermark" in logical  # bounded, not global
+        out = S.run_stream_to_memory(spark, deduped, "sd_test_sink")
+        got = sorted(r["event_id"] for r in out.collect())
+        assert got == list(range(20))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
