@@ -3028,6 +3028,82 @@ def stream_dedup_events_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Skew-aware salted join (r3, operators/skewjoin.py): hot_threshold=2000
+# makes 3 of the fixture's 5 event_types hot (salted 4 ways) and 2 cold
+# (salt-0 fast path), so both branches execute; the oracle is the PLAIN
+# join — a hash match proves salting is pure re-bucketing.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "salted_skew_join",
+    "WITH dim AS (SELECT DISTINCT event_type, "
+    "  length(event_type) AS type_weight FROM events) "
+    "SELECT e.event_id, e.event_type, e.user_id, d.type_weight "
+    "FROM events e JOIN dim d USING (event_type)",
+)
+def salted_skew_join_q(spark, sf_dir):
+    from .operators.skewjoin import salted_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id"
+    )
+    dim = ev.select("event_type").distinct().withColumn(
+        "type_weight", F.length("event_type")
+    )
+    return salted_join(
+        ev, dim, key="event_type", tiebreak="event_id",
+        n_salts=4, hot_threshold=2000,
+    ).select("event_id", "event_type", "user_id", "type_weight")
+
+
+# ---------------------------------------------------------------------------
+# Integer PageRank (r3, operators/graphrank.py): 3 rounds over a
+# deterministic 3-out expander on the documents ids. All-integer
+# arithmetic -> the unrolled DuckDB twin matches bit-for-bit (the same
+# exactness trick as the decimal sums; float PR would drift by summation
+# order).
+# ---------------------------------------------------------------------------
+
+from .operators.graphrank import pagerank_int_sql as _pr_sql  # noqa: E402
+
+_PR_EDGES_CTE = (
+    "pcnt AS (SELECT count(*) AS n FROM documents), "
+    "praw AS (SELECT doc_id AS src, unnest(["
+    "  (doc_id * 7 + 1) % n, (doc_id * 13 + 5) % n, (doc_id * 3 + 11) % n"
+    "]) AS dst FROM documents, pcnt), "
+    "pedges AS (SELECT src, dst FROM praw WHERE src <> dst)"
+)
+
+
+@_q(
+    "pagerank_scores",
+    f"WITH {_PR_EDGES_CTE}, {_pr_sql('pedges', iterations=3)} "
+    "SELECT node, score FROM pr3",
+)
+def pagerank_scores_q(spark, sf_dir):
+    from .operators.graphrank import pagerank_int
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    cnt = d.agg(F.count("*").alias("_n"))
+    edges = (
+        d.crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("doc_id") * 7 + 1) % F.col("_n"),
+                    (F.col("doc_id") * 13 + 5) % F.col("_n"),
+                    (F.col("doc_id") * 3 + 11) % F.col("_n"),
+                )
+            ).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    return pagerank_int(edges, iterations=3)
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL
