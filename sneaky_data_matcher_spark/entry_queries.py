@@ -3104,6 +3104,149 @@ def pagerank_scores_q(spark, sf_dir):
     return pagerank_int(edges, iterations=3)
 
 
+# ---------------------------------------------------------------------------
+# Rolling time-range features (r3): per event, aggregates over the user's
+# trailing 7-day window — the feature-engineering staple for ML training
+# tables. Spark RANGE frame over unix seconds == DuckDB RANGE INTERVAL
+# frame; sums in decimal for hash stability. One shuffle on user_id.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "rolling_user_features",
+    "SELECT event_id, user_id, ts, "
+    "count(*) OVER w AS n_7d, "
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_value_7d, "
+    "CAST(max(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS max_value_7d "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)",
+)
+def rolling_user_features_q(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_7d"),
+        F.sum(dec).over(w).cast("double").alias("sum_value_7d"),
+        F.max(dec).over(w).cast("double").alias("max_value_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user anomaly z-scores (r3): events whose value is > 2 sigma from the
+# user's mean. Moments accumulate in DECIMAL (exact, order-insensitive);
+# the double math after that is the IDENTICAL expression tree on both
+# engines, so results hash-match bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "event_anomalies",
+    "WITH st AS (SELECT user_id, count(*) AS n, "
+    "  sum(CAST(value AS DECIMAL(18,6))) AS s, "
+    "  sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2 "
+    "  FROM events GROUP BY user_id), "
+    "m AS (SELECT user_id, n, CAST(s AS DOUBLE) / n AS mean, "
+    "  sqrt(greatest(CAST(s2 AS DOUBLE) / n "
+    "    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)) AS std "
+    "  FROM st) "
+    "SELECT e.event_id, e.user_id, e.value, "
+    "round((e.value - m.mean) / m.std, 6) AS zscore "
+    "FROM events e JOIN m USING (user_id) "
+    "WHERE m.std > 0 AND abs((e.value - m.mean) / m.std) > 2",
+)
+def event_anomalies_q(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dec = F.col("value").cast("decimal(18,6)")
+    st = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * dec).alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    std = F.sqrt(
+        F.greatest(
+            F.col("s2").cast("double") / F.col("n") - mean * mean, F.lit(0.0)
+        )
+    )
+    m = st.select("user_id", mean.alias("mean"), std.alias("std"))
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(m, "user_id")
+        .where((F.col("std") > 0) & (F.abs(z) > 2))
+        .select("event_id", "user_id", "value", F.round(z, 6).alias("zscore"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session funnel (r3): per session, did a purchase happen at-or-after the
+# first signup? Pure conditional aggregation over the shared session CTE —
+# no ordered-list collection needed (order enters via min/max timestamps).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "session_funnel",
+    f"WITH {_SESS_CTE}, "
+    "ev2 AS (SELECT sa.user_id, sa.session_no, sa.ts, e.event_type "
+    "  FROM sa JOIN events e USING (event_id)) "
+    "SELECT user_id, CAST(session_no AS BIGINT) AS session_no, "
+    "count(*) AS n_events, "
+    "min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup, "
+    "max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase, "
+    "coalesce(max(CASE WHEN event_type = 'purchase' THEN ts END) "
+    "  >= min(CASE WHEN event_type = 'signup' THEN ts END), FALSE) AS converted "
+    "FROM ev2 GROUP BY user_id, session_no",
+)
+def session_funnel_q(spark, sf_dir):
+    from .operators import sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sess = sessions.sessionize(ev, gap_s=_SESS_GAP_S)
+    s_ts = F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+    p_ts = F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    return sess.groupBy(
+        "user_id", F.col("session_no").cast("long").alias("session_no")
+    ).agg(
+        F.count("*").alias("n_events"),
+        s_ts.alias("first_signup"),
+        p_ts.alias("last_purchase"),
+        F.coalesce(p_ts >= s_ts, F.lit(False)).alias("converted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSONL ingest round-trip (r3, sources/jsonio.py): documents exported as
+# JSON lines (Spark's to_json) then re-read with the explicit schema +
+# PERMISSIVE corrupt capture; a hash match against the parquet source
+# proves the parse is lossless (incl. newline/quote escaping in text).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "jsonl_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def jsonl_roundtrip_q(spark, sf_dir):
+    import re as _re
+
+    from .sources import jsonio
+
+    tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    path = f"/tmp/smsp_jsonl{tag}"
+    _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).write.mode("overwrite").json(path)
+    return jsonio.docs_from_jsonl(spark, path)
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL
