@@ -3247,6 +3247,31 @@ def jsonl_roundtrip_q(spark, sf_dir):
     return jsonio.docs_from_jsonl(spark, path)
 
 
+# ---------------------------------------------------------------------------
+# Edit-distance join (r3, operators/editjoin.py): all customer-name pairs
+# within levenshtein <= 2 (names differ in digit positions — a dense,
+# non-trivial pair set). The oracle is the EXHAUSTIVE DuckDB levenshtein
+# join, so a hash match certifies the length/count/band filters lose
+# nothing (recall exactly 1.0).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "edit_distance_join",
+    "SELECT a.c_custkey AS doc_id_a, b.c_custkey AS doc_id_b, "
+    "CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist "
+    "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+    "WHERE levenshtein(a.c_name, b.c_name) <= 2",
+)
+def edit_distance_join_q(spark, sf_dir):
+    from .operators.editjoin import edit_distance_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return edit_distance_join(
+        cust, k=2, q=3, id_col="c_custkey", text_col="c_name"
+    )
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL
