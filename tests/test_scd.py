@@ -103,3 +103,55 @@ def test_snapshot_half_open(spark):
         dim, datetime(2025, 12, 31, 23, 59, 59)
     ).collect()
     assert pre_history == []
+
+
+def test_incremental_batches_equal_one_shot(spark, tmp_path):
+    # random 3-way split of an event stream, applied incrementally,
+    # must equal one-shot assembly — including late events landing
+    # INSIDE an existing run (the case interval-merging would get wrong)
+    import random
+
+    from sneaky_data_matcher_spark.sources.io import TableIO
+
+    rng = random.Random(5)
+    rows = []
+    eid = 0
+    for u in range(1, 9):
+        for s in range(0, 48, 4):  # _mk seconds stay < 60
+            rows.append((u, s + (u % 4), rng.choice(["a", "b", "c"]), (eid := eid + 1)))
+    rng.shuffle(rows)  # batches arrive in arbitrary (non-time) order
+    cuts = [rows[:20], rows[20:55], rows[55:]]
+
+    io = TableIO(spark, str(tmp_path))
+    dim = None
+    for batch_rows in cuts:
+        dim = scd.scd2_apply_batch(
+            io, _mk(spark, batch_rows), "user_id", "event_type",
+            ts_col="ts", tiebreak_col="event_id",
+        )
+    one_shot = _assemble(_mk(spark, rows))
+
+    def norm(df):
+        return sorted(
+            (r["entity"], r["version"], r["attr_value"], r["valid_from"],
+             r["valid_to"], r["n_events"], r["is_current"])
+            for r in df.collect()
+        )
+
+    assert norm(dim) == norm(one_shot)
+
+
+def test_incremental_untouched_entities_preserved(spark, tmp_path):
+    from sneaky_data_matcher_spark.sources.io import TableIO
+
+    io = TableIO(spark, str(tmp_path))
+    scd.scd2_apply_batch(
+        io, _mk(spark, [(1, 0, "a", 1), (2, 0, "x", 2)]),
+        "user_id", "event_type", ts_col="ts", tiebreak_col="event_id",
+    )
+    dim = scd.scd2_apply_batch(
+        io, _mk(spark, [(1, 10, "b", 3)]),
+        "user_id", "event_type", ts_col="ts", tiebreak_col="event_id",
+    )
+    got = {(r["entity"], r["version"]): r["attr_value"] for r in dim.collect()}
+    assert got == {(1, 1): "a", (1, 2): "b", (2, 1): "x"}
