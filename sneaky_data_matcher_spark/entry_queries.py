@@ -3272,6 +3272,53 @@ def edit_distance_join_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Declarative quality gate (r3, operators/quality_checks.py): a 5-check
+# Deequ-style suite over orders — row-local checks fused into ONE scan,
+# referential check as a semi-join. Exact count ratios -> hash-stable.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "quality_gate",
+    "WITH base AS (SELECT count(*) AS total, count(o_custkey) AS comp, "
+    "  count(DISTINCT o_orderkey) AS uniq, "
+    "  sum(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 600000 THEN 1 ELSE 0 END) AS rng, "
+    "  sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS acc FROM orders), "
+    "refc AS (SELECT count(*) AS nn, "
+    "  (SELECT count(*) FROM orders o WHERE o.o_custkey IN "
+    "     (SELECT c_custkey FROM customer)) AS hit "
+    "  FROM orders WHERE o_custkey IS NOT NULL) "
+    ", u AS ("
+    "SELECT 'completeness' AS \"check\", 'o_custkey' AS \"column\", "
+    "  round(CASE WHEN total = 0 THEN 1.0 ELSE CAST(comp AS DOUBLE) / total END, 9) AS metric, "
+    "  CAST(1.0 AS DOUBLE) AS threshold FROM base "
+    "UNION ALL SELECT 'uniqueness', 'o_orderkey', "
+    "  round(CASE WHEN total = 0 THEN 1.0 ELSE CAST(uniq AS DOUBLE) / total END, 9), 1.0 FROM base "
+    "UNION ALL SELECT 'in_range', 'o_totalprice', "
+    "  round(CASE WHEN total = 0 THEN 1.0 ELSE CAST(rng AS DOUBLE) / total END, 9), 0.99 FROM base "
+    "UNION ALL SELECT 'accepted_values', 'o_orderstatus', "
+    "  round(CASE WHEN total = 0 THEN 1.0 ELSE CAST(acc AS DOUBLE) / total END, 9), 1.0 FROM base "
+    "UNION ALL SELECT 'references', 'o_custkey', "
+    "  round(CASE WHEN nn = 0 THEN 1.0 ELSE CAST(hit AS DOUBLE) / nn END, 9), 1.0 FROM refc) "
+    "SELECT \"check\", \"column\", metric, threshold, "
+    "metric >= threshold AS passed FROM u",
+)
+def quality_gate_q(spark, sf_dir):
+    from .operators import quality_checks as QC
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    suite = [
+        QC.completeness("o_custkey"),
+        QC.uniqueness("o_orderkey"),
+        QC.in_range("o_totalprice", 0, 600000, threshold=0.99),
+        QC.accepted_values("o_orderstatus", ["O", "F", "P"]),
+        QC.references("o_custkey", cust, "c_custkey"),
+    ]
+    return QC.run_checks(orders, suite)
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL
