@@ -3319,6 +3319,59 @@ def quality_gate_q(spark, sf_dir):
     return QC.run_checks(orders, suite)
 
 
+# ---------------------------------------------------------------------------
+# CDC changelog apply (r3, operators/cdc.py): synthetic Debezium-shaped
+# changelog over orders (updates at seq 1, later updates/deletes at
+# seq 2) folded into the base — latest-wins via max(struct) groupBy (the
+# oracle uses the equivalent row_number window).
+# ---------------------------------------------------------------------------
+
+_CDC_CH_CTE = (
+    "ch AS (SELECT o_orderkey, 'U' AS op, 1 AS seq, "
+    "  o_totalprice + 100 AS o_totalprice, o_orderstatus FROM orders "
+    "  WHERE o_orderkey % 3 = 0 "
+    "UNION ALL SELECT o_orderkey, "
+    "  CASE WHEN o_orderkey % 18 = 0 THEN 'D' ELSE 'U' END, 2, "
+    "  o_totalprice + 200, o_orderstatus FROM orders WHERE o_orderkey % 9 = 0), "
+    "w AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey "
+    "  ORDER BY seq DESC, op DESC) AS rn FROM ch), "
+    "win AS (SELECT * FROM w WHERE rn = 1)"
+)
+
+
+@_q(
+    "cdc_apply_orders",
+    f"WITH {_CDC_CH_CTE} "
+    "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders "
+    "WHERE o_orderkey NOT IN (SELECT o_orderkey FROM win) "
+    "UNION ALL SELECT o_orderkey, o_totalprice, o_orderstatus FROM win "
+    "WHERE op <> 'D'",
+)
+def cdc_apply_orders_q(spark, sf_dir):
+    from .operators.cdc import cdc_apply
+
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    c1 = base.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+        (F.col("o_totalprice") + 100).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    c2 = base.where(F.col("o_orderkey") % 9 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 18 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.lit(2).alias("seq"),
+        (F.col("o_totalprice") + 200).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return cdc_apply(base, c1.unionByName(c2), key="o_orderkey")
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL

@@ -1,0 +1,68 @@
+"""CDC apply: insert/update/delete folding, latest-wins ordering,
+delete-then-reinsert, and idempotence of an empty changelog."""
+
+from __future__ import annotations
+
+from sneaky_data_matcher_spark.operators.cdc import cdc_apply, latest_per_key
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+
+
+def _ch(spark, rows):
+    return spark.createDataFrame(rows, "k long, op string, seq long, name string, v double")
+
+
+def _collect(df):
+    return sorted((r["k"], r["name"], r["v"]) for r in df.collect())
+
+
+def test_insert_update_delete(spark):
+    ch = _ch(
+        spark,
+        [
+            (2, "U", 1, "b2", 21.0),
+            (3, "D", 1, None, None),
+            (9, "I", 1, "new", 90.0),
+        ],
+    )
+    out = cdc_apply(_base(spark), ch, "k")
+    assert _collect(out) == [(1, "a", 10.0), (2, "b2", 21.0), (9, "new", 90.0)]
+
+
+def test_latest_seq_wins_per_key(spark):
+    ch = _ch(
+        spark,
+        [
+            (2, "U", 1, "first", 1.0),
+            (2, "U", 3, "third", 3.0),
+            (2, "U", 2, "second", 2.0),
+        ],
+    )
+    out = cdc_apply(_base(spark), ch, "k")
+    assert (2, "third", 3.0) in _collect(out)
+
+
+def test_delete_then_reinsert(spark):
+    ch = _ch(spark, [(1, "D", 1, None, None), (1, "I", 2, "back", 11.0)])
+    out = cdc_apply(_base(spark), ch, "k")
+    assert (1, "back", 11.0) in _collect(out)
+    # and the reverse order really deletes
+    ch2 = _ch(spark, [(1, "I", 1, "back", 11.0), (1, "D", 2, None, None)])
+    out2 = cdc_apply(_base(spark), ch2, "k")
+    assert all(k != 1 for k, _, _ in _collect(out2))
+
+
+def test_empty_changelog_identity(spark):
+    ch = _ch(spark, [])
+    assert _collect(cdc_apply(_base(spark), ch, "k")) == _collect(_base(spark))
+
+
+def test_latest_per_key_shape(spark):
+    ch = _ch(spark, [(5, "U", 1, "x", 1.0), (5, "D", 2, None, None)])
+    row = latest_per_key(ch, "k", "seq", ["name", "v"]).collect()
+    assert len(row) == 1 and row[0]["op"] == "D" and row[0]["seq"] == 2
