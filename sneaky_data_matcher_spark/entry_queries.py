@@ -3372,6 +3372,48 @@ def cdc_apply_orders_q(spark, sf_dir):
     return cdc_apply(base, c1.unionByName(c2), key="o_orderkey")
 
 
+# ---------------------------------------------------------------------------
+# Key-skew census (r3): the report that picks salted_join/salt_keys
+# thresholds — top-20 hottest keys with share and cumulative share.
+# Exact integer counts; shares are identical double expressions.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "key_skew_report",
+    "WITH c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1), "
+    "t AS (SELECT sum(n) AS total FROM c), "
+    "r AS (SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rank, "
+    "  sum(n) OVER (ORDER BY n DESC, key ROWS UNBOUNDED PRECEDING) AS cum FROM c) "
+    "SELECT key, n, CAST(rank AS BIGINT) AS rank, "
+    "round(CAST(n AS DOUBLE) / total, 9) AS share, "
+    "round(CAST(cum AS DOUBLE) / total, 9) AS cum_share "
+    "FROM r, t WHERE rank <= 20",
+)
+def key_skew_report_q(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    c = ev.groupBy(F.col("user_id").alias("key")).agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    # distributed TakeOrdered FIRST (scale-safe at billions of keys),
+    # then rank/cum-sum windows run over the 20 surviving rows only —
+    # a global window over the full census would single-partition-sort it
+    top = c.orderBy(F.col("n").desc(), "key").limit(20)
+    w = Window.orderBy(F.col("n").desc(), "key")
+    r = top.select(
+        "key",
+        "n",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    return r.crossJoin(F.broadcast(t)).select(
+        "key",
+        "n",
+        "rank",
+        F.round(F.col("n").cast("double") / F.col("total"), 9).alias("share"),
+        F.round(F.col("cum").cast("double") / F.col("total"), 9).alias("cum_share"),
+    )
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL

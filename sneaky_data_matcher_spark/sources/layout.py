@@ -1,0 +1,69 @@
+"""Write-side table layout: hive partitioning, range clustering, compaction.
+
+At 100 TB the WRITE layout decides every future read's cost:
+
+* :func:`write_partitioned` — hive-style directory partitioning on a
+  low-cardinality column; equality/range predicates on it become
+  PartitionFilters (directories never listed, files never opened).
+* :func:`write_clustered` — range-repartition + sort-within-partitions
+  on a clustering key: parquet row-group min/max stats become selective,
+  so point/range predicates skip row groups even inside files (poor-man's
+  Z-order for the single-key case); also the shape bucketed joins want.
+* :func:`compact` — rewrite a directory of dribble files (streaming
+  sinks, per-batch appends) into ~``target_rows``-sized files; small
+  files are a namenode/scan-planning tax, the classic lakehouse
+  maintenance job.
+
+All three are thin, testable policies over the plain writer — the point
+is encoding the decisions (and asserting their effects in-plan in
+tests/test_layout.py), not wrapping Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_col: str, mode: str = "overwrite"
+) -> None:
+    """Hive-partitioned parquet. ``partition_col`` should be
+    low-cardinality (date, lang, source); a high-cardinality partition
+    column is the small-files anti-pattern — use write_clustered."""
+    df.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition into ``n_files`` disjoint key ranges and sort
+    within each, so every file's parquet min/max stats cover a narrow,
+    non-overlapping slice of ``cluster_col``."""
+    (
+        df.repartitionByRange(n_files, F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_rows: int = 1_000_000,
+) -> int:
+    """Rewrite ``path`` into files of ~``target_rows`` rows at
+    ``out_path``; returns the file count written. Row-count-based (not
+    byte-based) so it is deterministic for tests; production would size
+    by bytes via maxRecordsPerFile tuned to row width."""
+    df = spark.read.parquet(path)
+    n = df.count()
+    files = max(1, -(-n // target_rows))
+    df.repartition(files).write.mode("overwrite").parquet(out_path)
+    return files

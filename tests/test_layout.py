@@ -1,0 +1,60 @@
+"""Layout policies: effects asserted IN-PLAN (partition pruning) and
+on-disk (file counts, row-group clustering), not just round-trips."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from sneaky_data_matcher_spark.sources import layout
+
+
+def _docs(spark, n=1000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("lang"),
+        (F.col("id") * 17 % 997).alias("x"),
+    )
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    p = str(tmp_path / "t")
+    layout.write_partitioned(_docs(spark), p, "lang")
+    assert sorted(
+        d.split("=")[1] for d in glob.glob(f"{p}/lang=*") for d in [d.rsplit("/", 1)[1]]
+    ) == ["0", "1", "2", "3"]
+    q = spark.read.parquet(p).where(F.col("lang") == "2")
+    plan = q._jdf.queryExecution().executedPlan().treeString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    # pruned scan reads one directory's files only
+    assert q.count() == 250
+
+
+def test_clustered_write_narrow_ranges(spark, tmp_path):
+    p = str(tmp_path / "c")
+    layout.write_clustered(_docs(spark), p, "doc_id", n_files=4)
+    files = sorted(glob.glob(f"{p}/part-*.parquet"))
+    assert len(files) == 4
+    # ranges must be disjoint: per-file (min, max) intervals don't overlap
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in files:
+        t = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        assert t == sorted(t)  # sorted within file
+        spans.append((min(t), max(t)))
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi < lo
+
+
+def test_compact_reduces_files(spark, tmp_path):
+    src, out = str(tmp_path / "frag"), str(tmp_path / "compacted")
+    # 20 dribble files
+    _docs(spark, 2000).repartition(20).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 20
+    n_files = layout.compact(spark, src, out, target_rows=1000)
+    assert n_files == 2
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 2
+    assert spark.read.parquet(out).count() == 2000
