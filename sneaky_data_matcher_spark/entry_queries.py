@@ -3414,6 +3414,77 @@ def key_skew_report_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Quantile-band corpus filter (r3): drop length outliers outside
+# [P05, P95] of n_chars — the standard LLM-corpus length filter with
+# data-derived (not hard-coded) cutoffs. percentile_disc is an order
+# statistic (an actual data value), identical on both engines; it holds
+# per-group values in memory, so at 100 TB the cutoff pass switches to
+# approx_percentile (sketch) — the FILTER shape is unchanged.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "quantile_band_filter",
+    "WITH b AS (SELECT quantile_disc(n_chars, 0.05) AS lo, "
+    "  quantile_disc(n_chars, 0.95) AS hi FROM documents) "
+    "SELECT doc_id, n_chars FROM documents, b "
+    "WHERE n_chars >= lo AND n_chars <= hi",
+)
+def quantile_band_filter_q(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    b = d.agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)").alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)").alias("hi"),
+    )
+    return (
+        d.crossJoin(F.broadcast(b))
+        .where(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+        .select("doc_id", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-language embedding centroids (r3): the aggregation IVF training and
+# dataset-mixing reports need — posexplode to (lang, dim) rows, decimal
+# sums (order-insensitive), mean in double. At 100 TB this is a single
+# shuffle on (lang, dim) with map-side partial sums; the array NEVER
+# reassembles until the (tiny) centroid frame.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "lang_centroids",
+    "WITH x AS (SELECT d.lang, m.embedding, "
+    "  unnest(range(1, len(m.embedding) + 1)) AS i "
+    "  FROM embeddings m JOIN documents d ON m.vec_id = d.doc_id), "
+    "e AS (SELECT lang, i - 1 AS dim, "
+    "  CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(28,12)) AS v "
+    "  FROM x) "
+    "SELECT lang, CAST(dim AS INT) AS dim, count(*) AS n, "
+    "round(CAST(sum(v) AS DOUBLE) / count(*), 9) AS centroid "
+    "FROM e GROUP BY lang, dim",
+)
+def lang_centroids_q(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    e = emb.join(d, emb.vec_id == d.doc_id).select(
+        "lang", F.posexplode("embedding").alias("dim", "v")
+    )
+    return (
+        e.groupBy("lang", F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("v").cast("double").cast("decimal(28,12)"))
+                .cast("double")
+                / F.count("*"),
+                9,
+            ).alias("centroid"),
+        )
+    )
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL
