@@ -3485,6 +3485,79 @@ def lang_centroids_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# ER review queue (r3): the active-learning workflow step — pairs whose
+# score falls in the uncertainty band around the match threshold,
+# deterministically subsampled (portable Lehmer hash on the pair ids) for
+# human labeling. Composes the cached scored-pair frame; no new shuffles.
+# ---------------------------------------------------------------------------
+
+_REVIEW_LO, _REVIEW_HI, _REVIEW_RATE = 0.75, 0.85, 0.5
+
+
+@_q(
+    "er_review_queue",
+    f"WITH {_ER_SCORED_CTE} "
+    f"SELECT doc_id_a, doc_id_b, round({_ER_SCORE_SQL}, 6) AS score "
+    "FROM er_scored "
+    f"WHERE {_ER_SCORE_SQL} >= {_REVIEW_LO} AND {_ER_SCORE_SQL} < {_REVIEW_HI} "
+    f"AND {_lehmer_sql('doc_id_a * 100000 + doc_id_b')} < {_REVIEW_RATE}",
+)
+def er_review_queue_q(spark, sf_dir):
+    from .operators import sampling
+
+    s = _er_scored_frame(spark, sf_dir)
+    score = (
+        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+    )
+    band = s.where((score >= _REVIEW_LO) & (score < _REVIEW_HI)).select(
+        "doc_id_a", "doc_id_b", F.round(score, 6).alias("score"),
+        (F.col("doc_id_a") * 100000 + F.col("doc_id_b")).alias("_k"),
+    )
+    return sampling.deterministic_sample(band, "_k", _REVIEW_RATE).drop("_k")
+
+
+# ---------------------------------------------------------------------------
+# Dataset mixing plan (r3): given per-lang token counts and uniform
+# target weights, the largest total token budget T such that no lang is
+# oversampled (epochs <= max_epochs), plus per-lang sampling rates and
+# expected tokens — the planning step before stratified_sample executes
+# the mix. Exact integer census; doubles via identical expressions.
+# ---------------------------------------------------------------------------
+
+_MIX_EPOCHS = 2.0  # allow up to 2 epochs of any stratum
+
+
+@_q(
+    "mixing_plan",
+    "WITH c AS (SELECT lang, sum(n_chars) AS toks FROM documents GROUP BY lang), "
+    "k AS (SELECT count(*) AS n_langs FROM c), "
+    # binding stratum: T = min over langs of (toks * epochs * n_langs)
+    "t AS (SELECT min(toks * CAST(2.0 AS DOUBLE) * n_langs) AS budget FROM c, k) "
+    "SELECT lang, toks, round(budget, 6) AS budget, "
+    "round(budget / n_langs, 6) AS target_toks, "
+    "round((budget / n_langs) / toks, 6) AS epochs "
+    "FROM c, k, t",
+)
+def mixing_plan_q(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    c = d.groupBy("lang").agg(F.sum("n_chars").alias("toks"))
+    k = c.agg(F.count("*").alias("n_langs"))
+    ck = c.crossJoin(F.broadcast(k))
+    t = ck.agg(
+        F.min(F.col("toks") * F.lit(_MIX_EPOCHS) * F.col("n_langs")).alias("budget")
+    )
+    return ck.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "toks",
+        F.round(F.col("budget"), 6).alias("budget"),
+        F.round(F.col("budget") / F.col("n_langs"), 6).alias("target_toks"),
+        F.round((F.col("budget") / F.col("n_langs")) / F.col("toks"), 6).alias(
+            "epochs"
+        ),
+    )
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL
