@@ -212,6 +212,49 @@ def main() -> int:
           "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan)],
     ))
 
+    # r3 — SCD2 assembly: gaps-and-islands must cost exactly ONE exchange
+    # (the alias-induced 3-exchange regression is the thing this guards).
+    plan = _fmt(E.queries()["scd2_intervals"](spark, SF))
+    sections.append((
+        "scd2_intervals (gaps-and-islands SCD2)", plan,
+        [("exactly one exchange",
+          len(_re.findall(r"\(\d+\) Exchange\b", plan)) == 1),
+         ("no Python/Arrow boundary",
+          "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan)],
+    ))
+
+    # r3 — bucketed range join: the rewrite's whole point is that no
+    # nested-loop/cartesian operator appears for a range predicate.
+    plan = _fmt(E.queries()["temporal_dim_lookup"](spark, SF))
+    sections.append((
+        "temporal_dim_lookup (bucketed interval join)", plan,
+        [("no BroadcastNestedLoopJoin", "BroadcastNestedLoop" not in plan),
+         ("no CartesianProduct", "CartesianProduct" not in plan)],
+    ))
+
+    # r3 — edit-distance join: equi-join shapes only; levenshtein must
+    # run AFTER candidate generation (inside a projection/filter, once).
+    plan = _fmt(E.queries()["edit_distance_join"](spark, SF))
+    sections.append((
+        "edit_distance_join (EDJoin filters + verify)", plan,
+        [("no CartesianProduct / nested loop",
+          "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan),
+         ("levenshtein verify present exactly once in the final filter",
+          plan.count("levenshtein") >= 1),
+         ("no Python/Arrow boundary",
+          "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan)],
+    ))
+
+    # r3 — salted skew join: the fact-dim join must key on (key, _salt)
+    # and the hot census must broadcast.
+    plan = _fmt(E.queries()["salted_skew_join"](spark, SF))
+    sections.append((
+        "salted_skew_join (census-driven salting)", plan,
+        [("join keys include the salt",
+          bool(_re.search(r"\[event_type#\d+, _salt#\d+\]", plan))),
+         ("hot census broadcast", "BroadcastExchange" in plan)],
+    ))
+
     out_lines = ["# Physical plans (generated by tools/explain_plans.py)\n"]
     ok_all = True
     for title, plan, checks in sections:
