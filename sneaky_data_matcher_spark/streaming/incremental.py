@@ -573,6 +573,41 @@ def streaming_dedup(
     )
 
 
+def cdc_stream_apply(
+    io,
+    changes_stream: DataFrame,
+    key: str,
+    seq: str = "seq",
+    table: str = "cdc_base",
+):
+    """Continuously fold a CDC changelog STREAM into a committed table:
+    each micro-batch runs operators/cdc.cdc_apply against the table and
+    commits the result (foreachBatch — the sink shape every incremental
+    table format uses for streaming MERGE).
+
+    Equivalence contract: sequential per-batch application equals
+    one-shot cdc_apply of the concatenated changelog iff each key's
+    seq numbers are non-decreasing across batches (the CDC source's
+    ordering guarantee — Debezium per-key topic ordering). Within a
+    batch, latest-wins handles any ordering.
+
+    Returns the StreamingQuery; callers stop it / processAllAvailable.
+    State is O(1): nothing lives in the stream — the committed table IS
+    the state, same pattern as incremental_cc_update."""
+    from ..operators.cdc import cdc_apply
+
+    def fb(batch_df, _batch_id):
+        if io.exists(table):
+            base = io.load(table)
+        else:
+            payload = [c for c in batch_df.columns if c not in ("op", seq)]
+            base = batch_df.select(*payload).limit(0)
+        new = cdc_apply(base, batch_df, key, seq).localCheckpoint(eager=True)
+        io.save(new, table)
+
+    return changes_stream.writeStream.outputMode("update").foreachBatch(fb).start()
+
+
 def run_stream_to_memory(
     spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -66,3 +66,45 @@ def test_latest_per_key_shape(spark):
     ch = _ch(spark, [(5, "U", 1, "x", 1.0), (5, "D", 2, None, None)])
     row = latest_per_key(ch, "k", "seq", ["name", "v"]).collect()
     assert len(row) == 1 and row[0]["op"] == "D" and row[0]["seq"] == 2
+
+
+def test_streaming_cdc_equals_one_shot(spark, tmp_path):
+    """Three changelog micro-batches (per-key seqs non-decreasing across
+    batches) folded via foreachBatch == one-shot cdc_apply."""
+    from sneaky_data_matcher_spark.sources.io import TableIO
+    from sneaky_data_matcher_spark.streaming.incremental import cdc_stream_apply
+
+    batches = [
+        [(1, "U", 1, "a1", 1.0), (2, "I", 1, "b1", 2.0)],
+        [(1, "U", 2, "a2", 1.5), (3, "I", 2, "c1", 3.0), (2, "D", 2, None, None)],
+        [(2, "I", 3, "b3", 9.0), (3, "U", 3, "c2", 3.5)],
+    ]
+    schema = "k long, op string, seq long, name string, v double"
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    io = TableIO(spark, str(tmp_path / "state"))
+
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema
+    ).json(str(in_dir))
+    q = cdc_stream_apply(io, stream, "k", "seq", table="base")
+    try:
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).json(str(in_dir))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r["k"], r["name"], r["v"]) for r in io.load("base").collect()
+    )
+    base0 = spark.createDataFrame([], "k long, name string, v double")
+    all_changes = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    want = sorted(
+        (r["k"], r["name"], r["v"]) for r in cdc_apply(base0, all_changes, "k").collect()
+    )
+    assert got == want == [(1, "a2", 1.5), (2, "b3", 9.0), (3, "c2", 3.5)]
