@@ -3558,6 +3558,36 @@ def mixing_plan_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Compressed-header probe (r3, operators/multimodal.py): genuine PNG /
+# GIF / JPEG header bytes (dims seeded from sha256(ref)), probed back by
+# the stdlib header parser. The oracle recomputes (fmt, w, h) from the
+# seed directly, so a hash match certifies the synth→probe ROUND TRIP —
+# i.e. the JPEG marker walk / PNG IHDR / GIF screen parse are all exact.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "media_probe_dims",
+    f"WITH {_MEDIA_REFS_CTE}, "
+    f"sd AS (SELECT media_ref, {_WAV_SEED} AS seed "
+    "  FROM (SELECT media_ref, sha256(media_ref) AS hh FROM refs)) "
+    "SELECT media_ref, "
+    "CASE seed % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS fmt, "
+    "CAST((seed // 4) % 1024 + 16 AS BIGINT) AS width, "
+    "CAST((seed // 4096) % 1024 + 16 AS BIGINT) AS height "
+    "FROM sd",
+)
+def media_probe_dims_q(spark, sf_dir):
+    from .operators.multimodal import (
+        probe_dimensions,
+        synth_compressed_media_table,
+    )
+
+    comp = synth_compressed_media_table(_media(spark, sf_dir))
+    return probe_dimensions(comp)
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL
