@@ -3588,6 +3588,138 @@ def media_probe_dims_q(spark, sf_dir):
     return probe_dimensions(comp)
 
 
+# ---------------------------------------------------------------------------
+# Sentence segmentation (r3): terminator-run split (no lookbehind — RE2
+# in DuckDB has none, so the rule is the portable `[.!?]+\s+`), exploded
+# with per-sentence token counts. Pure native exprs, zero shuffle.
+# ---------------------------------------------------------------------------
+
+_SENT_RE = r"[.!?]+\s+"
+
+
+@_q(
+    "split_sentences",
+    "WITH s AS (SELECT doc_id, string_split_regex(text, '[.!?]+\\s+') AS sents "
+    "FROM documents), "
+    "e AS (SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx, "
+    "  trim(sents[CAST(i AS INT)]) AS sentence "
+    "  FROM (SELECT doc_id, sents, unnest(range(1, len(sents) + 1)) AS i FROM s)) "
+    "SELECT doc_id, sent_idx, sentence, "
+    "CAST(len(list_filter(string_split_regex(sentence, '\\s+'), x -> x <> '')) AS INT) "
+    "AS n_tokens FROM e WHERE sentence <> ''",
+)
+def split_sentences_q(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    e = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", _SENT_RE)).alias("sent_idx", "sentence"),
+    ).select("doc_id", F.col("sent_idx").cast("int"), F.trim("sentence").alias("sentence"))
+    toks = F.filter(F.split("sentence", r"\s+"), lambda x: x != "")
+    return e.where(F.col("sentence") != "").select(
+        "doc_id", "sent_idx", "sentence", F.size(toks).cast("int").alias("n_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval fusion (r3): reciprocal-rank fusion of a lexical
+# ranking (token Jaccard vs the query doc) and a vector ranking (cosine
+# vs the query embedding) — rrf = 1/(60+r_lex) + 1/(60+r_vec). Ranks are
+# integers (exact), the fused score two double terms in fixed order.
+# Single query here; multi-query fusion partitions every window by
+# query_id (same shape as ann topk).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "hybrid_rrf_topk",
+    "WITH qd AS (SELECT text AS qtext FROM documents WHERE doc_id = 0), "
+    "qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0), "
+    "toks AS (SELECT doc_id, list_distinct(list_filter("
+    "  string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t FROM documents), "
+    "qt AS (SELECT list_distinct(list_filter(string_split_regex(lower(qtext), '\\s+'), "
+    "  x -> x <> '')) AS t FROM qd), "
+    "lex AS (SELECT d.doc_id, CAST(len(list_intersect(d.t, q.t)) AS DOUBLE) "
+    "  / len(list_distinct(list_concat(d.t, q.t))) AS jac FROM toks d, qt q "
+    "  WHERE d.doc_id <> 0), "
+    "vec AS (SELECT e.vec_id AS doc_id, "
+    "  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 6) AS cos "
+    "  FROM embeddings e, qv q WHERE e.vec_id <> 0), "
+    "rl AS (SELECT doc_id, row_number() OVER (ORDER BY jac DESC, doc_id) AS r_lex FROM lex), "
+    "rv AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r_vec FROM vec), "
+    "f AS (SELECT doc_id, CAST(r_lex AS BIGINT) AS r_lex, CAST(r_vec AS BIGINT) AS r_vec, "
+    "  round(1.0 / (60 + r_lex) + 1.0 / (60 + r_vec), 9) AS rrf "
+    "  FROM rl JOIN rv USING (doc_id)) "
+    "SELECT * FROM (SELECT f.*, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM f) "
+    "WHERE rn <= 20",
+)
+def hybrid_rrf_topk_q(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tok = lambda c: F.array_distinct(
+        F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+    )
+    qt = d.where(F.col("doc_id") == 0).select(tok(F.col("text")).alias("qt"))
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qvec")
+    )
+    lex = (
+        d.where(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(qt))
+        .select(
+            "doc_id",
+            (
+                F.size(F.array_intersect(tok(F.col("text")), F.col("qt"))).cast(
+                    "double"
+                )
+                / F.size(F.array_distinct(F.concat(tok(F.col("text")), F.col("qt"))))
+            ).alias("jac"),
+        )
+    )
+    vec = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_similarity(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    F.col("qvec"),
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+    rl = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("jac").desc(), "doc_id"))
+        .cast("long")
+        .alias("r_lex"),
+    )
+    rv = vec.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos").desc(), "doc_id"))
+        .cast("long")
+        .alias("r_vec"),
+    )
+    f = rl.join(rv, "doc_id").select(
+        "doc_id",
+        "r_lex",
+        "r_vec",
+        F.round(
+            1.0 / (60 + F.col("r_lex")) + 1.0 / (60 + F.col("r_vec")), 9
+        ).alias("rrf"),
+    )
+    return f.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("rrf").desc(), "doc_id"))
+        .cast("long")
+        .alias("rn"),
+    ).where(F.col("rn") <= 20)
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL
