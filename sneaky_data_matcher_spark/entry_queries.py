@@ -24,7 +24,7 @@ from .functions.similarity import (
     levenshtein_ratio,
     token_jaccard,
 )
-from .operators import clustering, pprl, search
+from .operators import clustering, pprl, search, sketches as SK
 from .operators.dedup import repeated_kgram_spans_sql, repeated_kgram_stats_sql
 from .sources import flatdocs
 
@@ -3718,6 +3718,41 @@ def hybrid_rrf_topk_q(spark, sf_dir):
         .cast("long")
         .alias("rn"),
     ).where(F.col("rn") <= 20)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (r3, operators/sketches.py): build the full d×w sketch
+# over corpus tokens + estimate 12 probes (incl. an unseen token). The
+# sketch is deterministic (portable Horner double-hashing), so the DuckDB
+# twin rebuilds it cell-for-cell — build AND estimate are hash-certified.
+# ---------------------------------------------------------------------------
+
+_CMS_PROBES = [
+    "the", "of", "and", "to", "a", "in", "data", "system",
+    "error", "lorem", "document", "zz-never-seen-token",
+]
+
+
+@_q(
+    "cms_token_counts",
+    "WITH " + SK.cms_sql(_CMS_PROBES) + " SELECT token, est, true_cnt FROM cms_out",
+)
+def cms_token_counts_q(spark, sf_dir):
+    from .operators import sketches
+
+    d = _docs(spark, sf_dir)
+    sk = sketches.count_min_build(d)
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "token string")
+    est = sketches.count_min_estimate(sk, probes)
+    tok = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("token")
+    )
+    tru = tok.groupBy("token").agg(F.count("*").alias("true_cnt"))
+    return est.join(tru, "token", "left").select(
+        "token", "est", F.coalesce("true_cnt", F.lit(0)).alias("true_cnt")
+    )
 
 
 def _export(name: str):

@@ -1,0 +1,110 @@
+"""Count-min sketch over token streams — engine-portable by construction.
+
+The classic fixed-memory frequency sketch (Cormode & Muthukrishnan '05):
+d hash rows × w counters; increment cell (r, h_r(x)) per occurrence;
+estimate(x) = min_r cell(r, h_r(x)) — always >= the true count, with the
+overestimate bounded by (n / w) per row whp. The point at 100 TB: token
+frequency queries from O(d*w) integers instead of a full census shuffle,
+and sketches MERGE by cell-wise addition (partial-aggregate friendly,
+streaming-friendly).
+
+Hashes are the repo's portable dual Horner polynomials (dedup.py
+SIMHASH_B1/B2 — the winnowing trick), double-hashed into d rows as
+h_r = (h1 + r*h2 + r*r) mod w, so a DuckDB twin rebuilds the ENTIRE
+sketch cell-for-cell and the driver oracle certifies build + estimate
+end-to-end (no "approximately equal" hand-waving: the sketch itself is
+deterministic; only its relation to true counts is approximate).
+
+Scale notes:
+  - build = one explode + one groupBy((r, col)) with map-side combine;
+    the sketch is d*w rows regardless of corpus size.
+  - estimates join the (tiny, broadcast) sketch — no corpus rescan.
+  - hot tokens are the groupBy's hot cells, bounded by d*w keys total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import SIMHASH_B1, SIMHASH_B2, SIMHASH_M, _horner_hash
+
+CMS_W = 1024
+CMS_D = 4
+
+
+def _cols_for(t: Column) -> Column:
+    """Array of CMS_D (row, col) structs for one token expression."""
+    h1 = _horner_hash(t, SIMHASH_B1)
+    h2 = _horner_hash(t, SIMHASH_B2)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                ((h1 + r * h2 + r * r) % CMS_W).cast("int").alias("col"),
+            )
+            for r in range(CMS_D)
+        ]
+    )
+
+
+def _tokens(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+
+
+def count_min_build(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """-> sketch(r, col, cnt): one row per non-empty cell."""
+    tok = docs.select(F.explode(_tokens(F.col(text_col))).alias("t"))
+    cell = tok.select(F.explode(_cols_for(F.col("t"))).alias("c"))
+    return cell.groupBy(F.col("c.r").alias("r"), F.col("c.col").alias("col")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def count_min_estimate(sketch: DataFrame, probes: DataFrame) -> DataFrame:
+    """probes(token) -> (token, est). Missing cells count 0 (an unseen
+    token estimates 0 unless every one of its d cells collides)."""
+    pe = probes.select(
+        "token", F.explode(_cols_for(F.col("token"))).alias("c")
+    ).select("token", F.col("c.r").alias("r"), F.col("c.col").alias("col"))
+    hit = pe.join(F.broadcast(sketch), ["r", "col"], "left").select(
+        "token", F.coalesce("cnt", F.lit(0)).alias("cell")
+    )
+    return hit.groupBy("token").agg(F.min("cell").alias("est"))
+
+
+# --- DuckDB twin builders -------------------------------------------------
+
+def _horner_sql(var: str, base: int) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({var}) + 1), "
+        f"i -> CAST(ord(substr({var}, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"(acc, c) -> (acc * {base} + c) % {SIMHASH_M})"
+    )
+
+
+def cms_sql(probe_tokens: list[str], docs_rel: str = "documents") -> str:
+    """CTE chain ending in ``cms_out(token, est, true_cnt)``."""
+    probes = ", ".join(f"'{t}'" for t in probe_tokens)
+    h1 = _horner_sql("t", SIMHASH_B1)
+    h2 = _horner_sql("t", SIMHASH_B2)
+    return (
+        f"ctok AS (SELECT unnest(list_filter(string_split_regex(lower(text), "
+        f"'\\s+'), x -> x <> '')) AS t FROM {docs_rel}), "
+        f"cth AS (SELECT t, {h1} AS h1, {h2} AS h2 FROM ctok), "
+        f"csk AS MATERIALIZED (SELECT r, CAST((h1 + r * h2 + r * r) % {CMS_W} AS INT) AS col, "
+        "  count(*) AS cnt FROM cth, (SELECT unnest(range(0, "
+        f"{CMS_D})) AS r) GROUP BY 1, 2), "
+        f"cpr AS (SELECT unnest([{probes}]) AS token), "
+        f"cph AS (SELECT token, {_horner_sql('token', SIMHASH_B1)} AS h1, "
+        f"  {_horner_sql('token', SIMHASH_B2)} AS h2 FROM cpr), "
+        f"cpe AS (SELECT token, r, CAST((h1 + r * h2 + r * r) % {CMS_W} AS INT) AS col "
+        f"  FROM cph, (SELECT unnest(range(0, {CMS_D})) AS r)), "
+        "cest AS (SELECT token, min(coalesce(cnt, 0)) AS est FROM cpe "
+        "  LEFT JOIN csk USING (r, col) GROUP BY token), "
+        "ctru AS (SELECT t AS token, count(*) AS true_cnt FROM ctok GROUP BY t), "
+        "cms_out AS (SELECT e.token, CAST(e.est AS BIGINT) AS est, "
+        "  coalesce(u.true_cnt, 0) AS true_cnt FROM cest e "
+        "  LEFT JOIN ctru u USING (token))"
+    )
