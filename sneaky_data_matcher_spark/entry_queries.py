@@ -3755,6 +3755,28 @@ def cms_token_counts_q(spark, sf_dir):
     )
 
 
+# HyperLogLog distinct-token estimate (r3, operators/sketches.py): the
+# registers AND the estimator are deterministic (portable hash + shared
+# bin()-length rank), so the oracle certifies the whole sketch.
+@_q(
+    "hll_distinct_tokens",
+    "WITH " + SK.hll_sql()
+    + " SELECT m, nonzero_regs, est, true_distinct FROM hll_out",
+)
+def hll_distinct_tokens_q(spark, sf_dir):
+    from .operators import sketches
+
+    d = _docs(spark, sf_dir)
+    est = sketches.hll_estimate(sketches.hll_registers(d))
+    tok = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("t")
+    )
+    tru = tok.agg(F.count_distinct("t").alias("true_distinct"))
+    return est.crossJoin(F.broadcast(tru))
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL

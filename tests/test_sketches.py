@@ -61,3 +61,28 @@ def test_sketch_size_bounded(spark):
     texts = [f"tok{i} tok{i + 1} filler" for i in range(200)]
     sk = SK.count_min_build(_docs(spark, texts))
     assert sk.count() <= SK.CMS_D * SK.CMS_W
+
+
+def test_hll_reasonable_and_merge(spark):
+    import math
+
+    texts = [" ".join(f"w{i}" for i in range(j * 50, j * 50 + 50)) for j in range(8)]
+    # 400 distinct tokens
+    regs = SK.hll_registers(_docs(spark, texts))
+    est = SK.hll_estimate(regs).collect()[0]["est"]
+    assert abs(est - 400) / 400 < 0.35  # m=64 -> ~13% rse; 35% is safe
+    # registers merge by cell-wise max
+    r1 = SK.hll_registers(_docs(spark, texts[:4]))
+    r2 = SK.hll_registers(_docs(spark, texts[4:]))
+    from pyspark.sql import functions as FF
+
+    merged = (
+        r1.unionByName(r2).groupBy("bucket").agg(FF.max("reg").alias("reg"))
+    )
+    key = lambda df: sorted((r["bucket"], r["reg"]) for r in df.collect())
+    assert key(merged) == key(regs)
+
+
+def test_hll_small_range_linear_counting(spark):
+    est = SK.hll_estimate(SK.hll_registers(_docs(spark, ["a b c"]))).collect()[0]
+    assert 2.5 <= est["est"] <= 3.5  # linear counting is near-exact here
