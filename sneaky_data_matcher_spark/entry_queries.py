@@ -3777,6 +3777,42 @@ def hll_distinct_tokens_q(spark, sf_dir):
     return est.crossJoin(F.broadcast(tru))
 
 
+# ---------------------------------------------------------------------------
+# Weighted priority sample (r3): Efraimidis–Spirakis-style fixed-size
+# weighted sample made DETERMINISTIC — priority = lehmer_unit(key) / w,
+# keep the k smallest. Identical double ops on both engines; integer
+# ranks. Long docs (weight = n_chars) are proportionally more likely in.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "weighted_sample_topk",
+    f"WITH p AS (SELECT doc_id, n_chars, "
+    f"  {_lehmer_sql('doc_id')} / n_chars AS pri FROM documents WHERE n_chars > 0), "
+    "r AS (SELECT doc_id, n_chars, row_number() OVER (ORDER BY pri, doc_id) AS rk FROM p) "
+    "SELECT doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 50",
+)
+def weighted_sample_topk_q(spark, sf_dir):
+    from .operators.sampling import lehmer_unit
+
+    d = _docs(spark, sf_dir).where(F.col("n_chars") > 0)
+    p = d.select(
+        "doc_id",
+        "n_chars",
+        (lehmer_unit(F.col("doc_id"), 0) / F.col("n_chars")).alias("pri"),
+    )
+    # distributed TakeOrdered, then the rank window over 50 rows only
+    top = p.orderBy("pri", "doc_id").limit(50)
+    return top.select(
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(Window.orderBy("pri", "doc_id"))
+        .cast("long")
+        .alias("rk"),
+    )
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL
