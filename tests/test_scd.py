@@ -155,3 +155,26 @@ def test_incremental_untouched_entities_preserved(spark, tmp_path):
     )
     got = {(r["entity"], r["version"]): r["attr_value"] for r in dim.collect()}
     assert got == {(1, 1): "a", (1, 2): "b", (2, 1): "x"}
+
+
+def test_multi_attribute_struct_scd2(spark):
+    # track a struct of attributes: any component change opens a version
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2026, 1, 1, 0, 0, 0), "gold", "us", 1),
+            (1, datetime(2026, 1, 1, 0, 0, 10), "gold", "eu", 2),  # region change
+            (1, datetime(2026, 1, 1, 0, 0, 20), "gold", "eu", 3),  # no change
+            (1, datetime(2026, 1, 1, 0, 0, 30), "free", "eu", 4),  # plan change
+        ],
+        "user_id long, ts timestamp, plan string, region string, event_id long",
+    ).withColumn("state", F.struct("plan", "region"))
+    out = sorted(
+        scd.scd2_assemble(
+            ev, "user_id", "state", ts_col="ts", tiebreak_col="event_id"
+        ).collect(),
+        key=lambda r: r["version"],
+    )
+    assert [(r["attr_value"]["plan"], r["attr_value"]["region"], r["n_events"])
+            for r in out] == [("gold", "us", 1), ("gold", "eu", 2), ("free", "eu", 1)]
