@@ -1357,6 +1357,33 @@ def media_decode_bmp(spark, sf_dir):
     return _media_decode_q(spark, sf_dir, "image")
 
 
+# PNG decode (r3 continuation): the SAME pixel formula as the BMP twin —
+# the container is now zlib-COMPRESSED (real DEFLATE, real CRC-32 chunk
+# checksums, all five scanline filters cycled across rows), so a hash
+# match certifies a genuine compressed-codec round trip: encoder filters
+# + zlib + decoder unfilters all have to be byte-correct. The oracle SQL
+# is identical to media_decode_bmp's on purpose: features depend only on
+# the pixels, never the container.
+_PNG_DECODE_SQL = ORACLE_SQL["media_decode_bmp"]
+
+
+@_q("media_decode_png", _PNG_DECODE_SQL)
+def media_decode_png(spark, sf_dir):
+    from .operators.multimodal import extract_features, synth_real_media_table
+
+    m = synth_real_media_table(_media(spark, sf_dir), image_format="png").where(
+        F.col("kind") == "image"
+    )
+    feats = extract_features(m, strict=True)  # real zlib decode or die
+    return feats.select(
+        "media_ref", F.posexplode("feature").alias("idx", "value")
+    ).select(
+        "media_ref",
+        "idx",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+
+
 # AVI video decode (r3): synth emits a structurally-valid RIFF/AVI (hdrl +
 # movi with uncompressed bottom-up BGR24 '00db' frames), _decode_avi parses
 # it, and the twin recomputes every feature from the generative per-frame
@@ -3811,6 +3838,368 @@ def weighted_sample_topk_q(spark, sf_dir):
         .cast("long")
         .alias("rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot table (r3 continuation): segment × order-year revenue matrix.
+# Spark's RelationalGroupedDataset.pivot with EXPLICIT value list — an
+# unlisted pivot triggers an extra distinct-values job; listing the years
+# keeps it one shuffle. Sums in decimal (order-independent), cast to
+# double at the edge. The DuckDB twin uses FILTER aggregates (ANSI
+# conditional aggregation — same matrix, no PIVOT extension needed).
+# ---------------------------------------------------------------------------
+
+_PIVOT_YEARS = list(range(1995, 2002))
+
+
+@_q(
+    "pivot_revenue",
+    "SELECT c_mktsegment, "
+    + ", ".join(
+        f"CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))) "
+        f"FILTER (WHERE year(o_orderdate) = {y}), 0) AS DOUBLE) AS y{y}"
+        for y in _PIVOT_YEARS
+    )
+    + " FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+)
+def pivot_revenue_q(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment",
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    piv = (
+        j.groupBy("c_mktsegment")
+        .pivot("yr", _PIVOT_YEARS)  # explicit values: no discovery job
+        .agg(F.sum("price"))
+    )
+    return piv.select(
+        "c_mktsegment",
+        *[
+            F.coalesce(F.col(str(y)).cast("double"), F.lit(0.0)).alias(f"y{y}")
+            for y in _PIVOT_YEARS
+        ],
+    )
+
+
+# Decile table (r3 continuation): NTILE(10) over a deterministic total
+# order (acctbal, custkey — ties broken by key so both engines agree),
+# then per-decile stats. One shuffle for the global sort window, one for
+# the decile agg; at 100 TB the global NTILE becomes approx_percentile
+# cutpoints + a map-side bucket join (same shape as quantile_band_filter).
+@_q(
+    "decile_stats",
+    "WITH d AS (SELECT c_acctbal, c_custkey, "
+    "  ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile FROM customer) "
+    "SELECT decile, count(*) AS n, "
+    "CAST(min(c_acctbal) AS DOUBLE) AS lo, CAST(max(c_acctbal) AS DOUBLE) AS hi, "
+    "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total "
+    "FROM d GROUP BY decile",
+)
+def decile_stats_q(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    d = c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+    return d.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.min("c_acctbal").cast("double").alias("lo"),
+        F.max("c_acctbal").cast("double").alias("hi"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier (r3 continuation): orders not dominated on
+# (higher totalprice, earlier orderdate). Dominance: o2 beats o1 iff
+# price2 >= price1 AND date2 <= date1 AND one inequality strict. The
+# naive plan is an O(n²) theta self-join; this one is two passes:
+# (1) per-distinct-price min date (one groupBy), (2) a ROWS-frame running
+# min over DISTINCT prices descending — rows with strictly higher price
+# are exactly the preceding rows of the deduped frame, so ties need no
+# special frame. A row survives iff no strictly-higher price has
+# date <= d AND no same-price row has date < d. The oracle is the
+# independent NOT EXISTS formulation — same frontier, different algorithm.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "skyline_orders",
+    "SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price, o_orderdate "
+    "FROM orders o1 WHERE NOT EXISTS ("
+    "  SELECT 1 FROM orders o2 WHERE o2.o_totalprice >= o1.o_totalprice "
+    "  AND o2.o_orderdate <= o1.o_orderdate "
+    "  AND (o2.o_totalprice > o1.o_totalprice OR o2.o_orderdate < o1.o_orderdate))",
+)
+def skyline_orders_q(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    per_price = o.groupBy("o_totalprice").agg(
+        F.min("o_orderdate").alias("dmin_same")
+    )
+    w = Window.orderBy(F.col("o_totalprice").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = per_price.select(
+        "o_totalprice",
+        "dmin_same",
+        F.min("dmin_same").over(w).alias("dmin_higher"),
+    )
+    j = o.join(frontier, "o_totalprice")  # equi-join; AQE picks broadcast when small
+    keep = (
+        F.col("dmin_higher").isNull() | (F.col("dmin_higher") > F.col("o_orderdate"))
+    ) & (F.col("dmin_same") >= F.col("o_orderdate"))
+    return j.where(keep).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        "o_orderdate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style corpus quality rules (r3 continuation): the repetition
+# signals live in quality_score_v2; this adds the published STRUCTURAL
+# rules (Rae et al. 2021 §A1.1): word-count band, mean-word-length band,
+# symbol-to-word ratio (# and ...), bullet-line / ellipsis-line caps,
+# alpha-word fraction, and a minimum stop-word hit count. All native
+# exprs — one scan, no UDF, no shuffle (per-row projection + filter-free
+# output). The corpus has no newlines/symbols, so a deterministic
+# replace-all enrichment (shared verbatim with the twin) synthesizes
+# bullet lines, ellipses, and '#' tokens for doc_id-dependent subsets —
+# every rule path is exercised and hash-checked.
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with", "a"]
+
+_GOPHER_ENRICH_SQL = (
+    "replace(replace(replace(text, ' agg ', concat(chr(10), '- agg', chr(10))), "
+    "' slow ', ' slow... '), ' hash ', ' #hash ')"
+)
+
+
+def _gopher_sql() -> str:
+    stop_hits = " + ".join(
+        f"CAST(list_contains(words, '{s}') AS INT)" for s in _GOPHER_STOPS
+    )
+    return (
+        f"WITH g AS (SELECT doc_id, {_GOPHER_ENRICH_SQL} AS t FROM documents), "
+        "w AS (SELECT doc_id, t, "
+        "  list_filter(string_split_regex(lower(t), '\\s+'), x -> x <> '') AS words, "
+        "  list_filter(string_split(t, chr(10)), x -> trim(x) <> '') AS lines FROM g), "
+        "m AS (SELECT doc_id, len(words) AS n_words, "
+        f"  ({stop_hits}) AS stop_hits, "
+        "  round(CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE) "
+        "    / len(words), 6) AS mean_word_len, "
+        "  round(CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) "
+        "    / len(words), 6) AS frac_alpha, "
+        "  round(CAST((len(t) - len(replace(t, '#', ''))) "
+        "    + (len(t) - len(replace(t, '...', ''))) / 3 AS DOUBLE) / len(words), 6) "
+        "    AS symbol_ratio, "
+        "  round(CAST(len(list_filter(lines, x -> starts_with(trim(x), '- ') "
+        "    OR starts_with(trim(x), '* '))) AS DOUBLE) / len(lines), 6) AS frac_bullet, "
+        "  round(CAST(len(list_filter(lines, x -> ends_with(trim(x), '...'))) AS DOUBLE) "
+        "    / len(lines), 6) AS frac_ellipsis "
+        "FROM w WHERE len(words) > 0) "
+        "SELECT *, (n_words BETWEEN 10 AND 100000 AND mean_word_len BETWEEN 2 AND 10 "
+        "AND symbol_ratio <= 0.1 AND frac_bullet <= 0.9 AND frac_ellipsis <= 0.3 "
+        "AND frac_alpha >= 0.8 AND stop_hits >= 2) AS passes FROM m"
+    )
+
+
+@_q("gopher_rules", _gopher_sql())
+def gopher_rules_q(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    t = F.replace(
+        F.replace(
+            F.replace(
+                F.col("text"), F.lit(" agg "), F.concat(F.lit("\n- agg"), F.lit("\n"))
+            ),
+            F.lit(" slow "),
+            F.lit(" slow... "),
+        ),
+        F.lit(" hash "),
+        F.lit(" #hash "),
+    )
+    g = d.select("doc_id", t.alias("t"))
+    words = F.filter(F.split(F.lower("t"), r"\s+"), lambda x: x != "")
+    lines = F.filter(F.split("t", "\n"), lambda x: F.trim(x) != "")
+    w = g.select("doc_id", "t", words.alias("words"), lines.alias("lines"))
+    n_words = F.size("words")
+    stop_hits = sum(
+        F.array_contains("words", s).cast("int") for s in _GOPHER_STOPS
+    )
+    wordlen_sum = F.aggregate(
+        "words", F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    n_alpha = F.size(F.filter("words", lambda x: x.rlike("[a-z]")))
+    n_hash = F.length("t") - F.length(F.replace(F.col("t"), F.lit("#")))
+    n_ell = (F.length("t") - F.length(F.replace(F.col("t"), F.lit("...")))) / 3
+    n_bullet = F.size(
+        F.filter(
+            "lines",
+            lambda x: F.trim(x).startswith("- ") | F.trim(x).startswith("* "),
+        )
+    )
+    n_ell_line = F.size(F.filter("lines", lambda x: F.trim(x).endswith("...")))
+    m = w.where(n_words > 0).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        stop_hits.alias("stop_hits"),
+        F.round(wordlen_sum.cast("double") / n_words, 6).alias("mean_word_len"),
+        F.round(n_alpha.cast("double") / n_words, 6).alias("frac_alpha"),
+        F.round((n_hash + n_ell).cast("double") / n_words, 6).alias("symbol_ratio"),
+        F.round(n_bullet.cast("double") / F.size("lines"), 6).alias("frac_bullet"),
+        F.round(n_ell_line.cast("double") / F.size("lines"), 6).alias(
+            "frac_ellipsis"
+        ),
+    )
+    return m.select(
+        "*",
+        (
+            F.col("n_words").between(10, 100000)
+            & F.col("mean_word_len").between(2, 10)
+            & (F.col("symbol_ratio") <= 0.1)
+            & (F.col("frac_bullet") <= 0.9)
+            & (F.col("frac_ellipsis") <= 0.3)
+            & (F.col("frac_alpha") >= 0.8)
+            & (F.col("stop_hits") >= 2)
+        ).alias("passes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML text extraction (r3 continuation): a web-corpus pipeline's first
+# transform. Deterministic HTML is synthesized around each doc (tags +
+# one entity + paragraph breaks, construction shared verbatim with the
+# twin), then extracted back: strip tags, decode entities (&amp; last),
+# collapse whitespace. The `roundtrip` column proves extraction inverts
+# the wrapping exactly — all native regexp exprs, one scan, zero shuffle.
+# DuckDB regexp_replace needs the explicit 'g' flag to match Spark's
+# replace-all default.
+# ---------------------------------------------------------------------------
+
+_HTML_WRAP_SQL = (
+    "concat('<html><body data-src=\"', source, '\"><h1>Doc ', "
+    "CAST(doc_id AS VARCHAR), ' &amp; co</h1>', chr(10), '<p>', "
+    "replace(text, '. ', '.</p>' || chr(10) || '<p>'), '</p></body></html>')"
+)
+
+
+@_q(
+    "html_extract",
+    f"WITH h AS (SELECT doc_id, text, {_HTML_WRAP_SQL} AS html FROM documents), "
+    "s AS (SELECT doc_id, text, html, "
+    "  len(regexp_extract_all(html, '<[^>]*>')) AS n_tags, "
+    "  trim(regexp_replace(replace(replace(replace(replace(replace("
+    "    regexp_replace(html, '<[^>]*>', ' ', 'g'), "
+    "    '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), "
+    "    '&amp;', '&'), '\\s+', ' ', 'g')) AS clean_text FROM h) "
+    "SELECT doc_id, n_tags, clean_text, "
+    "clean_text = concat('Doc ', CAST(doc_id AS VARCHAR), ' & co ', "
+    "  trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS roundtrip FROM s",
+)
+def html_extract_q(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><body data-src="'),
+        F.col("source"),
+        F.lit('"><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit(" &amp; co</h1>\n<p>"),
+        F.replace(F.col("text"), F.lit(". "), F.lit(".</p>\n<p>")),
+        F.lit("</p></body></html>"),
+    )
+    h = d.select("doc_id", "text", html.alias("html"))
+    stripped = F.regexp_replace("html", "<[^>]*>", " ")
+    for ent, ch in [
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ]:
+        stripped = F.replace(stripped, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    s = h.select(
+        "doc_id",
+        F.regexp_count("html", F.lit("<[^>]*>")).cast("long").alias("n_tags"),
+        clean.alias("clean_text"),
+        "text",
+    )
+    expect = F.concat(
+        F.lit("Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" & co "),
+        F.trim(F.regexp_replace("text", r"\s+", " ")),
+    )
+    return s.select(
+        "doc_id",
+        "n_tags",
+        "clean_text",
+        (F.col("clean_text") == expect).alias("roundtrip"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Match-graph analytics (r3 continuation, operators/graphstats.py): degree
+# distribution + per-node triangle counts over a relaxed-threshold match
+# graph (0.75 — denser than the 0.8 decision threshold on purpose: the
+# diagnostic wants the borderline edges; 0.8 leaves only 8 triangles at
+# sf0.01, 0.75 leaves ~23k). Spark runs the Suri–Vassilvitskii
+# degree-ordered node-iterator (O(m^1.5) wedges, skew-proof); the oracle
+# is the naive canonical-triple 3-way self-join — same triangles, utterly
+# different algorithm, so agreement is a real cross-check.
+# ---------------------------------------------------------------------------
+
+_GRAPH_THR = 0.75
+_GRAPH_EDGES_CTE = (
+    _ER_SCORED_CTE
+    + f", edges AS MATERIALIZED (SELECT doc_id_a AS u, doc_id_b AS v FROM er_scored "
+    f"WHERE 0.4*jw + 0.2*lev_ratio + 0.4*tok_jaccard >= {_GRAPH_THR})"
+)
+
+
+def _graph_edges(spark, sf_dir):
+    def build():
+        s = _er_scored_frame(spark, sf_dir)
+        score = (
+            0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+        )
+        return s.where(score >= _GRAPH_THR).select(
+            F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v")
+        )
+
+    return _cached(spark, sf_dir, "graph_edges", build)
+
+
+@_q(
+    "match_graph_degrees",
+    f"WITH {_GRAPH_EDGES_CTE}, "
+    "deg AS (SELECT node, count(*) AS degree FROM "
+    "  (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) GROUP BY node) "
+    "SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree",
+)
+def match_graph_degrees_q(spark, sf_dir):
+    from .operators import graphstats
+
+    return graphstats.degree_histogram(_graph_edges(spark, sf_dir))
+
+
+@_q(
+    "match_graph_triangles",
+    f"WITH {_GRAPH_EDGES_CTE}, "
+    "tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z FROM edges e1 "
+    "  JOIN edges e2 ON e1.v = e2.u "
+    "  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) "
+    "SELECT node, count(*) AS n_triangles FROM "
+    "  (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY node",
+)
+def match_graph_triangles_q(spark, sf_dir):
+    from .operators import graphstats
+
+    return graphstats.triangles_per_node(_graph_edges(spark, sf_dir))
 
 
 def _export(name: str):

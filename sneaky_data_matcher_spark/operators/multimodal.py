@@ -8,12 +8,15 @@ Decode status (r3): ALL THREE kinds decode FOR REAL with stdlib `struct`
 uncompressed BMP images (`_decode_bmp`: channel means/luminance
 histogram), and RIFF/AVI video with uncompressed bottom-up BGR24 '00db'
 frames (`_decode_avi`: frame count, fps, luminance stats, motion energy,
-histogram). `synth_real_media_table` emits genuine WAV/BMP/AVI bytes so
-every encode->decode round trip is oracle-checkable end to end (the
-DuckDB twin recomputes the features from the generative sample/pixel
-formula, never seeing the bytes). The remaining seam is real-world
-COMPRESSED codecs (mp3/jpeg/h264 need external libs): `_fake_decode`
-stands in for unknown payloads, and `strict=True` raises only for those.
+histogram). One genuinely COMPRESSED codec too: 8-bit RGB PNG
+(`_png_bytes`/`_decode_png` — stdlib zlib DEFLATE, real CRC-32 chunk
+checksums, all five scanline filter types cycled and undone).
+`synth_real_media_table` emits genuine WAV/BMP-or-PNG/AVI bytes so every
+encode->decode round trip is oracle-checkable end to end (the DuckDB
+twin recomputes the features from the generative sample/pixel formula,
+never seeing the bytes). The remaining seam is real-world LOSSY codecs
+(mp3/jpeg/h264 need external libs): `_fake_decode` stands in for unknown
+payloads, and `strict=True` raises only for those.
 
 Schema convention:
 
@@ -25,6 +28,7 @@ from __future__ import annotations
 
 import math
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -388,13 +392,174 @@ def _decode_bmp(payload: bytes) -> list[float]:
     return [_q6(f) for f in feats]
 
 
-def synth_real_media_table(media: DataFrame) -> DataFrame:
+# ---------------------------------------------------------------------------
+# PNG (r3 continuation): a REAL compressed codec, stdlib-only. zlib ships
+# with CPython, and PNG is exactly zlib + per-scanline byte filters — so
+# both the encoder and the decoder below are genuine (real CRC-32 chunk
+# checksums, real DEFLATE, all five filter types exercised by cycling
+# filter = y % 5 across scanlines). Pixels follow the SAME generative
+# formula as the BMP (`_bmp_pixel`), so the existing SQL pixel oracle
+# certifies the compressed round trip too.
+# ---------------------------------------------------------------------------
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_bytes(media_ref: str) -> bytes:
+    """Valid 8-bit RGB (colour type 2) PNG with real zlib IDAT and real
+    chunk CRCs. Scanline y uses filter type y % 5, so None/Sub/Up/Average/
+    Paeth encoders (and the matching decoders) are all genuinely hit."""
+    seed, w, h = bmp_params(media_ref)  # shared dims + pixel formula
+    bpp = 3
+    raw_rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            row += bytes(_bmp_pixel(seed, y * w + x))  # PNG stores RGB
+        raw_rows.append(bytes(row))
+    stream = bytearray()
+    prior = bytes(bpp * w)
+    for y, raw in enumerate(raw_rows):
+        t = y % 5
+        stream.append(t)
+        for i, v in enumerate(raw):
+            a = raw[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if t == 0:
+                f = v
+            elif t == 1:
+                f = (v - a) & 255
+            elif t == 2:
+                f = (v - b) & 255
+            elif t == 3:
+                f = (v - (a + b) // 2) & 255
+            else:
+                f = (v - _paeth(a, b, c)) & 255
+            stream.append(f)
+        prior = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> list[float]:
+    """Parse an 8-bit RGB PNG for real: chunk walk with CRC-32
+    verification, zlib-decompress the IDAT stream, undo the per-scanline
+    filters (all five types), then featurize identically to
+    `_decode_bmp` — same integer luminance + histogram math, so the same
+    SQL pixel oracle certifies the result."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        size = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + size]
+        crc = struct.unpack_from(">I", payload, pos + 8 + size)[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, colour, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+            if (depth, colour, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG {(depth, colour, comp, filt, inter)}"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    stream = zlib.decompress(bytes(idat))
+    bpp, rowlen = 3, 3 * w
+    if len(stream) != h * (rowlen + 1):
+        raise ValueError("PNG pixel stream length mismatch")
+    rs = gs = bs = 0
+    lums: list[int] = []
+    prior = bytes(rowlen)
+    for y in range(h):
+        t = stream[y * (rowlen + 1)]
+        fdata = stream[y * (rowlen + 1) + 1 : (y + 1) * (rowlen + 1)]
+        raw = bytearray(rowlen)
+        for i, f in enumerate(fdata):
+            a = raw[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if t == 0:
+                v = f
+            elif t == 1:
+                v = (f + a) & 255
+            elif t == 2:
+                v = (f + b) & 255
+            elif t == 3:
+                v = (f + (a + b) // 2) & 255
+            elif t == 4:
+                v = (f + _paeth(a, b, c)) & 255
+            else:
+                raise ValueError(f"bad PNG filter type {t}")
+            raw[i] = v
+        prior = bytes(raw)
+        for x in range(w):
+            r, g, b2 = raw[3 * x], raw[3 * x + 1], raw[3 * x + 2]
+            rs, gs, bs = rs + r, gs + g, bs + b2
+            lums.append((r * 299 + g * 587 + b2 * 114) // 1000)
+    npx = w * h
+    hist = [0] * 8
+    for lum in lums:
+        hist[lum * 8 // 256] += 1
+    feats = [
+        w / 1024.0,
+        h / 1024.0,
+        rs / npx / 255.0,
+        gs / npx / 255.0,
+        bs / npx / 255.0,
+        sum(lums) / npx / 255.0,
+        max(lums) / 255.0,
+        min(lums) / 255.0,
+    ] + [c / npx for c in hist]
+    return [_q6(f) for f in feats]
+
+
+def synth_real_media_table(media: DataFrame, image_format: str = "bmp") -> DataFrame:
     """Replace the opaque pseudo-byte payloads with GENUINE WAV (audio) /
-    BMP (image) bytes, deterministic per media_ref; meta is updated to the
-    real dims/rate/duration. Video keeps its pseudo-bytes (the documented
-    codec seam). mapInPandas: byte assembly is per-row Python by necessity
+    BMP-or-PNG (image) bytes, deterministic per media_ref; meta is updated
+    to the real dims/rate/duration. image_format: 'bmp' (default,
+    uncompressed), 'png' (zlib-compressed), or 'mixed' (PNG for even
+    seeds, BMP for odd — both containers in one table, decoder dispatches
+    on magic). mapInPandas: byte assembly is per-row Python by necessity
     (struct packing), but runs Arrow-batched and only over the media DIM
     table (distinct refs), never over the corpus."""
+    if image_format not in ("bmp", "png", "mixed"):
+        raise ValueError(f"image_format must be bmp|png|mixed, got {image_format!r}")
+
+    def _image_bytes(ref: str) -> bytes:
+        if image_format == "png" or (
+            image_format == "mixed" and _media_seed(ref) % 2 == 0
+        ):
+            return _png_bytes(ref)
+        return _bmp_bytes(ref)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -415,7 +580,7 @@ def synth_real_media_table(media: DataFrame) -> DataFrame:
                     )
                 elif kind == "image":
                     _, w, h = bmp_params(ref)
-                    payloads.append(_bmp_bytes(ref))
+                    payloads.append(_image_bytes(ref))
                     metas.append(
                         {
                             "width": w,
@@ -474,7 +639,9 @@ def _decode_one(payload: bytes, kind: str, strict: bool) -> list[float]:
                 return _decode_avi(payload)
             if payload[:2] == b"BM":
                 return _decode_bmp(payload)
-        except (ValueError, IndexError, struct.error):
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                return _decode_png(payload)
+        except (ValueError, IndexError, struct.error, zlib.error):
             # opaque pseudo-bytes can collide with a magic prefix (e.g. a
             # 16-byte sha2 payload starting 0x42 0x4D); a failed header
             # parse is "not decodable", not an error — fall through
@@ -482,9 +649,9 @@ def _decode_one(payload: bytes, kind: str, strict: bool) -> list[float]:
                 raise
     if strict:
         raise NotImplementedError(
-            f"no decoder for kind={kind!r} payload (only WAV/PCM-16 and "
-            "24-bit BMP decode natively; video needs ffmpeg — the marked "
-            "codec seam)"
+            f"no decoder for kind={kind!r} payload (WAV/PCM-16, 24-bit "
+            "BMP, 8-bit RGB PNG, and uncompressed RIFF/AVI decode "
+            "natively; mp3/jpeg/h264 need codec libs — the marked seam)"
         )
     return _fake_decode(payload, kind)
 
