@@ -4202,6 +4202,285 @@ def match_graph_triangles_q(spark, sf_dir):
     return graphstats.triangles_per_node(_graph_edges(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning (r3 continuation): the runtime-filter idiom a
+# 100 TB semi join lives on — build an m-bit Bloom filter over the small
+# side's keys (one groupBy of <= m rows), broadcast the bit SET (not the
+# rows), and prune the big side MAP-SIDE before any shuffle touches it.
+# The filter is deterministic (integer double-hashing, BIGINT-safe on
+# both engines), so the DuckDB twin rebuilds the exact same bit set and
+# the oracle certifies build + probe + the measured false-positive count
+# per order priority. Spark's own runtime row-group filters do a version
+# of this inside AQE; the explicit operator works for ANY small side and
+# makes the fp trade measurable.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 2048  # bits
+_BLOOM_K = 3  # probes per key
+_BLOOM_A1, _BLOOM_C1 = 48271, 11  # Lehmer multiplier (shared constant)
+_BLOOM_A2, _BLOOM_C2 = 16807, 7
+
+
+def _bloom_positions_col(key):
+    h1 = (key * _BLOOM_A1 + _BLOOM_C1) % _BLOOM_M
+    h2 = (key * _BLOOM_A2 + _BLOOM_C2) % _BLOOM_M
+    return F.array(*[((h1 + i * h2 + i * i) % _BLOOM_M) for i in range(_BLOOM_K)])
+
+
+def _bloom_positions_sql(key: str) -> str:
+    h1 = f"(({key} * {_BLOOM_A1} + {_BLOOM_C1}) % {_BLOOM_M})"
+    h2 = f"(({key} * {_BLOOM_A2} + {_BLOOM_C2}) % {_BLOOM_M})"
+    return (
+        "["
+        + ", ".join(f"({h1} + {i} * {h2} + {i * i}) % {_BLOOM_M}" for i in range(_BLOOM_K))
+        + "]"
+    )
+
+
+@_q(
+    "bloom_prune_join",
+    "WITH mem AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'), "
+    f"bits AS (SELECT DISTINCT unnest({_bloom_positions_sql('c_custkey')}) AS pos FROM mem), "
+    f"op AS (SELECT o_orderkey, o_orderpriority, o_custkey, "
+    f"  {_bloom_positions_sql('o_custkey')} AS ps FROM orders), "
+    "probe AS (SELECT o_orderkey, o_orderpriority, o_custkey, "
+    "  (SELECT count(*) FROM bits WHERE list_contains(ps, pos)) = "
+    f"  len(list_distinct(ps)) AS bloom_pass FROM op), "
+    "t AS (SELECT p.*, EXISTS (SELECT 1 FROM mem WHERE c_custkey = p.o_custkey) "
+    "  AS is_member FROM probe p) "
+    "SELECT o_orderpriority, count(*) AS n_orders, "
+    "count(*) FILTER (WHERE bloom_pass) AS n_pass, "
+    "count(*) FILTER (WHERE is_member) AS n_true, "
+    "count(*) FILTER (WHERE bloom_pass AND NOT is_member) AS n_false_pos "
+    "FROM t GROUP BY o_orderpriority",
+)
+def bloom_prune_join_q(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    mem = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bits = (
+        mem.select(F.explode(_bloom_positions_col(F.col("c_custkey"))).alias("pos"))
+        .distinct()
+        .agg(F.array_sort(F.collect_set("pos")).alias("bs"))
+    )
+    probe = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_custkey",
+        _bloom_positions_col(F.col("o_custkey")).alias("ps"),
+    ).crossJoin(F.broadcast(bits))
+    passed = probe.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_custkey",
+        F.forall("ps", lambda p: F.array_contains("bs", p)).alias("bloom_pass"),
+    )
+    t = passed.join(
+        F.broadcast(mem.withColumnRenamed("c_custkey", "o_custkey")).withColumn(
+            "is_member", F.lit(True)
+        ),
+        "o_custkey",
+        "left",
+    ).fillna({"is_member": False})
+    return t.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.count_if("bloom_pass").alias("n_pass"),
+        F.count_if("is_member").alias("n_true"),
+        F.count_if(F.col("bloom_pass") & ~F.col("is_member")).alias("n_false_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap-fill (r3 continuation): resample sparse per-user
+# purchase events to a DAILY grid between each user's first and last
+# purchase, carrying the last observation forward (LOCF). The grid is a
+# per-user sequence/explode (no cross join against a calendar dim), the
+# fill is one IGNORE-NULLS window — two shuffles total (per-user agg +
+# per-user window). Day values are max(value) per day (deterministic, no
+# tie-break divergence); is_gap marks filled rows.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "gapfill_daily",
+    "WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS v "
+    "  FROM events WHERE event_type = 'purchase' GROUP BY user_id, CAST(ts AS DATE)), "
+    "span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM p GROUP BY user_id), "
+    "grid AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) "
+    "  AS day FROM span), "
+    "j AS (SELECT g.user_id, g.day, p.v FROM grid g LEFT JOIN p "
+    "  ON g.user_id = p.user_id AND g.day = p.day) "
+    "SELECT user_id, day, "
+    "round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_filled, "
+    "v IS NULL AS is_gap FROM j",
+)
+def gapfill_daily_q(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.max("value").alias("v"))
+    )
+    span = p.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    j = grid.join(p, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.round(F.last("v", ignorenulls=True).over(w), 6).alias("value_filled"),
+        F.col("v").isNull().alias("is_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch-incremental ER (r3 continuation, operators/incremental_er.py):
+# split the corpus deterministically into a committed base (doc_id % 10
+# != 0) and an arriving batch (% 10 == 0); cluster the base, elect golden
+# records, then assign each batch doc to its best-scoring candidate
+# entity via blocking keys — WITHOUT re-clustering the base or re-reading
+# its raw text. The oracle replays the whole story in SQL: base ER chain
+# (recursive closure), golden election, key-join candidates, score,
+# best-of, threshold. Cost scales with the batch; the reference re-runs
+# its full matcher per upload (UploadService.run) and has no incremental
+# path at all.
+# ---------------------------------------------------------------------------
+
+
+def _keys_sql(src: str, out: str) -> str:
+    """pfx/srt blocking keys of a (doc_id, doc_text) CTE, mirroring
+    blocking.blocking_keys' defaults (2×4-char prefix, 3 sorted tokens)."""
+    return (
+        f"{out}_t AS (SELECT doc_id, string_split(doc_text, ' ') AS toks FROM {src}), "
+        f"{out} AS (SELECT doc_id, 'pfx' AS pass, "
+        f"'pfx:' || array_to_string(list_transform(toks[1:2], t -> t[1:4]), '_') AS block_key "
+        f"FROM {out}_t "
+        f"UNION ALL SELECT doc_id, 'srt', "
+        f"'srt:' || array_to_string(list_sort(list_distinct(toks))[1:3], '_') FROM {out}_t)"
+    )
+
+
+_INCR_SCORE_SQL = (
+    "round(0.4 * round(jaro_winkler_similarity(ta, tb), 6) "
+    "+ 0.2 * (CASE WHEN greatest(length(ta), length(tb)) = 0 THEN 1.0 "
+    "  ELSE 1.0 - CAST(levenshtein(ta, tb) AS DOUBLE) / greatest(length(ta), length(tb)) END) "
+    "+ 0.4 * (CASE WHEN len(list_distinct(string_split(ta,' ') || string_split(tb,' '))) = 0 THEN 1.0 "
+    "  ELSE CAST(len(list_intersect(list_distinct(string_split(ta,' ')), "
+    "       list_distinct(string_split(tb,' ')))) AS DOUBLE) "
+    "     / len(list_distinct(string_split(ta,' ') || string_split(tb,' '))) END), 6)"
+)
+
+
+def _incr_er_sql() -> str:
+    base_scored = (
+        "bt AS (SELECT p.doc_id_a, p.doc_id_b, a.doc_text AS ta, b.doc_text AS tb "
+        "  FROM bpairs p JOIN base a ON p.doc_id_a = a.doc_id "
+        "  JOIN base b ON p.doc_id_b = b.doc_id), "
+        "bedges AS MATERIALIZED (SELECT doc_id_a AS u, doc_id_b AS v FROM ("
+        "  SELECT doc_id_a, doc_id_b, "
+        "  round(jaro_winkler_similarity(ta, tb), 6) AS jw, "
+        "  CASE WHEN greatest(length(ta), length(tb)) = 0 THEN 1.0 "
+        "    ELSE 1.0 - CAST(levenshtein(ta, tb) AS DOUBLE) / greatest(length(ta), length(tb)) END AS lev_ratio, "
+        "  CASE WHEN len(list_distinct(string_split(ta,' ') || string_split(tb,' '))) = 0 THEN 1.0 "
+        "    ELSE CAST(len(list_intersect(list_distinct(string_split(ta,' ')), list_distinct(string_split(tb,' ')))) AS DOUBLE) "
+        "       / len(list_distinct(string_split(ta,' ') || string_split(tb,' '))) END AS tok_jaccard "
+        f"  FROM bt) WHERE {_ER_MATCH_COND})"
+    )
+    return (
+        f"WITH RECURSIVE {flatdocs.CANON_CTE}, "
+        "base AS MATERIALIZED (SELECT doc_id, doc_text FROM canon "
+        "  WHERE doc_id % 10 <> 0 AND doc_text <> ''), "
+        "newd AS MATERIALIZED (SELECT doc_id, doc_text FROM canon "
+        "  WHERE doc_id % 10 = 0 AND doc_text <> ''), "
+        + _keys_sql("base", "bkeys")
+        + ", bpairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
+        "FROM bkeys a JOIN bkeys b ON a.pass = b.pass AND a.block_key = b.block_key "
+        "WHERE a.doc_id < b.doc_id), "
+        + base_scored
+        + ", sym AS MATERIALIZED (SELECT u, v FROM bedges UNION SELECT v, u FROM bedges), "
+        "reach(a, b) AS (SELECT doc_id, doc_id FROM base "
+        "  UNION SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u), "
+        "clusters AS MATERIALIZED (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a), "
+        "ranked AS (SELECT cl.cluster_id, c.doc_text, row_number() OVER ("
+        "  PARTITION BY cl.cluster_id ORDER BY length(c.doc_text) DESC, c.doc_id) AS rn "
+        "  FROM clusters cl JOIN base c USING (doc_id)), "
+        "gold AS MATERIALIZED (SELECT cluster_id AS doc_id, doc_text FROM ranked WHERE rn = 1), "
+        + _keys_sql("gold", "gkeys")
+        + ", " + _keys_sql("newd", "nkeys")
+        + ", cand AS (SELECT DISTINCT n.doc_id, g.doc_id AS cluster_id "
+        "FROM nkeys n JOIN gkeys g ON n.pass = g.pass AND n.block_key = g.block_key), "
+        "ct AS (SELECT cand.doc_id, cand.cluster_id, n.doc_text AS ta, g.doc_text AS tb "
+        "  FROM cand JOIN newd n ON cand.doc_id = n.doc_id "
+        "  JOIN gold g ON cand.cluster_id = g.doc_id), "
+        f"cs AS (SELECT doc_id, cluster_id, {_INCR_SCORE_SQL} AS score FROM ct), "
+        "best AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "  ORDER BY score DESC, cluster_id) AS rn FROM cs) "
+        "SELECT n.doc_id, "
+        "CASE WHEN b.score >= 0.8 THEN b.cluster_id ELSE n.doc_id END AS assigned_cluster, "
+        "b.score AS best_score, coalesce(b.score >= 0.8, false) AS matched "
+        "FROM newd n LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.doc_id"
+    )
+
+
+@_q("er_incremental_match", _incr_er_sql())
+def er_incremental_match_q(spark, sf_dir):
+    from .operators.clustering import connected_components, golden_records
+    from .operators.incremental_er import incremental_match
+
+    def build():
+        canon = _canon(spark, sf_dir).where(F.col("doc_text") != "")
+        base = canon.where(F.col("doc_id") % 10 != 0).select("doc_id", "doc_text")
+        newd = canon.where(F.col("doc_id") % 10 == 0).select("doc_id", "doc_text")
+        from .operators.incremental_er import _text_keys
+
+        bkeys = _text_keys(base)
+        from .operators import blocking
+
+        salted = (
+            bkeys.withColumn("salt", F.lit(0))
+            .withColumn("n_salts", F.lit(1))
+            .withColumn("block_size", F.lit(None).cast("long"))
+        )
+        pairs = blocking.candidate_pairs(salted, cache=False)
+        a = base.select(F.col("doc_id").alias("doc_id_a"), F.col("doc_text").alias("ta"))
+        b = base.select(F.col("doc_id").alias("doc_id_b"), F.col("doc_text").alias("tb"))
+        t = pairs.join(a, "doc_id_a").join(b, "doc_id_b")
+        sa = F.array_distinct(F.split("ta", " "))
+        sb = F.array_distinct(F.split("tb", " "))
+        un = F.size(F.array_union(sa, sb))
+        tok_jac = F.when(un == 0, F.lit(1.0)).otherwise(
+            F.size(F.array_intersect(sa, sb)).cast("double") / un.cast("double")
+        )
+        score = (
+            0.4 * F.round(jaro_winkler(F.col("ta"), F.col("tb")), 6)
+            + 0.2 * levenshtein_ratio(F.col("ta"), F.col("tb"))
+            + 0.4 * tok_jac
+        )
+        edges = t.where(score >= 0.8).select("doc_id_a", "doc_id_b")
+        comp = connected_components(edges)
+        clusters = (
+            base.select("doc_id")
+            .join(comp, "doc_id", "left")
+            .select("doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"))
+        )
+        gold = golden_records(clusters, base).select(
+            "cluster_id", "rep_text"
+        )
+        return incremental_match(newd, gold).localCheckpoint(eager=True)
+
+    return _cached(spark, sf_dir, "er_incremental", build)
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL
