@@ -27,6 +27,7 @@ from .functions.similarity import (
 from .operators import clustering, pprl, search, sketches as SK
 from .operators.dedup import repeated_kgram_spans_sql, repeated_kgram_stats_sql
 from .sources import flatdocs
+from .sources.layout import zorder_key_sql as _zorder_key_sql
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -4479,6 +4480,140 @@ def er_incremental_match_q(spark, sf_dir):
         return incremental_match(newd, gold).localCheckpoint(eager=True)
 
     return _cached(spark, sf_dir, "er_incremental", build)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout pruning stats (r3 continuation, sources/layout.py): rank
+# orders along the Morton curve of (custkey bucket, date bucket), cut the
+# ranking into 64 equal "files", and report each file's min/max of both
+# dims plus whether a fixed 2D box predicate could skip it — side by side
+# with the same stats for a plain date-sorted layout. The z-order layout
+# prunes FAR more files for the 2D box (the whole point of multi-dim
+# clustering); both layouts and the verdicts are integer-exact, so the
+# twin certifies the interleave math bit-for-bit. The sf windows are
+# global (single partition, fine at test scale); write_zordered does the
+# real thing with repartitionByRange — no global sort at cluster scale.
+# ---------------------------------------------------------------------------
+
+_ZO_FILES = 64
+_ZO_BOX = (32, 63, 64, 95)  # x in [32,63], y in [64,95]
+
+
+def _zo_xy_sql() -> str:
+    return (
+        "SELECT o_orderkey, o_custkey % 256 AS x, "
+        "(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) // 10) % 256 AS y "
+        "FROM orders"
+    )
+
+
+@_q(
+    "zorder_prune_stats",
+    "WITH o AS (" + _zo_xy_sql() + "), "
+    "z AS (SELECT *, " + _zorder_key_sql("x", "y") + " AS zv FROM o), "
+    "r AS (SELECT *, row_number() OVER (ORDER BY zv, o_orderkey) - 1 AS rnz, "
+    "  row_number() OVER (ORDER BY y, x, o_orderkey) - 1 AS rnd, "
+    "  count(*) OVER () AS n FROM z), "
+    f"f AS (SELECT 'zorder' AS layout, CAST(rnz * {_ZO_FILES} // n AS INT) AS file_id, x, y FROM r "
+    f"  UNION ALL SELECT 'datesort', CAST(rnd * {_ZO_FILES} // n AS INT), x, y FROM r), "
+    "g AS (SELECT layout, file_id, min(x) AS min_x, max(x) AS max_x, "
+    "  min(y) AS min_y, max(y) AS max_y, count(*) AS n_rows FROM f GROUP BY layout, file_id) "
+    f"SELECT *, (min_x <= {_ZO_BOX[1]} AND max_x >= {_ZO_BOX[0]} "
+    f"AND min_y <= {_ZO_BOX[3]} AND max_y >= {_ZO_BOX[2]}) AS may_contain FROM g",
+)
+def zorder_prune_stats_q(spark, sf_dir):
+    from .sources.layout import zorder_key
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("x"),
+        (
+            F.floor(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+                )
+                / 10
+            )
+            % 256
+        ).alias("y"),
+    )
+    z = o.select("*", zorder_key(F.col("x"), F.col("y")).alias("zv"))
+    wz = Window.orderBy("zv", "o_orderkey")
+    wd = Window.orderBy("y", "x", "o_orderkey")
+    r = z.select(
+        "*",
+        (F.row_number().over(wz) - 1).alias("rnz"),
+        (F.row_number().over(wd) - 1).alias("rnd"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    f = r.select(
+        F.lit("zorder").alias("layout"),
+        ((F.col("rnz") * _ZO_FILES) / F.col("n")).cast("int").alias("file_id"),
+        "x",
+        "y",
+    ).unionAll(
+        r.select(
+            F.lit("datesort").alias("layout"),
+            ((F.col("rnd") * _ZO_FILES) / F.col("n")).cast("int").alias("file_id"),
+            "x",
+            "y",
+        )
+    )
+    g = f.groupBy("layout", "file_id").agg(
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+        F.count("*").alias("n_rows"),
+    )
+    x0, x1, y0, y1 = _ZO_BOX
+    return g.select(
+        "*",
+        (
+            (F.col("min_x") <= x1)
+            & (F.col("max_x") >= x0)
+            & (F.col("min_y") <= y1)
+            & (F.col("max_y") >= y0)
+        ).alias("may_contain"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (r3 continuation): purchases attributed to
+# same-user views in the preceding 2 hours, run as a REAL watermarked
+# stream-stream join (both sides are file streams; state bounded by the
+# watermarks). Inner join + append mode emits exactly the batch result
+# once the bounded streams drain — which is the twin: a plain SQL theta
+# join on the same condition. Lags in integer microseconds (exact).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "stream_stream_join",
+    "SELECT v.event_id AS view_id, p.event_id AS buy_id, v.user_id, "
+    "epoch_us(p.ts) - epoch_us(v.ts) AS lag_us "
+    "FROM events v JOIN events p ON v.user_id = p.user_id "
+    "AND v.event_type = 'view' AND p.event_type = 'purchase' "
+    "AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR",
+)
+def stream_stream_join_q(spark, sf_dir):
+    from .streaming.incremental import run_stream_to_memory, stream_stream_attribution
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _src():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    views = _src().where(F.col("event_type") == "view")
+    buys = _src().where(F.col("event_type") == "purchase")
+    j = stream_stream_attribution(views, buys, window="2 hours")
+    return run_stream_to_memory(
+        spark, j, "stream_stream_join_sink", output_mode="append"
+    )
 
 
 def _export(name: str):

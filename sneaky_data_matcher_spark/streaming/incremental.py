@@ -608,6 +608,49 @@ def cdc_stream_apply(
     return changes_stream.writeStream.outputMode("update").foreachBatch(fb).start()
 
 
+def stream_stream_attribution(
+    views: DataFrame, buys: DataFrame, window: str = "2 hours"
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: attribute each purchase to
+    every view by the same user in the preceding `window`.
+
+    Both sides carry event-time watermarks, so Spark bounds the join state
+    (a view is dropped from state once the buy-side watermark passes
+    view_ts + window; an unwatermarked stream-stream join would buffer
+    both streams forever). Inner join in append mode is batch-equivalent:
+    every qualifying pair is emitted exactly once — which is what the
+    DuckDB twin checks. Columns: (view_id, buy_id, user_id, lag_us).
+
+    Scale notes: state is keyed by user_id (the equality key), so the
+    shuffle is one exchange per side; the interval condition prunes
+    in-state, not post-join. Skewed users salt like any stream key.
+    """
+    # event-time columns must be TIMESTAMP (LTZ) — parquet NTZ is rejected
+    # by withWatermark; the cast is lossless and lag is tz-invariant
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").cast("timestamp").alias("view_ts"),
+    ).withWatermark("view_ts", window)
+    b = buys.select(
+        F.col("event_id").alias("buy_id"),
+        F.col("user_id").alias("b_user_id"),
+        F.col("ts").cast("timestamp").alias("buy_ts"),
+    ).withWatermark("buy_ts", window)
+    cond = (
+        (F.col("user_id") == F.col("b_user_id"))
+        & (F.col("buy_ts") > F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr(f"interval {window}"))
+    )
+    j = v.join(b, cond)
+    return j.select(
+        "view_id",
+        "buy_id",
+        "user_id",
+        (F.unix_micros("buy_ts") - F.unix_micros("view_ts")).alias("lag_us"),
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

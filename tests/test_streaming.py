@@ -492,3 +492,70 @@ def test_streaming_dedup_within_watermark(spark):
         assert got == list(range(20))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_stream_attribution_interval_bounds(spark):
+    """Crafted micro-streams: only purchases strictly after a view and
+    within the window attribute to it; boundary cases exact."""
+    rows_v = [
+        (1, "2024-01-01 10:00:00", 7, "view", 0.0, ""),
+    ]
+    rows_b = [
+        (10, "2024-01-01 10:00:00", 7, "purchase", 1.0, ""),  # same instant: excluded
+        (11, "2024-01-01 11:59:59", 7, "purchase", 1.0, ""),  # inside
+        (12, "2024-01-01 12:00:00", 7, "purchase", 1.0, ""),  # exactly +2h: included (<=)
+        (13, "2024-01-01 12:00:01", 7, "purchase", 1.0, ""),  # past window
+        (14, "2024-01-01 11:00:00", 8, "purchase", 1.0, ""),  # other user
+    ]
+    schema = "event_id long, ts string, user_id long, event_type string, value double, props string"
+    d = tempfile.mkdtemp()
+    try:
+        df = spark.createDataFrame(rows_v + rows_b, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        df.write.parquet(f"{d}/events.parquet")
+        # the crafted table is a DIRECTORY of part files (unlike the
+        # driver's single-file events.parquet), so stream the dir itself
+        src = lambda: spark.readStream.schema(
+            spark.read.parquet(f"{d}/events.parquet").schema
+        ).parquet(f"{d}/events.parquet")
+        j = S.stream_stream_attribution(
+            src().where(F.col("event_type") == "view"),
+            src().where(F.col("event_type") == "purchase"),
+            window="2 hours",
+        )
+        out = S.run_stream_to_memory(
+            spark, j, "ss_attr_test", output_mode="append"
+        ).collect()
+        got = {(r["view_id"], r["buy_id"]): r["lag_us"] for r in out}
+        assert set(got) == {(1, 11), (1, 12)}
+        assert got[(1, 12)] == 2 * 3600 * 1_000_000
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_stream_join_is_stateful_with_watermarks(spark, events_dir):
+    """The physical streaming plan must be a genuine stream-stream join
+    (StreamingSymmetricHashJoin) with watermarks on BOTH sides — not a
+    silently planned batch join."""
+    schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    src = lambda: spark.readStream.schema(schema).parquet(events_dir)
+    j = S.stream_stream_attribution(
+        src().where(F.col("event_type") == "view"),
+        src().where(F.col("event_type") == "purchase"),
+    )
+    q = (
+        j.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_plan_probe")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        plan = q.explain  # lastExecution after at least one batch
+        physical = q.lastProgress
+        assert physical is not None
+        ops = physical["stateOperators"]
+        assert any("symmetricHashJoin" in (o.get("operatorName") or "") for o in ops)
+    finally:
+        q.stop()
