@@ -4616,6 +4616,142 @@ def stream_stream_join_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Snapshot diff (r3 continuation, operators/cdc.py): audit a CDC apply by
+# row-diffing the before/after snapshots — added / deleted / changed /
+# unchanged per key. The changelog here extends cdc_apply_orders' with a
+# batch of INSERTS (fresh keys) so every status is exercised. One full
+# outer join; presence judged by marker columns, not nullable payload.
+# ---------------------------------------------------------------------------
+
+_SNAPDIFF_CH_CTE = (
+    "ch AS (SELECT o_orderkey, 'U' AS op, 1 AS seq, "
+    "  o_totalprice + 100 AS o_totalprice, o_orderstatus FROM orders "
+    "  WHERE o_orderkey % 3 = 0 "
+    "UNION ALL SELECT o_orderkey, "
+    "  CASE WHEN o_orderkey % 18 = 0 THEN 'D' ELSE 'U' END, 2, "
+    "  o_totalprice + 200, o_orderstatus FROM orders WHERE o_orderkey % 9 = 0 "
+    "UNION ALL SELECT o_orderkey + 10000000, 'U', 3, "
+    "  o_totalprice + 500, o_orderstatus FROM orders WHERE o_orderkey % 50 = 0), "
+    "w AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey "
+    "  ORDER BY seq DESC, op DESC) AS rn FROM ch), "
+    "win AS (SELECT * FROM w WHERE rn = 1)"
+)
+
+
+@_q(
+    "snapshot_diff",
+    f"WITH {_SNAPDIFF_CH_CTE}, "
+    "applied AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders "
+    "  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM win) "
+    "  UNION ALL SELECT o_orderkey, o_totalprice, o_orderstatus FROM win WHERE op <> 'D'), "
+    "o AS (SELECT o_orderkey, o_totalprice AS old_o_totalprice, "
+    "  o_orderstatus AS old_o_orderstatus, true AS in_old FROM orders), "
+    "n AS (SELECT o_orderkey, o_totalprice AS new_o_totalprice, "
+    "  o_orderstatus AS new_o_orderstatus, true AS in_new FROM applied) "
+    "SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey, "
+    "CASE WHEN in_old IS NULL THEN 'added' WHEN in_new IS NULL THEN 'deleted' "
+    "  WHEN old_o_totalprice IS NOT DISTINCT FROM new_o_totalprice "
+    "   AND old_o_orderstatus IS NOT DISTINCT FROM new_o_orderstatus THEN 'unchanged' "
+    "  ELSE 'changed' END AS status, "
+    "old_o_totalprice, new_o_totalprice, old_o_orderstatus, new_o_orderstatus "
+    "FROM o FULL OUTER JOIN n USING (o_orderkey)",
+)
+def snapshot_diff_q(spark, sf_dir):
+    from .operators.cdc import cdc_apply, snapshot_diff
+
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    c1 = base.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+        (F.col("o_totalprice") + 100).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    c2 = base.where(F.col("o_orderkey") % 9 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 18 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.lit(2).alias("seq"),
+        (F.col("o_totalprice") + 200).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    c3 = base.where(F.col("o_orderkey") % 50 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit("U").alias("op"),
+        F.lit(3).alias("seq"),
+        (F.col("o_totalprice") + 500).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    applied = cdc_apply(base, c1.unionByName(c2).unionByName(c3), key="o_orderkey")
+    return snapshot_diff(
+        base, applied, "o_orderkey", ["o_totalprice", "o_orderstatus"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Threshold-stability diff (r3 continuation): the ER analyst's question
+# "what breaks if I raise the match threshold to 0.85?" answered as data —
+# per 0.8-cluster, its member count and how many 0.85-subclusters it
+# shatters into (every 0.85 edge is also a 0.8 edge, so clusters only
+# split, never merge — n_subclusters >= 1, and the assertion is tested).
+# Spark runs connected components twice on filtered edge sets (the scored
+# frame is computed once, cached); the oracle runs two recursive
+# closures.
+# ---------------------------------------------------------------------------
+
+_ER_STRICT_COND = "0.4*jw + 0.2*lev_ratio + 0.4*tok_jaccard >= 0.85"
+
+
+@_q(
+    "er_threshold_stability",
+    f"WITH RECURSIVE {_ER_SCORED_CTE}, "
+    f"e1 AS MATERIALIZED (SELECT doc_id_a AS u, doc_id_b AS v FROM er_scored WHERE {_ER_MATCH_COND}), "
+    f"e2 AS MATERIALIZED (SELECT doc_id_a AS u, doc_id_b AS v FROM er_scored WHERE {_ER_STRICT_COND}), "
+    "s1 AS (SELECT u, v FROM e1 UNION SELECT v, u FROM e1), "
+    "s2 AS (SELECT u, v FROM e2 UNION SELECT v, u FROM e2), "
+    "r1(a, b) AS (SELECT doc_id, doc_id FROM canon WHERE doc_text <> '' "
+    "  UNION SELECT r.a, s.v FROM r1 r JOIN s1 s ON r.b = s.u), "
+    "r2(a, b) AS (SELECT doc_id, doc_id FROM canon WHERE doc_text <> '' "
+    "  UNION SELECT r.a, s.v FROM r2 r JOIN s2 s ON r.b = s.u), "
+    "c1 AS (SELECT a AS doc_id, min(b) AS cluster_lo FROM r1 GROUP BY a), "
+    "c2 AS (SELECT a AS doc_id, min(b) AS cluster_hi FROM r2 GROUP BY a) "
+    "SELECT cluster_lo, count(*) AS n_members, "
+    "count(DISTINCT cluster_hi) AS n_subclusters "
+    "FROM c1 JOIN c2 USING (doc_id) GROUP BY cluster_lo",
+)
+def er_threshold_stability_q(spark, sf_dir):
+    from .operators.clustering import connected_components
+
+    s = _er_scored_frame(spark, sf_dir)
+    score = (
+        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+    )
+    canon, _, _ = _er_frames(spark, sf_dir)
+    ids = canon.select("doc_id")
+
+    def clusters_at(cond, name):
+        edges = s.where(cond).select("doc_id_a", "doc_id_b")
+        comp = connected_components(edges)
+        return ids.join(comp, "doc_id", "left").select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias(name)
+        )
+
+    lo = clusters_at(score >= 0.8, "cluster_lo")
+    hi = clusters_at(score >= 0.85, "cluster_hi")
+    return (
+        lo.join(hi, "doc_id")
+        .groupBy("cluster_lo")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.countDistinct("cluster_hi").alias("n_subclusters"),
+        )
+    )
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL

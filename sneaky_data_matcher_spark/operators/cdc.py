@@ -66,3 +66,41 @@ def cdc_apply(
     keep = base.join(F.broadcast(win.select(key)), key, "left_anti")
     upserts = win.where(F.col("op") != "D").select(key, *payload)
     return keep.unionByName(upserts)
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, compare_cols: list[str]
+) -> DataFrame:
+    """Row-level diff of two table snapshots: (key, status, old/new values)
+    with status in {added, deleted, changed, unchanged}.
+
+    The audit primitive for any CDC/merge pipeline — after cdc_apply (or a
+    real Iceberg MERGE), diffing the snapshots proves the changelog did
+    exactly what it claimed, and diffing two time-travel reads explains a
+    regression. One full outer join on the key (single shuffle each side,
+    broadcast when one snapshot is an incremental slice); the struct
+    comparison is null-safe via eqNullSafe per column.
+    """
+    # dedicated presence markers: payload columns can be legitimately
+    # NULL, so "side missing" must not be judged from them
+    o = old.select(
+        key, *[F.col(c).alias(f"old_{c}") for c in compare_cols]
+    ).withColumn("_in_old", F.lit(True))
+    n = new.select(
+        key, *[F.col(c).alias(f"new_{c}") for c in compare_cols]
+    ).withColumn("_in_new", F.lit(True))
+    j = o.join(n, key, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("deleted"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(key, status.alias("status"), *[
+        c for pair in (
+            (f"old_{cc}", f"new_{cc}") for cc in compare_cols
+        ) for c in pair
+    ])

@@ -108,3 +108,44 @@ def test_streaming_cdc_equals_one_shot(spark, tmp_path):
         (r["k"], r["name"], r["v"]) for r in cdc_apply(base0, all_changes, "k").collect()
     )
     assert got == want == [(1, "a2", 1.5), (2, "b3", 9.0), (3, "c2", 3.5)]
+
+
+def test_snapshot_diff_all_statuses(spark):
+    from sneaky_data_matcher_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, None, "C"), (4, 40.0, "D")],
+        "k long, price double, st string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 25.0, "B"), (3, None, "C"), (5, 50.0, "E")],
+        "k long, price double, st string",
+    )
+    got = {
+        r["k"]: r
+        for r in snapshot_diff(old, new, "k", ["price", "st"]).collect()
+    }
+    assert got[1]["status"] == "unchanged"
+    assert got[2]["status"] == "changed" and got[2]["new_price"] == 25.0
+    # NULL payload on both sides compares equal (eqNullSafe), not "changed"
+    assert got[3]["status"] == "unchanged"
+    assert got[4]["status"] == "deleted" and got[4]["new_price"] is None
+    assert got[5]["status"] == "added" and got[5]["old_price"] is None
+
+
+def test_snapshot_diff_audits_cdc_apply(spark):
+    """Applying a changelog then diffing must report exactly the keys the
+    changelog touched."""
+    from sneaky_data_matcher_spark.operators.cdc import cdc_apply, snapshot_diff
+
+    base = spark.createDataFrame(
+        [(i, float(i), "X") for i in range(100)], "k long, v double, st string"
+    )
+    ch = spark.createDataFrame(
+        [(7, "U", 1, 700.0, "X"), (8, "D", 1, 0.0, "X"), (200, "U", 1, 1.0, "X")],
+        "k long, op string, seq int, v double, st string",
+    )
+    new = cdc_apply(base, ch, key="k")
+    got = {r["k"]: r["status"] for r in snapshot_diff(base, new, "k", ["v", "st"]).collect()}
+    assert got[7] == "changed" and got[8] == "deleted" and got[200] == "added"
+    assert sum(1 for s in got.values() if s != "unchanged") == 3

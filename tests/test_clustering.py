@@ -143,3 +143,18 @@ def test_golden_records_string_ids_match_numeric_path(spark):
         ).collect()
     )
     assert got == num
+
+
+def test_threshold_stability_clusters_only_split(spark):
+    """Raising the threshold removes edges, so 0.8-clusters can only
+    shatter: every 0.85-cluster sits wholly inside one 0.8-cluster, and
+    member counts add up."""
+    from sneaky_data_matcher_spark.entry_queries import QUERIES
+
+    rows = QUERIES["er_threshold_stability"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_subclusters"] <= r["n_members"]
+    assert any(r["n_subclusters"] > 1 for r in rows) or all(
+        r["n_members"] == r["n_subclusters"] for r in rows
+    )
