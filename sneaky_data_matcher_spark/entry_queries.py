@@ -4752,6 +4752,126 @@ def er_threshold_stability_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# HLL mergeability (r3 continuation, operators/sketches.py): per-language
+# register sets, each language's estimate, PLUS the merged 'zh+es'
+# estimate from cell-wise max of the two register sets — demonstrating
+# the property that makes HLL the distributed sketch (merged registers ==
+# registers of the union, exactly). true_distinct per label certifies the
+# relation end-to-end; every register and both estimates are
+# hash-checked.
+# ---------------------------------------------------------------------------
+
+_HLL_MERGE_LANGS = ("zh", "es")
+
+
+@_q(
+    "hll_merge_langs",
+    "WITH " + SK.hll_grouped_sql("lang")
+    + ", regs AS (SELECT \"group\" AS label, bucket, reg FROM hllg "
+    "  UNION ALL SELECT "
+    f"  '{_HLL_MERGE_LANGS[0]}+{_HLL_MERGE_LANGS[1]}', bucket, max(reg) FROM hllg "
+    f"  WHERE \"group\" IN ('{_HLL_MERGE_LANGS[0]}', '{_HLL_MERGE_LANGS[1]}') "
+    "  GROUP BY bucket), "
+    "est AS (" + SK.HLL_EST_SQL + "), "
+    "gtok2 AS (SELECT lang, unnest(list_filter(string_split_regex(lower(text), "
+    "  '\\s+'), x -> x <> '')) AS t FROM documents), "
+    "tru AS (SELECT lang AS label, count(DISTINCT t) AS true_distinct FROM gtok2 GROUP BY lang "
+    f"  UNION ALL SELECT '{_HLL_MERGE_LANGS[0]}+{_HLL_MERGE_LANGS[1]}', count(DISTINCT t) "
+    f"  FROM gtok2 WHERE lang IN ('{_HLL_MERGE_LANGS[0]}', '{_HLL_MERGE_LANGS[1]}') "
+    ") SELECT label, nonzero_regs, est, true_distinct FROM est JOIN tru USING (label)",
+)
+def hll_merge_langs_q(spark, sf_dir):
+    from .operators import sketches
+
+    d = _docs(spark, sf_dir)
+    by = sketches.hll_registers_by(d, "lang").localCheckpoint(eager=True)
+    merged = sketches.hll_merge(by, list(_HLL_MERGE_LANGS)).select(
+        F.lit("+".join(_HLL_MERGE_LANGS)).alias("group"), "bucket", "reg"
+    )
+    regs = by.unionByName(merged)
+    est = sketches.hll_estimate_grouped(regs).withColumnRenamed("group", "label")
+    tok = d.select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("t"),
+    )
+    tru = tok.groupBy(F.col("lang").alias("label")).agg(
+        F.count_distinct("t").alias("true_distinct")
+    )
+    tru_merged = (
+        tok.where(F.col("lang").isin(list(_HLL_MERGE_LANGS)))
+        .agg(F.count_distinct("t").alias("true_distinct"))
+        .select(F.lit("+".join(_HLL_MERGE_LANGS)).alias("label"), "true_distinct")
+    )
+    return est.join(tru.unionByName(tru_merged), "label")
+
+
+# CMS join-cardinality estimate (r3 continuation): size the
+# orders ⋈ BUILDING-customers join from two tiny sketches without
+# touching either table again — the planner-statistics use of count-min.
+# The estimate is deterministic (hash-certified); its distance from
+# true_n is the documented collision bound, also reported.
+@_q(
+    "cms_join_cardinality",
+    "WITH " + SK.cms_keys_sql("orders", "o_custkey", "ska") + ", "
+    + SK.cms_keys_sql(
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')",
+        "c_custkey",
+        "skb",
+    )
+    + ", ip AS (SELECT a.r, sum(a.cnt * b.cnt) AS ip FROM ska a "
+    "JOIN skb b ON a.r = b.r AND a.col = b.col GROUP BY a.r), "
+    "est AS (SELECT CAST(4 AS INT) AS d, CAST(1024 AS INT) AS w, min(ip) AS est FROM ip), "
+    "tru AS (SELECT count(*) AS true_n FROM orders o JOIN customer c "
+    "  ON o.o_custkey = c.c_custkey WHERE c.c_mktsegment = 'BUILDING') "
+    "SELECT d, w, est, true_n FROM est, tru",
+)
+def cms_join_cardinality_q(spark, sf_dir):
+    from .operators import sketches
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    ska = sketches.cms_build_keys(o, "o_custkey")
+    skb = sketches.cms_build_keys(c, "c_custkey")
+    est = sketches.cms_join_estimate(ska, skb)
+    tru = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .agg(F.count("*").alias("true_n"))
+    )
+    return est.crossJoin(F.broadcast(tru))
+
+
+# Suffix-array blocking census (r3 continuation, operators/blocking.py):
+# every >=4-char suffix of the leading canonical token is a key; blocks
+# over the frequency cap are dropped. Catches prefix typos the pfx pass
+# misses ('jonathan'/'johnathan' share 'nathan'). Output: surviving
+# multi-doc blocks with sizes.
+@_q(
+    "suffix_blocks",
+    f"WITH {flatdocs.CANON_CTE}, "
+    "t AS (SELECT doc_id, string_split(doc_text, ' ')[1] AS t FROM canon "
+    "  WHERE length(string_split(doc_text, ' ')[1]) >= 4), "
+    "k AS (SELECT DISTINCT doc_id, unnest(list_transform("
+    "  range(1, length(t) - 4 + 2), i -> t[CAST(i AS INT):])) AS block_key FROM t), "
+    "census AS (SELECT block_key, count(*) AS n_docs FROM k GROUP BY block_key) "
+    "SELECT block_key, n_docs FROM census WHERE n_docs BETWEEN 2 AND 50",
+)
+def suffix_blocks_q(spark, sf_dir):
+    from .operators.blocking import suffix_blocking_keys
+
+    canon, _, _ = _er_frames(spark, sf_dir)
+    keyed = suffix_blocking_keys(canon, min_len=4, max_block=50)
+    return (
+        keyed.groupBy("block_key")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL

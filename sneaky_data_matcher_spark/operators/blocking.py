@@ -298,3 +298,39 @@ def candidate_pairs_with_payload(
         F.first(f"{p}_{s}").alias(f"{p}_{s}") for p in payload_cols for s in ("a", "b")
     ]
     return raw.groupBy("doc_id_a", "doc_id_b").agg(*firsts)
+
+
+def suffix_blocking_keys(
+    canon: DataFrame, min_len: int = 4, max_block: int = 50
+) -> DataFrame:
+    """Suffix-array blocking (Aizawa & Oyama '05): every suffix of the
+    leading token with length >= ``min_len`` is a block key, and keys
+    matching more than ``max_block`` docs are dropped (the frequency cap
+    that keeps suffix blocking sub-quadratic). Catches prefix typos that
+    the pfx pass misses ('jonathan' vs 'johnathan' share 'nathan').
+
+    -> (doc_id, block_key) for surviving keys. One explode + one census
+    groupBy + one semi join; suffix count per doc is bounded by token
+    length, so the explode is O(len) per row — no skew beyond the key
+    census, which the cap removes.
+    """
+    tok = F.split(F.col("doc_text"), " ")[0]
+    # per-row varying substring start needs the SQL expr form (the
+    # functions.substring API takes a literal start)
+    keyed = (
+        canon.select("doc_id", tok.alias("t"))
+        .where(F.length("t") >= min_len)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(t) - {min_len} + 1), "
+                    "i -> substring(t, i))"
+                )
+            ).alias("block_key"),
+        )
+        .distinct()
+    )
+    census = keyed.groupBy("block_key").agg(F.count("*").alias("n_docs"))
+    keep = census.where(F.col("n_docs") <= max_block).select("block_key")
+    return keyed.join(keep, "block_key", "left_semi")

@@ -216,3 +216,153 @@ def hll_sql(docs_rel: str = "documents") -> str:
         "htru AS (SELECT count(DISTINCT t) AS true_distinct FROM htok), "
         "hll_out AS (SELECT m, nonzero_regs, est, true_distinct FROM hest, htru)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped HLL + register merge (r3 continuation): the property that makes
+# HLL the distributed distinct-count sketch is MERGEABILITY — registers
+# of two partitions/groups combine by cell-wise max, and the merged
+# sketch is IDENTICAL to the sketch of the union (not merely close). The
+# grouped builder is one groupBy((group, bucket)); a merge is a groupBy
+# (bucket) max over the chosen groups. Both are partial-aggregate
+# friendly: at 100 TB per-partition registers combine map-side and only
+# m rows per group ever shuffle.
+# ---------------------------------------------------------------------------
+
+
+def hll_registers_by(
+    docs: DataFrame, group_col: str, text_col: str = "text"
+) -> DataFrame:
+    """-> (group, bucket, reg): per-group HLL registers."""
+    tok = docs.select(
+        F.col(group_col).alias("group"),
+        F.explode(_tokens(F.col(text_col))).alias("t"),
+    ).select(
+        "group",
+        _hll_mix(
+            _horner_hash(F.col("t"), SIMHASH_B1),
+            _horner_hash(F.col("t"), SIMHASH_B2),
+        ).alias("h"),
+    )
+    w = F.expr(f"h div {HLL_M}")
+    rank = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        _HLL_WBITS - F.length(F.bin(w)) + 1
+    )
+    return (
+        tok.select(
+            "group", (F.col("h") % HLL_M).cast("int").alias("bucket"), rank.alias("rk")
+        )
+        .groupBy("group", "bucket")
+        .agg(F.max("rk").alias("reg"))
+    )
+
+
+def hll_merge(registers_by: DataFrame, groups: list[str]) -> DataFrame:
+    """Cell-wise max of the chosen groups' registers -> (bucket, reg),
+    the exact register set of the groups' UNION."""
+    return (
+        registers_by.where(F.col("group").isin(groups))
+        .groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+
+
+def hll_estimate_grouped(registers_by: DataFrame) -> DataFrame:
+    """Per-group HLL estimate -> (group, nonzero_regs, est)."""
+    agg = registers_by.groupBy("group").agg(
+        F.count("*").alias("nonzero"),
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s_nz"),
+    )
+    raw = HLL_ALPHA * HLL_M * HLL_M / (F.col("s_nz") + (HLL_M - F.col("nonzero")))
+    est = F.round(
+        F.when(
+            (raw <= 2.5 * HLL_M) & (F.col("nonzero") < HLL_M),
+            HLL_M * F.log(F.lit(HLL_M) / (HLL_M - F.col("nonzero"))),
+        ).otherwise(raw),
+        6,
+    )
+    return agg.select(
+        "group",
+        F.col("nonzero").cast("long").alias("nonzero_regs"),
+        est.alias("est"),
+    )
+
+
+def hll_grouped_sql(group_col: str = "lang", docs_rel: str = "documents") -> str:
+    """CTE chain ending in ``hllg(group, bucket, reg)`` — the per-group
+    register twin of :func:`hll_registers_by`."""
+    h1 = _horner_sql("t", SIMHASH_B1)
+    h2 = _horner_sql("t", SIMHASH_B2)
+    return (
+        f"gtok AS (SELECT {group_col} AS grp, unnest(list_filter("
+        f"string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t FROM {docs_rel}), "
+        f"gz0 AS (SELECT grp, (({h1} * 48271 + {h2}) % {SIMHASH_M}) AS z FROM gtok), "
+        f"gz1 AS (SELECT grp, (xor(z, z >> 16) * 69621) % {SIMHASH_M} AS z FROM gz0), "
+        f"ghh AS (SELECT grp, (xor(z, z >> 13) * 40503) % {SIMHASH_M} AS h FROM gz1), "
+        f"ghr AS (SELECT grp, CAST(h % {HLL_M} AS INT) AS bucket, "
+        f"  CASE WHEN h // {HLL_M} = 0 THEN {_HLL_WBITS + 1} "
+        f"  ELSE {_HLL_WBITS} - length(bin(h // {HLL_M})) + 1 END AS rk FROM ghh), "
+        "hllg AS MATERIALIZED (SELECT grp AS \"group\", bucket, max(rk) AS reg "
+        "FROM ghr GROUP BY grp, bucket)"
+    )
+
+
+HLL_EST_SQL = (
+    # estimator over a (label, bucket, reg) relation named `regs`
+    "SELECT label, CAST(count(*) AS BIGINT) AS nonzero_regs, "
+    f"round(CASE WHEN ({HLL_ALPHA} * {HLL_M} * {HLL_M} / "
+    f"(sum(power(2.0, -reg)) + ({HLL_M} - count(*)))) <= 2.5 * {HLL_M} "
+    f"AND count(*) < {HLL_M} "
+    f"THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - count(*))) "
+    f"ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M} / "
+    f"(sum(power(2.0, -reg)) + ({HLL_M} - count(*)))) END, 6) AS est "
+    "FROM regs GROUP BY label"
+)
+
+
+# ---------------------------------------------------------------------------
+# CMS inner product = join-cardinality estimate (r3 continuation):
+# |A ⋈_k B| = Σ_x f_A(x)·f_B(x), and the count-min row inner product
+# Σ_col A_r[col]·B_r[col] upper-bounds it (collisions only ADD), so
+# min over rows is the classic sketch estimate (Cormode & Muthukrishnan
+# §4.2) — what a query planner uses to size a join without scanning
+# either side. Deterministic here (portable Horner hashes), so the DuckDB
+# twin reproduces the estimate EXACTLY, while its relation to the true
+# cardinality stays the documented ±ΣfA·ΣfB/w bound.
+# ---------------------------------------------------------------------------
+
+
+def cms_build_keys(df: DataFrame, key_col) -> DataFrame:
+    """CMS over an arbitrary key expression (cast to string, hashed with
+    the shared portable Horner pair) -> (r, col, cnt)."""
+    k = F.col(key_col).cast("string") if isinstance(key_col, str) else key_col
+    cell = df.select(F.explode(_cols_for(k)).alias("c"))
+    return cell.groupBy(F.col("c.r").alias("r"), F.col("c.col").alias("col")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def cms_join_estimate(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
+    """min over rows of the per-row sketch inner product -> one row
+    (d, w, est). Joins two d×w sketches — O(d·w) work, never the data."""
+    j = sk_a.join(
+        sk_b.withColumnRenamed("cnt", "cnt_b"), ["r", "col"]
+    ).groupBy("r").agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("ip"))
+    return j.agg(
+        F.lit(CMS_D).alias("d"),
+        F.lit(CMS_W).alias("w"),
+        F.min("ip").alias("est"),
+    )
+
+
+def cms_keys_sql(rel: str, key: str, out: str) -> str:
+    """CTE: CMS of ``CAST(key AS VARCHAR)`` over relation ``rel``."""
+    h1 = _horner_sql("t", SIMHASH_B1)
+    h2 = _horner_sql("t", SIMHASH_B2)
+    return (
+        f"{out}_t AS (SELECT CAST({key} AS VARCHAR) AS t FROM {rel}), "
+        f"{out}_h AS (SELECT {h1} AS h1, {h2} AS h2 FROM {out}_t), "
+        f"{out} AS MATERIALIZED (SELECT r, CAST((h1 + r * h2 + r * r) % {CMS_W} AS INT) AS col, "
+        f"count(*) AS cnt FROM {out}_h, (SELECT unnest(range(0, {CMS_D})) AS r) "
+        "GROUP BY 1, 2)"
+    )

@@ -67,3 +67,36 @@ def test_salting_bounds_block_pair_work(spark, synth_corpus):
     assert worst <= int(cap * 1.5), worst
     # and salting must only ever split blocks, never lose a doc-key
     assert salted.count() == keys.count()
+
+
+def test_suffix_blocking_catches_prefix_typos(spark):
+    from sneaky_data_matcher_spark.operators.blocking import suffix_blocking_keys
+
+    canon = spark.createDataFrame(
+        [
+            (1, "jonathan smith"),
+            (2, "johnathan smith"),
+            (3, "xyz other"),
+        ],
+        "doc_id long, doc_text string",
+    )
+    keyed = suffix_blocking_keys(canon, min_len=4, max_block=50)
+    by_key: dict[str, set] = {}
+    for r in keyed.collect():
+        by_key.setdefault(r["block_key"], set()).add(r["doc_id"])
+    # prefix passes miss this pair; the shared suffix blocks them together
+    assert by_key.get("nathan") == {1, 2}
+    assert all(len(v) <= 50 for v in by_key.values())
+
+
+def test_suffix_blocking_frequency_cap(spark):
+    from sneaky_data_matcher_spark.operators.blocking import suffix_blocking_keys
+
+    canon = spark.createDataFrame(
+        [(i, "aaaa common") for i in range(60)] + [(100, "bbbb x"), (101, "bbbb y")],
+        "doc_id long, doc_text string",
+    )
+    keyed = suffix_blocking_keys(canon, min_len=4, max_block=50)
+    keys = {r["block_key"] for r in keyed.collect()}
+    assert "aaaa" not in keys  # 60 docs > cap
+    assert "bbbb" in keys

@@ -86,3 +86,39 @@ def test_hll_reasonable_and_merge(spark):
 def test_hll_small_range_linear_counting(spark):
     est = SK.hll_estimate(SK.hll_registers(_docs(spark, ["a b c"]))).collect()[0]
     assert 2.5 <= est["est"] <= 3.5  # linear counting is near-exact here
+
+
+def test_hll_merge_equals_union_registers(spark):
+    """Merged registers must be IDENTICAL to registers built on the union
+    — HLL's defining property, not an approximation."""
+    from sneaky_data_matcher_spark.operators import sketches as SK
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    by = SK.hll_registers_by(d, "lang")
+    merged = {
+        (r["bucket"]): r["reg"]
+        for r in SK.hll_merge(by, ["zh", "es"]).collect()
+    }
+    union = {
+        (r["bucket"]): r["reg"]
+        for r in SK.hll_registers(
+            d.where(F.col("lang").isin(["zh", "es"]))
+        ).collect()
+    }
+    assert merged == union
+
+
+def test_cms_join_estimate_upper_bounds_truth(spark):
+    """Sketch inner product only ever overestimates (collisions add)."""
+    from sneaky_data_matcher_spark.operators import sketches as SK
+
+    a = spark.createDataFrame([(i % 7,) for i in range(100)], "k long")
+    b = spark.createDataFrame([(i % 5,) for i in range(40)], "k long")
+    est = SK.cms_join_estimate(
+        SK.cms_build_keys(a, "k"), SK.cms_build_keys(b, "k")
+    ).first()["est"]
+    true_n = a.join(b, "k").count()
+    assert est >= true_n
+    # with only 7 and 5 distinct keys in 1024 columns, collisions are
+    # essentially impossible: the estimate should be exact here
+    assert est == true_n
