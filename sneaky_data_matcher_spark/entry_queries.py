@@ -4872,6 +4872,72 @@ def suffix_blocks_q(spark, sf_dir):
     )
 
 
+# Field-level survivorship (r3 continuation, clustering.golden_fields):
+# the golden record composed per ATTRIBUTE — longest text, modal lang
+# (tie -> smallest), highest-priority source (lowest numeric suffix) —
+# where er_golden_records picks one whole member row.
+@_q(
+    "er_golden_fields",
+    f"WITH RECURSIVE {_ER_CLUSTERS_CTE}, "
+    "j AS (SELECT cl.cluster_id, c.doc_id, c.doc_text, c.lang, c.source "
+    "  FROM clusters cl JOIN canon c USING (doc_id)), "
+    "r1 AS (SELECT cluster_id, doc_text, count(*) OVER (PARTITION BY cluster_id) AS n_members, "
+    "  row_number() OVER (PARTITION BY cluster_id "
+    "  ORDER BY length(doc_text) DESC, doc_id) AS rn FROM j), "
+    "r2 AS (SELECT cluster_id, source, row_number() OVER (PARTITION BY cluster_id "
+    "  ORDER BY CAST(source[4:] AS INT), source) AS rn FROM j), "
+    "lc AS (SELECT cluster_id, lang, count(*) AS n FROM j GROUP BY cluster_id, lang), "
+    "r3 AS (SELECT cluster_id, lang, row_number() OVER (PARTITION BY cluster_id "
+    "  ORDER BY n DESC, lang) AS rn FROM lc) "
+    "SELECT r1.cluster_id, CAST(r1.n_members AS BIGINT) AS n_members, "
+    "r1.doc_text AS rep_text, r3.lang AS modal_lang, r2.source AS best_source "
+    "FROM r1 JOIN r2 ON r1.cluster_id = r2.cluster_id AND r2.rn = 1 "
+    "JOIN r3 ON r1.cluster_id = r3.cluster_id AND r3.rn = 1 WHERE r1.rn = 1",
+)
+def er_golden_fields_q(spark, sf_dir):
+    from .operators.clustering import golden_fields
+
+    canon, _, _ = _er_frames(spark, sf_dir)
+    clusters = er_clusters(spark, sf_dir)
+    docs = canon.select("doc_id", "doc_text", "lang", "source")
+    return golden_fields(clusters, docs)
+
+
+# Accent folding (r3 continuation, functions/canonicalize.py): the corpus
+# is ASCII, so the query ACCENTS it first (translate with a per-doc-id
+# vowel mapping, shared verbatim with the twin), folds it back, and
+# proves the round trip — both directions certified on both engines.
+_ACC_VARIANTS = ["àéîõü", "áèïôū", "âëìöù"]
+
+
+@_q(
+    "accent_fold",
+    "SELECT doc_id, accented, "
+    + C.fold_accents_sql("accented") + " AS folded, "
+    + C.fold_accents_sql("accented") + " = text AS roundtrip "
+    "FROM (SELECT doc_id, text, CASE doc_id % 3 "
+    + " ".join(
+        f"WHEN {i} THEN translate(text, 'aeiou', '{v}')"
+        for i, v in enumerate(_ACC_VARIANTS)
+    )
+    + " END AS accented FROM documents)",
+)
+def accent_fold_q(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    acc = F
+    for i, v in enumerate(_ACC_VARIANTS):
+        cond = (F.col("doc_id") % 3 == i, F.translate("text", "aeiou", v))
+        acc = F.when(*cond) if i == 0 else acc.when(*cond)
+    a = d.select("doc_id", "text", acc.alias("accented"))
+    folded = C.fold_accents(F.col("accented"))
+    return a.select(
+        "doc_id",
+        "accented",
+        folded.alias("folded"),
+        (folded == F.col("text")).alias("roundtrip"),
+    )
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL

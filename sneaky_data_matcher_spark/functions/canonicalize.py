@@ -179,3 +179,35 @@ def email_is_valid_sql(expr: str) -> str:
         f" AND CASE WHEN prefix({dom}, '[') THEN regexp_matches({dom}, '{ip_p}')"
         f" ELSE length({dom}) <= 253 AND regexp_matches({dom}, '{dom_p}') END)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Accent folding (r3 continuation): 1:1 code-point diacritic removal via
+# translate() — the same builtin with the same mapping string on Spark
+# and DuckDB, so folding is engine-portable by construction (unlike
+# DuckDB's strip_accents, which Spark lacks). Deliberately NOT full
+# Unicode NFKD: multi-char expansions (ß->ss, æ->ae) can't be 1:1
+# translate mappings and are left to a future normalizer; the mapping
+# covers the Latin-1/Latin-Extended-A diacritics that dominate European
+# name matching.
+# ---------------------------------------------------------------------------
+
+ACCENT_SRC = (
+    "àáâãäåāăèéêëēĕìíîïīĭòóôõöōŏùúûüūŭçćčñńňýÿžšŕłđ"
+    "ÀÁÂÃÄÅĀĂÈÉÊËĒĔÌÍÎÏĪĬÒÓÔÕÖŌŎÙÚÛÜŪŬÇĆČÑŃŇÝŸŽŠŔŁĐ"
+)
+ACCENT_DST = (
+    "aaaaaaaaeeeeeeiiiiiiooooooouuuuuucccnnnyyzsrld"
+    "AAAAAAAAEEEEEEIIIIIIOOOOOOOUUUUUUCCCNNNYYZSRLD"
+)
+assert len(ACCENT_SRC) == len(ACCENT_DST)
+
+
+def fold_accents(col: Column) -> Column:
+    """Diacritic-folded text (1:1 translate, shared mapping)."""
+    return F.translate(col, ACCENT_SRC, ACCENT_DST)
+
+
+def fold_accents_sql(expr: str) -> str:
+    """DuckDB twin of :func:`fold_accents` — identical mapping string."""
+    return f"translate({expr}, '{ACCENT_SRC}', '{ACCENT_DST}')"

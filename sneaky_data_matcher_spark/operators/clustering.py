@@ -291,3 +291,51 @@ def golden_records(
             "n_members",
         )
     )
+
+
+def golden_fields(clusters: DataFrame, docs: DataFrame) -> DataFrame:
+    """Field-level survivorship: compose the golden record from DIFFERENT
+    members per attribute, each by its own rule — longest text for the
+    representative, modal language (ties -> lexicographically smallest),
+    highest-priority source (lowest numeric suffix). golden_records picks
+    ONE member; real MDM picks per FIELD.
+
+    One groupBy per rule, all max/min(struct) aggregations (map-side
+    combinable — no windows, so a 100-million-member cluster still
+    partial-aggregates before the shuffle); the modal-language rule needs
+    a pre-count, so it is its own two-stage aggregation.
+    """
+    j = clusters.join(docs, "doc_id")
+    rep = j.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.max(
+            F.struct(
+                F.length("doc_text").alias("l"),
+                (-F.col("doc_id")).alias("nid"),
+                F.col("doc_text").alias("t"),
+            )
+        ).alias("r"),
+        F.min(
+            F.struct(
+                F.substring("source", 4, 10).cast("int").alias("pri"),
+                F.col("source").alias("s"),
+            )
+        ).alias("src"),
+    )
+    lang_counts = j.groupBy("cluster_id", "lang").agg(F.count("*").alias("n"))
+    modal = (
+        lang_counts.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("n")).alias("nn"), F.col("lang").alias("lg"))
+            ).alias("m")
+        )
+        .select("cluster_id", F.col("m.lg").alias("modal_lang"))
+    )
+    return rep.join(modal, "cluster_id").select(
+        "cluster_id",
+        "n_members",
+        F.col("r.t").alias("rep_text"),
+        "modal_lang",
+        F.col("src.s").alias("best_source"),
+    )

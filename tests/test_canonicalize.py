@@ -190,3 +190,41 @@ def test_query_parser_oracle():
         O.parse_search_query("no-colon")
     with pytest.raises(ValueError):
         O.parse_search_query(" :x")
+
+
+def test_accent_fold_covers_all_mapped_chars(spark):
+    from sneaky_data_matcher_spark.functions.canonicalize import (
+        ACCENT_DST,
+        ACCENT_SRC,
+        fold_accents,
+    )
+
+    df = spark.createDataFrame([(ACCENT_SRC,)], "s string").select(
+        fold_accents(F.col("s")).alias("f")
+    )
+    assert df.first()["f"] == ACCENT_DST
+    # idempotent and ASCII-stable
+    plain = spark.createDataFrame([("Jose Munoz 123 #!",)], "s string").select(
+        fold_accents(F.col("s")).alias("f")
+    )
+    assert plain.first()["f"] == "Jose Munoz 123 #!"
+
+
+def test_accent_fold_matches_duckdb_strip_accents_on_names(spark):
+    """On real-world-ish names the 1:1 mapping agrees with DuckDB's
+    ICU-backed strip_accents (our twin never uses strip_accents — this is
+    an independent sanity cross-check)."""
+    import duckdb
+
+    from sneaky_data_matcher_spark.functions.canonicalize import fold_accents
+
+    names = ["José Muñoz", "François Lefèvre", "Jürgen Krüger", "Šárka Nováková",
+             "Björn Åström", "Renée Côté"]
+    df = spark.createDataFrame([(n,) for n in names], "s string").select(
+        "s", fold_accents(F.col("s")).alias("f")
+    )
+    got = {r["s"]: r["f"] for r in df.collect()}
+    con = duckdb.connect()
+    for n in names:
+        want = con.sql("SELECT strip_accents(?)", params=[n]).fetchone()[0]
+        assert got[n] == want, (n, got[n], want)

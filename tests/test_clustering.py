@@ -158,3 +158,39 @@ def test_threshold_stability_clusters_only_split(spark):
     assert any(r["n_subclusters"] > 1 for r in rows) or all(
         r["n_members"] == r["n_subclusters"] for r in rows
     )
+
+
+def test_golden_fields_per_attribute_rules(spark):
+    from sneaky_data_matcher_spark.operators.clustering import golden_fields
+
+    clusters = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 200)], "doc_id long, cluster_id long"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "short", "de", "src9"),
+            (2, "the longest text here", "en", "src12"),
+            (3, "medium text", "en", "src3"),
+            (4, "solo", "fr", "src0"),
+        ],
+        "doc_id long, doc_text string, lang string, source string",
+    )
+    got = {r["cluster_id"]: r for r in golden_fields(clusters, docs).collect()}
+    g = got[100]
+    assert g["rep_text"] == "the longest text here"   # longest member
+    assert g["modal_lang"] == "en"                    # 2 of 3
+    assert g["best_source"] == "src3"                 # lowest numeric suffix
+    assert g["n_members"] == 3
+    assert got[200]["best_source"] == "src0" and got[200]["modal_lang"] == "fr"
+
+
+def test_golden_fields_modal_tie_breaks_lexicographically(spark):
+    from sneaky_data_matcher_spark.operators.clustering import golden_fields
+
+    clusters = spark.createDataFrame([(1, 9), (2, 9)], "doc_id long, cluster_id long")
+    docs = spark.createDataFrame(
+        [(1, "aa", "fr", "src2"), (2, "bb", "de", "src2")],
+        "doc_id long, doc_text string, lang string, source string",
+    )
+    got = golden_fields(clusters, docs).first()
+    assert got["modal_lang"] == "de"  # 1-1 tie -> lexicographically smallest
