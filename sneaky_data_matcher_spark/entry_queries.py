@@ -4938,6 +4938,208 @@ def accent_fold_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood pairs (r3 continuation): the classic SNM blocking
+# pass (Hernández & Stolfo '95) as a driver query — blocking.py's
+# seam-exact distributed implementation (range partitions + per-partition
+# ranks + driver-side offsets; no single global sort reducer) vs a plain
+# row_number sliding-window twin.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "snm_pairs",
+    f"WITH {flatdocs.CANON_CTE}, "
+    "r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_text, doc_id) AS rk "
+    "  FROM canon WHERE doc_text <> ''), "
+    "p AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM r a JOIN r b "
+    "  ON b.rk > a.rk AND b.rk - a.rk < 5) "
+    "SELECT DISTINCT least(ia, ib) AS doc_id_a, greatest(ia, ib) AS doc_id_b FROM p",
+)
+def snm_pairs_q(spark, sf_dir):
+    from .operators.blocking import sorted_neighborhood_pairs
+
+    canon, _, _ = _er_frames(spark, sf_dir)
+    return sorted_neighborhood_pairs(canon, window=5)
+
+
+# ---------------------------------------------------------------------------
+# Portable minhash estimator certification (r3 continuation): the LSH
+# dedup path estimates Jaccard from signature agreement; this query
+# CERTIFIES the estimator itself — a K=32 double-hashed minhash (portable
+# Horner pair, exact integer math on both engines) next to the true
+# shingle Jaccard for every >=0.5 pair. est_j is hash-checked exactly;
+# its distance from true_j is the reported abs_err (std err ~ 0.088 at
+# K=32 — the numbers a threshold-tuning analyst needs).
+# ---------------------------------------------------------------------------
+
+_MH_K = 32
+_MH_M = 2147483647
+
+
+def _mh_sig_sql() -> str:
+    from .operators.dedup import SIMHASH_B1, SIMHASH_B2
+    from .operators.sketches import _horner_sql
+
+    h1, h2 = _horner_sql("g", SIMHASH_B1), _horner_sql("g", SIMHASH_B2)
+    return (
+        "sigs AS MATERIALIZED (SELECT doc_id, "
+        f"list_transform(range(0, {_MH_K}), i -> "
+        f"list_min(list_transform(s, g -> ({h1} + i * {h2} + i * i) % {_MH_M}))"
+        ") AS sig FROM sh)"
+    )
+
+
+@_q(
+    "minhash_est_check",
+    f"WITH {_NGRAM_SH_CTE}, " + _mh_sig_sql() + ", "
+    "tp AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+    "  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) AS true_j "
+    "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5), "
+    "e AS (SELECT t.doc_id_a, t.doc_id_b, t.true_j, "
+    f"  round(CAST(len(list_filter(range(1, {_MH_K} + 1), "
+    f"    i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / {_MH_K}, 6) AS est_j "
+    "  FROM tp t JOIN sigs sa ON t.doc_id_a = sa.doc_id "
+    "  JOIN sigs sb ON t.doc_id_b = sb.doc_id) "
+    "SELECT doc_id_a, doc_id_b, true_j, est_j, round(abs(true_j - est_j), 6) AS abs_err FROM e",
+)
+def minhash_est_check_q(spark, sf_dir):
+    from .operators.dedup import SIMHASH_B1, SIMHASH_B2, _horner_hash, _shingles
+
+    d = _docs(spark, sf_dir)
+    # _shingles already matches _NGRAM_SH_CTE exactly (3-gram slices,
+    # whole-text fallback under 3 tokens) — ngram_dup_pairs certifies it
+    sh = d.select("doc_id", _shingles(F.col("text"), 3).alias("s"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(_MH_K - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("s"),
+                lambda t: (
+                    _horner_hash(t, SIMHASH_B1)
+                    + i * _horner_hash(t, SIMHASH_B2)
+                    + i * i
+                )
+                % _MH_M,
+            )
+        ),
+    )
+    sigs = sh.select("doc_id", sig.alias("sig")).localCheckpoint(eager=True)
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("sb"))
+    un = F.size(F.array_union(F.col("sa"), F.col("sb")))
+    jac = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double") / un
+    tp = (
+        a.crossJoin(b)
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .where(jac >= 0.5)
+        .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("true_j"))
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("siga", "sigb", lambda x, y: x == y), lambda z: z
+            )
+        ).cast("double")
+        / _MH_K,
+        6,
+    )
+    e = (
+        tp.join(
+            sigs.select(F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("siga")),
+            "doc_id_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sigb")),
+            "doc_id_b",
+        )
+        .select("doc_id_a", "doc_id_b", "true_j", est.alias("est_j"))
+    )
+    return e.select(
+        "*", F.round(F.abs(F.col("true_j") - F.col("est_j")), 6).alias("abs_err")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers via MAD (r3 continuation): median / median-absolute-
+# deviation per event type with percentile_disc (an ORDER STATISTIC —
+# actual data values, so both engines agree exactly, unlike interpolated
+# medians of arbitrary doubles); robust z = (v - med) / (1.4826 * mad).
+# Complements event_anomalies' mean/std z-scores (which a few huge
+# values drag; MAD doesn't budge).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "event_mad_outliers",
+    "WITH m AS (SELECT event_type, quantile_disc(value, 0.5) AS med FROM events GROUP BY event_type), "
+    "d AS (SELECT e.event_id, e.event_type, e.value, m.med, abs(e.value - m.med) AS ad "
+    "  FROM events e JOIN m USING (event_type)), "
+    "md AS (SELECT event_type, quantile_disc(ad, 0.5) AS mad FROM d GROUP BY event_type) "
+    "SELECT d.event_id, d.event_type, d.value, d.med, md.mad, "
+    "round((d.value - d.med) / (1.4826 * md.mad), 6) AS robust_z "
+    "FROM d JOIN md USING (event_type) "
+    "WHERE md.mad > 0 AND abs((d.value - d.med) / (1.4826 * md.mad)) > 3",
+)
+def event_mad_outliers_q(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    )
+    d = e.join(m, "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    md = d.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)").alias("mad")
+    )
+    z = (F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        d.join(md, "event_type")
+        .where((F.col("mad") > 0) & (F.abs(z) > 3))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            "mad",
+            F.round(z, 6).alias("robust_z"),
+        )
+    )
+
+
+# Cross-source conflict report (r3 continuation): clusters whose members
+# disagree on source/lang — the review-queue feed for survivorship rules.
+@_q(
+    "er_source_conflicts",
+    f"WITH RECURSIVE {_ER_CLUSTERS_CTE}, "
+    "j AS (SELECT cl.cluster_id, c.lang, c.source FROM clusters cl "
+    "  JOIN canon c USING (doc_id)) "
+    "SELECT cluster_id, count(*) AS n_members, "
+    "count(DISTINCT source) AS n_sources, count(DISTINCT lang) AS n_langs, "
+    "count(DISTINCT lang) > 1 AS lang_conflict "
+    "FROM j GROUP BY cluster_id HAVING count(*) > 1",
+)
+def er_source_conflicts_q(spark, sf_dir):
+    canon, _, _ = _er_frames(spark, sf_dir)
+    clusters = er_clusters(spark, sf_dir)
+    j = clusters.join(canon.select("doc_id", "lang", "source"), "doc_id")
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .where(F.col("n_members") > 1)
+        .select("*", (F.col("n_langs") > 1).alias("lang_conflict"))
+    )
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL

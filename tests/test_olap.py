@@ -100,3 +100,35 @@ def test_decile_counts_balanced(spark):
     # deciles are ordered, non-overlapping bands
     for d in range(1, 10):
         assert got[d]["hi"] <= got[d + 1]["lo"]
+
+
+def test_mad_outliers_robust_to_extremes(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"2024-01-01 00:00:{i % 60:02d}", 1, "x", 10.0 + (i % 5) * 0.1, "")
+            for i in range(100)]
+    rows += [(1000, "2024-01-01 01:00:00", 1, "x", 9999.0, "")]  # the outlier
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/events.parquet")
+        got = Q.QUERIES["event_mad_outliers"](spark, td).collect()
+    assert [r["event_id"] for r in got] == [1000]
+    assert got[0]["robust_z"] > 100  # MAD barely moves, z explodes
+
+
+def test_minhash_estimator_accuracy(spark):
+    rows = Q.QUERIES["minhash_est_check"](spark, "/root/testdata/sf0.001").collect()
+    if not rows:
+        return  # no >=0.5 pairs at this sf — nothing to certify
+    import statistics
+
+    errs = [r["abs_err"] for r in rows]
+    # K=32 -> std err <= 0.5/sqrt(32) ~ 0.088; mean abs err should be well
+    # inside 2x that even on few pairs
+    assert statistics.mean(errs) < 0.18
+    assert all(0.0 <= r["est_j"] <= 1.0 for r in rows)

@@ -255,6 +255,65 @@ def main() -> int:
          ("hot census broadcast", "BroadcastExchange" in plan)],
     ))
 
+    # r3 continuation — bloom pruning: the bit set must BROADCAST (the
+    # whole point: map-side pruning, no shuffle of the big side before
+    # the filter), and the orders scan must stay column-pruned.
+    plan = _fmt(E.queries()["bloom_prune_join"](spark, SF))
+    sections.append((
+        "bloom_prune_join (broadcast bitset, map-side prune)", plan,
+        [("bitset broadcast", "BroadcastExchange" in plan),
+         ("orders scan pruned to the 2 live columns (even o_orderkey dropped "
+          "by the aggregate)",
+          bool(_re.search(
+              r"ReadSchema: struct<o_custkey:bigint,o_orderpriority:string>",
+              plan))),
+         ("no Python/Arrow boundary",
+          "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan)],
+    ))
+
+    # r3 continuation — z-order stats: pure native exprs (the interleave
+    # is shifts/masks inside codegen), no Python anywhere.
+    plan = _fmt(E.queries()["zorder_prune_stats"](spark, SF))
+    sections.append((
+        "zorder_prune_stats (Morton interleave in codegen)", plan,
+        [("no Python/Arrow boundary",
+          "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan),
+         ("interleave compiled to native shift/mask projection",
+          "shiftright(x#" in plan and "& 1" in plan)],
+    ))
+
+    # r3 continuation — gap-fill: the LOCF window must partition by
+    # user_id (a global window here would be the classic scale bug).
+    plan = _fmt(E.queries()["gapfill_daily"](spark, SF))
+    sections.append((
+        "gapfill_daily (per-user grid + LOCF window)", plan,
+        [("window partitions by user_id",
+          bool(_re.search(r"Window[\s\S]{0,400}?user_id#\d+", plan))),
+         ("no CartesianProduct (grid via per-user sequence, not calendar join)",
+          "CartesianProduct" not in plan)],
+    ))
+
+    # r3 continuation — triangles: equi-joins only; the degree-ordered
+    # orientation exists precisely to avoid any theta/nested-loop shape.
+    plan = _fmt(E.queries()["match_graph_triangles"](spark, SF))
+    sections.append((
+        "match_graph_triangles (degree-ordered node-iterator)", plan,
+        [("no CartesianProduct / nested loop",
+          "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan)],
+    ))
+
+    # r3 continuation — skyline: the two-pass rewrite must NOT contain the
+    # naive O(n^2) anti-join (no nested loop), just a groupBy + one window
+    # + an equi-join back on price.
+    plan = _fmt(E.queries()["skyline_orders"](spark, SF))
+    sections.append((
+        "skyline_orders (two-pass frontier, no theta self-join)", plan,
+        [("no CartesianProduct / nested loop",
+          "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan),
+         ("equi-join on price", "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+          or "ShuffledHashJoin" in plan)],
+    ))
+
     out_lines = ["# Physical plans (generated by tools/explain_plans.py)\n"]
     ok_all = True
     for title, plan, checks in sections:
