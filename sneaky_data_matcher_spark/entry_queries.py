@@ -5140,6 +5140,150 @@ def er_source_conflicts_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance (r3 continuation): a daily
+# revenue MV must absorb a CDC batch WITHOUT a full recompute — recompute
+# only the days the changelog touches (old rows' days ∪ new rows' days),
+# pass every other day through from the previous MV. The oracle is the
+# FULL recompute over the applied snapshot, so a hash match proves the
+# delta path's result is indistinguishable from rebuilding — the whole
+# contract of incremental view maintenance. Cost ∝ changed days, not
+# history (the pass-through is an anti-join; the recompute scans only
+# affected-day rows — at 100 TB with date-partitioned layout that's
+# partition pruning, not a filter).
+# ---------------------------------------------------------------------------
+
+
+_MV_CH_CTE = (
+    "ch AS (SELECT o_orderkey, 'U' AS op, 1 AS seq, "
+    "  o_totalprice + 100 AS o_totalprice, o_orderdate FROM orders WHERE o_orderkey % 3 = 0 "
+    "UNION ALL SELECT o_orderkey, CASE WHEN o_orderkey % 18 = 0 THEN 'D' ELSE 'U' END, 2, "
+    "  o_totalprice + 200, o_orderdate FROM orders WHERE o_orderkey % 9 = 0 "
+    "UNION ALL SELECT o_orderkey + 10000000, 'U', 3, "
+    "  o_totalprice + 500, o_orderdate FROM orders WHERE o_orderkey % 50 = 0), "
+    "w AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey "
+    "  ORDER BY seq DESC, op DESC) AS rn FROM ch), "
+    "win AS (SELECT * FROM w WHERE rn = 1)"
+)
+
+
+@_q(
+    "mv_incremental",
+    f"WITH {_MV_CH_CTE}, "
+    "applied AS (SELECT o_orderkey, o_totalprice, o_orderdate FROM orders "
+    "  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM win) "
+    "  UNION ALL SELECT o_orderkey, o_totalprice, o_orderdate FROM win WHERE op <> 'D'), "
+    "aff AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders "
+    "  WHERE o_orderkey IN (SELECT o_orderkey FROM ch) "
+    "  UNION SELECT DISTINCT CAST(o_orderdate AS DATE) FROM applied "
+    "  WHERE o_orderkey IN (SELECT o_orderkey FROM ch)) "
+    "SELECT CAST(o_orderdate AS DATE) AS day, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, "
+    "count(*) AS n_orders, "
+    "CAST(o_orderdate AS DATE) IN (SELECT day FROM aff) AS recomputed "
+    "FROM applied GROUP BY CAST(o_orderdate AS DATE)",
+)
+def mv_incremental_q(spark, sf_dir):
+    from .operators.cdc import cdc_apply
+
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+
+    def mk(df, key, op, seq, dprice):
+        return df.select(
+            key.alias("o_orderkey"),
+            op.alias("op"),
+            F.lit(seq).alias("seq"),
+            (F.col("o_totalprice") + dprice).alias("o_totalprice"),
+            "o_orderdate",
+        )
+
+    c1 = mk(
+        base.where(F.col("o_orderkey") % 3 == 0), F.col("o_orderkey"), F.lit("U"), 1, 100
+    )
+    c2 = mk(
+        base.where(F.col("o_orderkey") % 9 == 0),
+        F.col("o_orderkey"),
+        F.when(F.col("o_orderkey") % 18 == 0, F.lit("D")).otherwise(F.lit("U")),
+        2,
+        200,
+    )
+    c3 = mk(
+        base.where(F.col("o_orderkey") % 50 == 0),
+        F.col("o_orderkey") + 10000000,
+        F.lit("U"),
+        3,
+        500,
+    )
+    ch = c1.unionByName(c2).unionByName(c3)
+    applied = cdc_apply(base, ch, key="o_orderkey").withColumn(
+        "day", F.col("o_orderdate").cast("date")
+    )
+    based = base.withColumn("day", F.col("o_orderdate").cast("date"))
+    rev = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue")
+    )
+    # previous MV (in production: the committed table; rebuilt here so the
+    # query is self-contained) + the delta path
+    old_mv = based.groupBy("day").agg(rev, F.count("*").alias("n_orders"))
+    ch_keys = ch.select("o_orderkey").distinct()
+    aff = (
+        based.join(ch_keys, "o_orderkey")
+        .select("day")
+        .unionByName(applied.join(ch_keys, "o_orderkey").select("day"))
+        .distinct()
+    )
+    recomputed = (
+        applied.join(F.broadcast(aff), "day")
+        .groupBy("day")
+        .agg(rev, F.count("*").alias("n_orders"))
+        .select("day", "revenue", "n_orders", F.lit(True).alias("recomputed"))
+    )
+    passthrough = old_mv.join(aff, "day", "left_anti").select(
+        "day", "revenue", "n_orders", F.lit(False).alias("recomputed")
+    )
+    return passthrough.unionByName(recomputed)
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (r3 continuation): a table written over time with an
+# EVOLVING schema (v1: doc_id+text; v2 adds lang + a quality column) must
+# read back as one frame — `mergeSchema` unifies the footers and fills
+# missing columns with NULL. The query writes both generations (derived
+# deterministically from the docs table, disjoint halves), reads the
+# directory pair with mergeSchema, and the twin models exactly what merge
+# MUST produce: UNION ALL with NULL-padded columns. At 100 TB mergeSchema
+# is a footer-sampling planning cost, not a data cost — but silent column
+# drift is a correctness bug this query would catch.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "schema_evolution",
+    "SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang, "
+    "CAST(NULL AS BIGINT) AS quality FROM documents WHERE doc_id % 2 = 0 "
+    "UNION ALL SELECT doc_id, text, lang, n_chars AS quality "
+    "FROM documents WHERE doc_id % 2 = 1",
+)
+def schema_evolution_q(spark, sf_dir):
+    import os
+
+    d = _docs(spark, sf_dir)
+    app = spark.sparkContext.applicationId
+    root = f"/tmp/sneaky_schema_evo/{app}/{os.path.basename(sf_dir.rstrip('/'))}"
+    v1 = d.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    v2 = d.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "lang", F.col("n_chars").alias("quality")
+    )
+    v1.write.mode("overwrite").parquet(f"{root}/gen=1")
+    v2.write.mode("overwrite").parquet(f"{root}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/gen=1", f"{root}/gen=2"
+    )
+    return merged.select("doc_id", "text", "lang", "quality")
+
+
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL

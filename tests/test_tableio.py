@@ -59,3 +59,29 @@ def test_orc_predicate_pushdown(spark, tmp_path):
         .treeString()
     )
     assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,990)" in plan
+
+
+def test_mv_incremental_recompute_flag_and_equality(spark):
+    """The delta-maintained MV must equal the full recompute day-for-day
+    (the oracle also proves this via value hash; here we check the flag
+    marks exactly the changelog's days)."""
+    from sneaky_data_matcher_spark.entry_queries import QUERIES
+
+    rows = QUERIES["mv_incremental"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    flagged = {r["day"] for r in rows if r["recomputed"]}
+    assert flagged and len(flagged) < len(rows)  # a real delta, not a rebuild
+    # revenue present everywhere, n_orders positive
+    assert all(r["n_orders"] > 0 and r["revenue"] is not None for r in rows)
+
+
+def test_schema_evolution_merge_fills_nulls(spark):
+    from sneaky_data_matcher_spark.entry_queries import QUERIES
+
+    rows = QUERIES["schema_evolution"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    for r in rows:
+        if r["doc_id"] % 2 == 0:
+            assert r["lang"] is None and r["quality"] is None  # v1 generation
+        else:
+            assert r["lang"] is not None and r["quality"] is not None
