@@ -5287,3 +5287,222 @@ def schema_evolution_q(spark, sf_dir):
 def _export(name: str):
     """Expose registry to __spark_entry__."""
     return QUERIES if name == "queries" else ORACLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# r3 continuation: linkage comparators + post-processing.
+# Address standardization (functions/addresses.py), graded date matching
+# (functions/dates.py), grid-blocked geo distance join (operators/geo.py),
+# Monge-Elkan hybrid similarity (functions/similarity.py), and mutual-best
+# 1:1 match assignment (operators/assignment.py). Testdata carries no
+# address/DOB/coordinate columns, so each query synthesizes its input
+# deterministically from customer keys — IDENTICAL integer/date arithmetic
+# on both engines — exactly like phone_normalize does.
+# ---------------------------------------------------------------------------
+
+_ADDR_DIRS = ["North", "S", "east", "", "west"]
+_ADDR_NAMES = ["MAIN", "Oak", "Cedar", "lake shore", "Elm", "Pine"]
+_ADDR_SUFFIXES = ["Street", "St.", "AVENUE", "Ave", "Road", "drive", "Boulevard"]
+
+
+def _addr_raw_sql() -> str:
+    dirs = ", ".join(f"'{d}'" for d in _ADDR_DIRS)
+    names = ", ".join(f"'{n}'" for n in _ADDR_NAMES)
+    sufs = ", ".join(f"'{s}'" for s in _ADDR_SUFFIXES)
+    return (
+        f"CAST(c_custkey AS VARCHAR) || ' ' || ([{dirs}])[c_custkey % 5 + 1] "
+        f"|| ' ' || ([{names}])[c_custkey % 6 + 1] "
+        f"|| ' ' || ([{sufs}])[c_custkey % 7 + 1] "
+        "|| CASE WHEN c_custkey % 4 = 0 THEN ', Apt. ' || CAST(c_custkey % 30 AS VARCHAR) "
+        "WHEN c_custkey % 4 = 1 THEN ' UNIT ' || CAST(c_custkey % 12 AS VARCHAR) "
+        "ELSE '' END"
+    )
+
+
+def _addr_raw_col() -> F.Column:
+    k = F.col("c_custkey")
+    pick = lambda opts, n: F.element_at(  # noqa: E731
+        F.array(*[F.lit(o) for o in opts]), (k % n + 1).cast("int")
+    )
+    unit = (
+        F.when(k % 4 == 0, F.concat(F.lit(", Apt. "), (k % 30).cast("string")))
+        .when(k % 4 == 1, F.concat(F.lit(" UNIT "), (k % 12).cast("string")))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(
+        k.cast("string"),
+        F.lit(" "),
+        pick(_ADDR_DIRS, 5),
+        F.lit(" "),
+        pick(_ADDR_NAMES, 6),
+        F.lit(" "),
+        pick(_ADDR_SUFFIXES, 7),
+        unit,
+    )
+
+
+@_q(
+    "address_normalize",
+    "SELECT c_custkey, "
+    f"{__import__('sneaky_data_matcher_spark.functions.addresses', fromlist=['x']).normalize_address_sql('addr_raw')} AS addr_norm, "
+    f"{__import__('sneaky_data_matcher_spark.functions.addresses', fromlist=['x']).address_unit_sql('addr_raw')} AS addr_unit "
+    f"FROM (SELECT c_custkey, {_addr_raw_sql()} AS addr_raw FROM customer)",
+)
+def address_normalize_q(spark, sf_dir):
+    from .functions import addresses as A
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    raw = _addr_raw_col()
+    return cust.select(
+        "c_custkey",
+        A.normalize_address(raw).alias("addr_norm"),
+        A.address_unit(raw).alias("addr_unit"),
+    )
+
+
+# DOB pair synthesis: source A date from the key; source B applies one of
+# the classic corruption modes (identity / day-month swap when valid /
+# off-by-one-day / wrong-year / wrong-month) chosen by key residue. The
+# comparator grades agreement 3/2/1/0 (functions/dates.py).
+_DOB_A_SQL = "DATE '1950-01-01' + CAST(c_custkey * 97 % 15000 AS INT)"
+_DOB_B_SQL = (
+    "CASE WHEN c_custkey % 6 IN (0, 1) THEN dob_a "
+    "WHEN c_custkey % 6 = 2 THEN CASE WHEN day(dob_a) <= 12 "
+    "  THEN make_date(year(dob_a), day(dob_a), month(dob_a)) ELSE dob_a END "
+    "WHEN c_custkey % 6 = 3 THEN dob_a + 1 "
+    "WHEN c_custkey % 6 = 4 THEN dob_a + 370 "
+    "ELSE dob_a + 40 END"
+)
+
+
+@_q(
+    "dob_match_features",
+    "SELECT c_custkey, dob_a, dob_b, "
+    f"{__import__('sneaky_data_matcher_spark.functions.dates', fromlist=['x']).date_match_sql('dob_a', 'dob_b')} AS match_level "
+    f"FROM (SELECT c_custkey, dob_a, {_DOB_B_SQL} AS dob_b "
+    f"FROM (SELECT c_custkey, {_DOB_A_SQL} AS dob_a FROM customer))",
+)
+def dob_match_features_q(spark, sf_dir):
+    import datetime as _dt
+
+    from .functions import dates as D
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    a = F.date_add(F.lit(_dt.date(1950, 1, 1)), (k * 97 % 15000).cast("int"))
+    t = cust.select("c_custkey", a.alias("dob_a"))
+    da = F.col("dob_a")
+    swapped = F.when(
+        F.dayofmonth(da) <= 12,
+        F.make_date(F.year(da), F.dayofmonth(da), F.month(da)),
+    ).otherwise(da)
+    b = (
+        F.when((k % 6).isin(0, 1), da)
+        .when(k % 6 == 2, swapped)
+        .when(k % 6 == 3, F.date_add(da, 1))
+        .when(k % 6 == 4, F.date_add(da, 370))
+        .otherwise(F.date_add(da, 40))
+    )
+    t = t.withColumn("dob_b", b)
+    return t.select(
+        "c_custkey",
+        "dob_a",
+        "dob_b",
+        D.date_match_level(F.col("dob_a"), F.col("dob_b")).alias("match_level"),
+    )
+
+
+# Geo distance join over synthesized coordinates (|lat| <= 60, lon within
+# (-170, 170) so the 3x3 stencil needs no antimeridian stitch). The DuckDB
+# twin runs the SAME grid+stencil+haversine plan (operators/geo.py);
+# equality vs the exhaustive O(n^2) haversine is asserted in
+# tests/test_geo.py, so the hash check certifies the blocked plan.
+_GEO_PTS_SQL = (
+    "SELECT c_custkey AS id, "
+    "CAST(c_custkey * 7919 % 120000 AS DOUBLE) / 1000.0 - 60.0 AS lat, "
+    "CAST(c_custkey * 104729 % 340000 AS DOUBLE) / 1000.0 - 170.0 AS lon "
+    "FROM customer"
+)
+
+
+@_q(
+    "geo_distance_pairs",
+    f"WITH geo_pts AS ({_GEO_PTS_SQL}) "
+    "SELECT id_a, id_b, round(dist_km, 3) AS dist_km FROM ("
+    + __import__(
+        "sneaky_data_matcher_spark.operators.geo", fromlist=["x"]
+    ).grid_distance_join_sql("geo_pts", 200.0)
+    + ")",
+)
+def geo_distance_pairs_q(spark, sf_dir):
+    from .operators.geo import grid_distance_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        k.alias("id"),
+        ((k * 7919 % 120000).cast("double") / 1000.0 - 60.0).alias("lat"),
+        ((k * 104729 % 340000).cast("double") / 1000.0 - 170.0).alias("lon"),
+    )
+    out = grid_distance_join(pts, 200.0)
+    return out.select("id_a", "id_b", F.round("dist_km", 3).alias("dist_km"))
+
+
+# Mutual-best 1:1 assignment over the ER scored pairs: each doc keeps at
+# most one partner; a pair survives iff each side is the other's best
+# (score desc, partner-id asc tie-break). Both engines rank the SAME
+# rounded score so window ties are identical.
+_ER_MBM_CTE = (
+    _ER_SCORED_CTE
+    + f", spairs AS MATERIALIZED (SELECT doc_id_a, doc_id_b, round({_ER_SCORE_SQL}, 6) AS score FROM er_scored), "
+    "sym AS (SELECT doc_id_a AS u, doc_id_b AS v, score AS s FROM spairs "
+    "  UNION ALL SELECT doc_id_b, doc_id_a, score FROM spairs), "
+    "best AS (SELECT u, v, s FROM (SELECT u, v, s, "
+    "  row_number() OVER (PARTITION BY u ORDER BY s DESC, v ASC) AS rn FROM sym) WHERE rn = 1)"
+)
+
+
+@_q(
+    "er_one_to_one",
+    f"WITH {_ER_MBM_CTE} "
+    "SELECT a.u AS doc_id_a, a.v AS doc_id_b, a.s AS score "
+    "FROM best a JOIN best b ON a.u = b.v AND a.v = b.u WHERE a.u < a.v",
+)
+def er_one_to_one_q(spark, sf_dir):
+    from .operators.assignment import mutual_best_match
+
+    s = _er_scored_frame(spark, sf_dir)
+    score = F.round(
+        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard"), 6
+    )
+    pairs = s.select("doc_id_a", "doc_id_b", score.alias("score"))
+    return mutual_best_match(pairs)
+
+
+# Monge-Elkan hybrid similarity on the ER candidate pairs: token-order
+# tolerant AND per-token typo tolerant (mean best-JW partner, symmetrized).
+# Spark runs the Arrow-batched DuckDB list-lambda kernel; the twin runs the
+# same expression — bit-identical.
+@_q(
+    "monge_elkan_pairs",
+    f"WITH {_ER_SCORED_CTE} "
+    "SELECT doc_id_a, doc_id_b, round("
+    + __import__(
+        "sneaky_data_matcher_spark.functions.similarity", fromlist=["x"]
+    ).monge_elkan_sql("string_split(ta, ' ')", "string_split(tb, ' ')")
+    + ", 6) AS me FROM er_texts",
+)
+def monge_elkan_pairs_q(spark, sf_dir):
+    from .functions.similarity import monge_elkan
+
+    canon, _, pairs = _er_frames(spark, sf_dir)
+    a = canon.select(F.col("doc_id").alias("doc_id_a"), F.col("doc_text").alias("ta"))
+    b = canon.select(F.col("doc_id").alias("doc_id_b"), F.col("doc_text").alias("tb"))
+    t = pairs.join(a, "doc_id_a").join(b, "doc_id_b")
+    return t.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.round(
+            monge_elkan(F.split(F.col("ta"), " "), F.split(F.col("tb"), " ")), 6
+        ).alias("me"),
+    )

@@ -41,13 +41,22 @@ def _duck_con():
 
 
 def _jaro_winkler_py(s1: str, s2: str) -> float:
-    """Plain-Python Jaro-Winkler (standard algorithm, prefix scale 0.1,
-    prefix cap 4) — fallback + test oracle for the DuckDB kernel."""
-    if s1 == s2:
-        return 1.0
+    """Plain-Python Jaro-Winkler replicating DuckDB's kernel (a rapidfuzz
+    port) EXACTLY — fallback + test oracle for the DuckDB kernel. The
+    rapidfuzz variant differs from the textbook algorithm in three
+    fuzz-verified ways: empty-vs-empty scores 0.0 (not 1.0), the
+    transposition term is halved with INTEGER division, and the Winkler
+    prefix boost applies only when jaro > 0.7 (the standard boost
+    threshold; e.g. jw('jon','jr') = 0.6111 unboosted). A fourth
+    fuzz-verified delta: DuckDB compares UTF-8 BYTES, not code points
+    (identical on ASCII), so the fallback encodes first."""
+    s1 = s1.encode("utf-8") if isinstance(s1, str) else s1
+    s2 = s2.encode("utf-8") if isinstance(s2, str) else s2
     l1, l2 = len(s1), len(s2)
     if l1 == 0 or l2 == 0:
         return 0.0
+    if s1 == s2:
+        return 1.0
     match_dist = max(l1, l2) // 2 - 1
     m1 = [False] * l1
     m2 = [False] * l2
@@ -72,7 +81,9 @@ def _jaro_winkler_py(s1: str, s2: str) -> float:
             if s1[i] != s2[k]:
                 t += 1
             k += 1
-    jaro = (matches / l1 + matches / l2 + (matches - t / 2) / matches) / 3
+    jaro = (matches / l1 + matches / l2 + (matches - t // 2) / matches) / 3
+    if jaro <= 0.7:
+        return jaro
     prefix = 0
     for a, b in zip(s1[:4], s2[:4]):
         if a == b:
@@ -131,3 +142,66 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
+
+
+# ---------------------------------------------------------------------------
+# Monge-Elkan token-set similarity (r3)
+# ---------------------------------------------------------------------------
+
+def _me_directed_py(ta, tb) -> float:
+    if len(ta) == 0:
+        return 1.0 if len(tb) == 0 else 0.0
+    if len(tb) == 0:
+        return 0.0
+    return sum(max(_jaro_winkler_py(a, b) for b in tb) for a in ta) / len(ta)
+
+
+def _me_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    ta = a.apply(lambda x: [] if x is None else list(x))
+    tb = b.apply(lambda x: [] if x is None else list(x))
+    if _duckdb is not None:
+        con = _duck_con()
+        batch = pd.DataFrame({"ta": ta, "tb": tb})
+        con.register("batch", batch)
+        out = con.execute(f"SELECT {monge_elkan_sql('ta', 'tb')} AS me FROM batch").df()
+        con.unregister("batch")
+        out.index = a.index
+        return out["me"]
+    return pd.Series(
+        [(_me_directed_py(x, y) + _me_directed_py(y, x)) / 2.0 for x, y in zip(ta, tb)],
+        index=a.index,
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def monge_elkan(a: pd.Series, b: pd.Series) -> pd.Series:  # pragma: no cover (executors)
+    """Symmetric Monge-Elkan similarity over two array<string> token
+    columns: mean over tokens of A of the best Jaro-Winkler partner in B,
+    averaged with the B->A direction (the standard symmetrization — the
+    raw measure is asymmetric). Hybrid token/character measure: tolerant
+    to token reordering AND per-token typos, where token_jaccard only
+    credits exact token equality.
+
+    Same kernel strategy as `jaro_winkler`: each Arrow batch runs ONE
+    vectorized DuckDB list-lambda expression (C++ inner loops, no per-row
+    Python), bit-identical to the DuckDB oracle twin. Cost is
+    O(|A|*|B|) jw calls per pair — use on CANDIDATE pairs after blocking,
+    never as a blocking measure."""
+    return _me_batch(a, b)
+
+
+def _me_directed_sql(ta: str, tb: str) -> str:
+    avg = (
+        f"list_avg(list_transform({ta}, x -> "
+        f"list_max(list_transform({tb}, y -> jaro_winkler_similarity(x, y)))))"
+    )
+    return (
+        f"CASE WHEN len({ta}) = 0 AND len({tb}) = 0 THEN 1.0 "
+        f"WHEN len({ta}) = 0 OR len({tb}) = 0 THEN 0.0 "
+        f"ELSE {avg} END"
+    )
+
+
+def monge_elkan_sql(ta: str, tb: str) -> str:
+    """DuckDB twin of `monge_elkan` over two list(varchar) expressions."""
+    return f"(({_me_directed_sql(ta, tb)}) + ({_me_directed_sql(tb, ta)})) / 2.0"
