@@ -5506,3 +5506,73 @@ def monge_elkan_pairs_q(spark, sf_dir):
             monge_elkan(F.split(F.col("ta"), " "), F.split(F.col("tb"), " ")), 6
         ).alias("me"),
     )
+
+
+# Term-frequency-adjusted Fellegi-Sunter agreement weight on the
+# "first canonical token" field (a name-like field): pairs that agree on
+# a RARE first token earn a large positive adjustment, agreement on a
+# corpus-common token is discounted — Splink-style u_v = p_v correction
+# (operators/fellegi_sunter.py tf_adjusted_weights).
+_FS_TF_PRELUDE = (
+    _ER_PAIRS_CTE
+    + ", firsttok AS MATERIALIZED (SELECT doc_id, string_split(doc_text, ' ')[1] AS val "
+    "FROM canon WHERE doc_text <> ''), "
+    "agree AS (SELECT p.doc_id_a, p.doc_id_b, fa.val FROM er_pairs p "
+    "JOIN firsttok fa ON p.doc_id_a = fa.doc_id "
+    "JOIN firsttok fb ON p.doc_id_b = fb.doc_id WHERE fa.val = fb.val)"
+)
+
+
+@_q(
+    "fs_tf_adjusted",
+    __import__(
+        "sneaky_data_matcher_spark.operators.fellegi_sunter", fromlist=["x"]
+    ).tf_adjusted_weights_sql("agree", "firsttok", prelude_ctes=_FS_TF_PRELUDE),
+)
+def fs_tf_adjusted_q(spark, sf_dir):
+    from .operators.fellegi_sunter import tf_adjusted_weights
+
+    canon, _, pairs = _er_frames(spark, sf_dir)
+    first = canon.select(
+        "doc_id", F.split("doc_text", " ").getItem(0).alias("val")
+    )
+    fa = first.select(F.col("doc_id").alias("doc_id_a"), F.col("val").alias("va"))
+    fb = first.select(F.col("doc_id").alias("doc_id_b"), F.col("val").alias("vb"))
+    agree = (
+        pairs.join(fa, "doc_id_a")
+        .join(fb, "doc_id_b")
+        .where(F.col("va") == F.col("vb"))
+        .select("doc_id_a", "doc_id_b", F.col("va").alias("val"))
+    )
+    return tf_adjusted_weights(agree, first)
+
+
+# Streaming heavy hitters: a REAL streaming run (update-mode stateful
+# aggregation — per-token state store, incremental per-batch fold) whose
+# final per-token maxima equal the batch census; top-25 by (count desc,
+# token asc). The memory sink accumulates one row per touched key per
+# batch; counts are monotone, so max(n) per token is the final state.
+@_q(
+    "stream_heavy_hitters",
+    "WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(text), "
+    "'\\s+'), x -> x <> '')) AS token FROM documents), "
+    "census AS (SELECT token, count(*) AS n FROM toks GROUP BY token) "
+    "SELECT token, n FROM census ORDER BY n DESC, token ASC LIMIT 25",
+)
+def stream_heavy_hitters_q(spark, sf_dir):
+    from .streaming.incremental import run_stream_to_memory, streaming_token_counts
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = run_stream_to_memory(
+        spark,
+        streaming_token_counts(stream),
+        "stream_heavy_hitters_sink",
+        output_mode="update",
+    )
+    final = out.groupBy("token").agg(F.max("n").alias("n"))
+    return final.orderBy(F.col("n").desc(), F.col("token").asc()).limit(25)

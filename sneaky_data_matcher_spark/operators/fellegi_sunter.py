@@ -352,3 +352,79 @@ def em_weights_frame(spark, em: dict, features: list[str], n_levels: int = N_LEV
     return spark.createDataFrame(
         rows, "feature string, level int, m_prob double, u_prob double, weight double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Term-frequency adjustment (r3)
+# ---------------------------------------------------------------------------
+
+def tf_adjusted_weights(
+    pairs: DataFrame,
+    values: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    val_col: str = "val",
+) -> DataFrame:
+    """Splink-style term-frequency adjustment for exact agreement on a
+    field VALUE. The field-average u-probability treats agreement on
+    "SMITH" and on "ZWICKY" as equally informative; in truth
+      u_v = P(two random records share value v | one has v) = p_v,
+    so the value-specific correction to the field weight is
+      tf_adj(v) = log2(u_field / p_v),  u_field = sum_v p_v^2
+    (positive for rare values, negative for common ones). With exact
+    counts, u_field / p_v = sum_v(n_v^2) / (N * n_v) — a ratio of exact
+    longs, so both engines hit identical doubles before the one log2.
+
+    `pairs` holds candidate pairs that AGREE exactly on `val_col`;
+    `values` holds one row per record with its field value. Returns
+    (id_a, id_b, val, n_v, tf_adj) with tf_adj floor-quantized to 6
+    decimals (the module's weight-quantization convention).
+
+    Scale shape: the value census is one groupBy on the field (map-side
+    combine); corpus totals reduce to ONE broadcast row; the per-pair
+    join keys on the value — the same distribution the blocking key
+    already induced, and hot values ARE hot blocks, so blocking.salt_keys
+    composes upstream. sum(n_v^2) overflows int64 only past ~3B rows of
+    a single value; at that point widen to DECIMAL(38,0) on both engines.
+    """
+    census = values.groupBy(val_col).agg(F.count("*").alias("n_v"))
+    stats = census.agg(
+        F.sum("n_v").alias("n_total"),
+        F.sum(F.col("n_v") * F.col("n_v")).alias("sum_sq"),
+    )
+    tf = F.log2(
+        F.col("sum_sq").cast("double")
+        / (F.col("n_total") * F.col("n_v")).cast("double")
+    )
+    return (
+        pairs.join(census, val_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_a,
+            id_b,
+            val_col,
+            "n_v",
+            (F.floor(tf * 1000000) / 1000000).alias("tf_adj"),
+        )
+    )
+
+
+def tf_adjusted_weights_sql(
+    pairs_rel: str, values_rel: str, id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b", val_col: str = "val", prelude_ctes: str = "",
+) -> str:
+    """DuckDB twin of tf_adjusted_weights (same exact-integer ratio,
+    same floor quantization). `pairs_rel`/`values_rel` are relation
+    names with the same columns; `prelude_ctes` (optional) is spliced
+    in front so callers can define them in the same WITH chain."""
+    pre = f"{prelude_ctes}, " if prelude_ctes else ""
+    return (
+        f"WITH {pre}tf_census AS (SELECT {val_col}, count(*) AS n_v "
+        f"FROM {values_rel} GROUP BY {val_col}), "
+        "tf_stats AS (SELECT CAST(sum(n_v) AS BIGINT) AS n_total, "
+        "CAST(sum(n_v * n_v) AS BIGINT) AS sum_sq FROM tf_census) "
+        f"SELECT p.{id_a}, p.{id_b}, p.{val_col}, c.n_v, "
+        "floor(log2(CAST(s.sum_sq AS DOUBLE) / CAST(s.n_total * c.n_v AS DOUBLE)) "
+        "* 1000000) / 1000000 AS tf_adj "
+        f"FROM {pairs_rel} p JOIN tf_census c USING ({val_col}) CROSS JOIN tf_stats s"
+    )

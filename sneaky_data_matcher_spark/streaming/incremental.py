@@ -668,3 +668,26 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_token_counts(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stateful streaming token census: explode whitespace tokens, count
+    per token with Structured Streaming's incremental aggregation (state
+    store keyed by token; each micro-batch folds its partial counts in —
+    map-side combine, then one shuffle on token per batch). Drive with
+    outputMode('update') so each batch emits only the keys it touched.
+
+    Heavy-hitter extraction is a TakeOrdered over the final counts.
+    Scale note: exact global counts keep one state row per distinct
+    token — fine for vocabularies (10^6-10^8 rows across executors); for
+    unbounded key domains (user ids, URLs) swap in the CMS sketch
+    (operators/sketches.py cms_build_keys) per micro-batch and merge —
+    the sketch is the bounded-memory variant of this operator."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    return (
+        stream.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )

@@ -173,3 +173,32 @@ def test_em_sql_twin_bit_exact():
     )
     rows_sql = sorted(map(tuple, con.sql(sql).fetchall()))
     assert rows_py == rows_sql  # bit-exact, not approx
+
+
+def test_tf_adjusted_weights(spark):
+    """Rare-value agreement earns a higher adjustment than common-value
+    agreement; exact value check against the closed form."""
+    import math
+
+    from sneaky_data_matcher_spark.operators.fellegi_sunter import (
+        tf_adjusted_weights,
+    )
+
+    # field values: 'smith' x6, 'zwicky' x2, 'jones' x2 -> N=10
+    vals = (
+        [(i, "smith") for i in range(6)]
+        + [(6, "zwicky"), (7, "zwicky"), (8, "jones"), (9, "jones")]
+    )
+    values = spark.createDataFrame(vals, "doc_id int, val string")
+    pairs = spark.createDataFrame(
+        [(0, 1, "smith"), (6, 7, "zwicky")],
+        "doc_id_a int, doc_id_b int, val string",
+    )
+    out = {r.val: (r.n_v, r.tf_adj) for r in tf_adjusted_weights(pairs, values).collect()}
+    sum_sq = 6 * 6 + 2 * 2 + 2 * 2  # 44
+    exp_smith = math.floor(math.log2(44 / (10 * 6)) * 1e6) / 1e6
+    exp_zwicky = math.floor(math.log2(44 / (10 * 2)) * 1e6) / 1e6
+    assert out["smith"] == (6, exp_smith)
+    assert out["zwicky"] == (2, exp_zwicky)
+    assert out["zwicky"][1] > out["smith"][1]  # rare beats common
+    assert out["smith"][1] < 0 < out["zwicky"][1]

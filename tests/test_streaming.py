@@ -559,3 +559,36 @@ def test_stream_stream_join_is_stateful_with_watermarks(spark, events_dir):
         assert any("symmetricHashJoin" in (o.get("operatorName") or "") for o in ops)
     finally:
         q.stop()
+
+
+def test_streaming_token_counts_equals_batch(spark, tmp_path):
+    """Update-mode stateful token census across MULTIPLE micro-batches
+    equals the batch census; per-token max over emitted updates is the
+    final state (counts are monotone)."""
+    from sneaky_data_matcher_spark.streaming.incremental import (
+        run_stream_to_memory,
+        streaming_token_counts,
+    )
+
+    rows1 = [(1, "a b a"), (2, "b c")]
+    rows2 = [(3, "a  B"), (4, "c c d")]
+    d = str(tmp_path / "toks")
+    spark.createDataFrame(rows1, "doc_id int, text string").write.parquet(
+        d, mode="overwrite"
+    )
+    spark.createDataFrame(rows2, "doc_id int, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    stream = (
+        spark.readStream.schema("doc_id int, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = run_stream_to_memory(
+        spark, streaming_token_counts(stream), "tok_census_sink", output_mode="update"
+    )
+    final = {
+        r.token: r.n
+        for r in out.groupBy("token").agg(F.max("n").alias("n")).collect()
+    }
+    assert final == {"a": 3, "b": 3, "c": 3, "d": 1}
