@@ -5576,3 +5576,91 @@ def stream_heavy_hitters_q(spark, sf_dir):
     )
     final = out.groupBy("token").agg(F.max("n").alias("n"))
     return final.orderBy(F.col("n").desc(), F.col("token").asc()).limit(25)
+
+
+# ---------------------------------------------------------------------------
+# Structural cluster repair (r3): match-edge triangle support
+# (embeddedness). A match edge with NO common neighbor is transitively
+# uncorroborated; dropping zero-support edges below a strict score bar
+# splits chain-merged clusters (the structural complement of the
+# threshold-based er_refined_clusters). Spark runs the O(m^1.5)
+# degree-oriented wedge enumeration (operators/graphstats.py); the twin
+# counts common neighbors with a correlated join — different algorithm,
+# same answer.
+# ---------------------------------------------------------------------------
+
+_ER_MEDGES_CTE = (
+    _ER_SCORED_CTE
+    + f", medges AS MATERIALIZED (SELECT doc_id_a AS u, doc_id_b AS v, "
+    f"round({_ER_SCORE_SQL}, 6) AS score FROM er_scored WHERE {_ER_MATCH_COND}), "
+    "msym AS MATERIALIZED (SELECT u, v FROM medges UNION ALL SELECT v, u FROM medges), "
+    "esup AS MATERIALIZED (SELECT e.u, e.v, e.score, "
+    "  (SELECT count(*) FROM msym s1 JOIN msym s2 ON s1.v = s2.v "
+    "   WHERE s1.u = e.u AND s2.u = e.v) AS support FROM medges e)"
+)
+
+_REPAIR_STRICT = 0.85
+
+
+def _er_match_edges_scored(spark, sf_dir):
+    s = _er_scored_frame(spark, sf_dir)
+    score = F.round(
+        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard"), 6
+    )
+    return (
+        s.withColumn("score", score)
+        .where(
+            0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+            >= 0.8
+        )
+        .select(F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v"), "score")
+    )
+
+
+@_q(
+    "er_edge_support",
+    f"WITH {_ER_MEDGES_CTE} SELECT u AS doc_id_a, v AS doc_id_b, score, "
+    "CAST(support AS BIGINT) AS support FROM esup",
+)
+def er_edge_support_q(spark, sf_dir):
+    from .operators.graphstats import edge_support
+
+    edges = _er_match_edges_scored(spark, sf_dir)
+    sup = edge_support(edges, "u", "v")
+    return edges.join(sup, ["u", "v"]).select(
+        F.col("u").alias("doc_id_a"),
+        F.col("v").alias("doc_id_b"),
+        "score",
+        "support",
+    )
+
+
+@_q(
+    "er_repaired_clusters",
+    f"WITH RECURSIVE {_ER_MEDGES_CTE}, "
+    f"kept AS MATERIALIZED (SELECT u, v FROM esup WHERE support > 0 OR score >= {_REPAIR_STRICT!r}), "
+    "ksym AS (SELECT u, v FROM kept UNION SELECT v, u FROM kept), "
+    "kreach(a, b) AS (SELECT doc_id, doc_id FROM canon WHERE doc_text <> '' "
+    "  UNION SELECT r.a, s.v FROM kreach r JOIN ksym s ON r.b = s.u) "
+    "SELECT a AS doc_id, min(b) AS cluster_id FROM kreach GROUP BY a",
+)
+def er_repaired_clusters_q(spark, sf_dir):
+    from .operators.clustering import connected_components
+    from .operators.graphstats import edge_support
+
+    edges = _er_match_edges_scored(spark, sf_dir)
+    sup = edge_support(edges, "u", "v")
+    kept = (
+        edges.join(sup, ["u", "v"])
+        .where((F.col("support") > 0) | (F.col("score") >= _REPAIR_STRICT))
+        .select(F.col("u").alias("doc_id_a"), F.col("v").alias("doc_id_b"))
+    )
+    canon, _, _ = _er_frames(spark, sf_dir)
+    comp = connected_components(kept)
+    return (
+        canon.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        )
+    )

@@ -60,6 +60,18 @@ def triangles_per_node(
     its unique apex — so exploding (a, b, c) gives exact per-node counts.
     """
     e = _normalized(edges, src, dst)
+    tri = _closed_triangles(e)
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+def _closed_triangles(e: DataFrame) -> DataFrame:
+    """All triangles of the normalized edge set, each exactly once, as
+    (x, y, z) where x is the degree-order apex. Suri-Vassilvitskii
+    oriented wedges — see triangles_per_node."""
     deg = degrees(e)
     key = F.struct(F.col("degree"), F.col("node")).alias("k")
     dk = deg.select("node", key)
@@ -80,11 +92,37 @@ def triangles_per_node(
     closing = oriented.select(
         F.col("src").alias("b"), F.col("dst").alias("c")
     )
-    tri = wedges.join(closing, ["b", "c"]).select(
+    return wedges.join(closing, ["b", "c"]).select(
         F.col("src").alias("x"), F.col("b").alias("y"), F.col("c").alias("z")
     )
-    return (
-        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("n_triangles"))
+
+
+def edge_support(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Per-edge triangle support (embeddedness): for every undirected edge,
+    how many triangles contain it — 0 for bridge-like edges. In ER this is
+    the classic chain-merge diagnostic: a match edge with NO common
+    neighbor is transitively uncorroborated, and dropping low-score
+    zero-support edges before clustering repairs "hairball" clusters glued
+    by a single weak pair (the structural complement of threshold-based
+    refine_clusters).
+
+    Same O(m^1.5) oriented-wedge enumeration as triangles_per_node (one
+    triangle emits its 3 member edges), then a left join back onto the
+    edge set so unsupported edges keep support 0. Output: (u, v, support)
+    with u < v."""
+    e = _normalized(edges, src, dst)
+    tri = _closed_triangles(e)
+
+    def norm(a: str, b: str):
+        return F.struct(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+
+    member_edges = tri.select(
+        F.explode(F.array(norm("x", "y"), norm("x", "z"), norm("y", "z"))).alias("p")
+    ).select("p.u", "p.v")
+    sup = member_edges.groupBy("u", "v").agg(F.count("*").alias("support"))
+    return e.join(sup, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("support", F.lit(0)).alias("support")
     )

@@ -63,3 +63,42 @@ def test_degree_histogram(spark):
     e = _edges(spark, [(0, i) for i in range(1, 5)])
     got = {r["degree"]: r["n_nodes"] for r in G.degree_histogram(e).collect()}
     assert got == {4: 1, 1: 4}
+
+
+def test_edge_support_k4(spark):
+    """In K4 every edge lies in exactly 2 triangles."""
+    from sneaky_data_matcher_spark.operators.graphstats import edge_support
+
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(edges, "u int, v int")
+    out = {(r.u, r.v): r.support for r in edge_support(df).collect()}
+    assert out == {e: 2 for e in edges}
+
+
+def test_edge_support_path_is_zero(spark):
+    from sneaky_data_matcher_spark.operators.graphstats import edge_support
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "u int, v int")
+    out = {(r.u, r.v): r.support for r in edge_support(df).collect()}
+    assert out == {(1, 2): 0, (2, 3): 0, (3, 4): 0}
+
+
+def test_edge_support_random_vs_bruteforce(spark):
+    import random
+
+    from sneaky_data_matcher_spark.operators.graphstats import edge_support
+
+    rng = random.Random(99)
+    edges = set()
+    while len(edges) < 120:
+        a, b = rng.randint(1, 25), rng.randint(1, 25)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {(a, b): len(adj[a] & adj[b]) for a, b in edges}
+    df = spark.createDataFrame(sorted(edges), "u int, v int")
+    got = {(r.u, r.v): r.support for r in edge_support(df).collect()}
+    assert got == expected
