@@ -5664,3 +5664,20 @@ def er_repaired_clusters_q(spark, sf_dir):
             "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
         )
     )
+
+
+# Soft TF-IDF (Cohen-Ravikumar-Fienberg 2003) on the ER candidate pairs:
+# idf-weighted cosine with Jaro-Winkler soft token matching (>0.9).
+@_q(
+    "soft_tfidf_pairs",
+    f"WITH {_ER_PAIRS_CTE}, "
+    + __import__(
+        "sneaky_data_matcher_spark.operators.setsim", fromlist=["x"]
+    ).soft_tfidf_sql_ctes("er_pairs", "canon")
+    + " SELECT doc_id_a, doc_id_b, soft_tfidf FROM soft_out",
+)
+def soft_tfidf_pairs_q(spark, sf_dir):
+    from .operators.setsim import soft_tfidf_pairs
+
+    canon, _, pairs = _er_frames(spark, sf_dir)
+    return soft_tfidf_pairs(pairs, canon, jw_threshold=0.9)

@@ -250,3 +250,132 @@ def ppjoin_sql(threshold: float = 0.7, canon_rel: str = "canon") -> str:
         "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) "
         f"/ CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= {t}"
     )
+
+
+def soft_tfidf_pairs(
+    pairs: DataFrame, canon: DataFrame, jw_threshold: float = 0.9
+) -> DataFrame:
+    """Soft TF-IDF (Cohen, Ravikumar & Fienberg, IIWeb 2003) over
+    CANDIDATE pairs: TF-IDF cosine where tokens also match SOFTLY — a
+    token a of doc A contributes V(a,A)·V(b*,B)·jw(a,b*) when its best
+    Jaro-Winkler partner b* in B clears `jw_threshold`. The measure that
+    made hybrid similarity standard in record linkage: tolerant to token
+    reordering (like cosine) AND per-token typos (like JW), where plain
+    tfidf_cosine_pairs credits only exact token equality.
+
+    Weights follow this module's tfidf_cosine_pairs conventions exactly:
+    w_t = ln(1 + N/df_t); per-doc norm uses the DECIMAL(18,6)-quantized
+    w² sum (exact, order/engine-independent); V(t,S) = w_t / norm(S).
+    Determinism of the float tail: the best partner per (pair, a-token)
+    is row_number over (jw DESC, V_b DESC) — ties beyond that have equal
+    terms — and each term V_a·V_b·jw is floor-quantized to 1e-9 and
+    summed as exact BIGINTs, so the per-pair sum is order-independent.
+    Pairs with NO soft-matching token score 0.0. Note the textbook
+    measure is directional (it iterates A's tokens); this returns the
+    A→B direction on (doc_id_a, doc_id_b) as given.
+
+    Scale shape: per-pair token cross product — O(|A|·|B|) jw kernel
+    calls per CANDIDATE pair (Arrow-batched DuckDB, no per-row Python),
+    strictly a post-blocking verifier like monge_elkan. Joins key on the
+    pair ids; the df census and n_docs reduce exactly as in
+    tfidf_cosine_pairs.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.similarity import jaro_winkler
+
+    sets = token_sets(canon)
+    long = sets.select("doc_id", F.explode("toks").alias("token"))
+    df_counts = long.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = sets.agg(F.count("*").alias("n_docs"))
+    w = F.log(1.0 + F.col("n_docs").cast("double") / F.col("df").cast("double"))
+    weighted = (
+        long.join(df_counts, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            w.alias("w"),
+            F.round(w * w, 6).cast("decimal(18,6)").alias("w2"),
+        )
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(F.sum("w2").cast("double")).alias("nrm")
+    )
+    v = weighted.join(norms, "doc_id").select(
+        "doc_id", "token", (F.col("w") / F.col("nrm")).alias("v")
+    )
+    a = pairs.join(
+        v.select(
+            F.col("doc_id").alias("doc_id_a"),
+            F.col("token").alias("tok_a"),
+            F.col("v").alias("va"),
+        ),
+        "doc_id_a",
+    )
+    cross = a.join(
+        v.select(
+            F.col("doc_id").alias("doc_id_b"),
+            F.col("token").alias("tok_b"),
+            F.col("v").alias("vb"),
+        ),
+        "doc_id_b",
+    )
+    scored = cross.withColumn(
+        "jw", jaro_winkler(F.col("tok_a"), F.col("tok_b"))
+    ).where(F.col("jw") > jw_threshold)
+    win = Window.partitionBy("doc_id_a", "doc_id_b", "tok_a").orderBy(
+        F.col("jw").desc(), F.col("vb").desc()
+    )
+    best = scored.withColumn("rn", F.row_number().over(win)).where(F.col("rn") == 1)
+    term = F.floor(F.col("va") * F.col("vb") * F.col("jw") * 1e9).cast("long")
+    sums = best.groupBy("doc_id_a", "doc_id_b").agg(
+        (F.sum(term).cast("double") / 1e9).alias("soft")
+    )
+    return pairs.join(sums, ["doc_id_a", "doc_id_b"], "left").select(
+        "doc_id_a",
+        "doc_id_b",
+        F.round(F.coalesce("soft", F.lit(0.0)), 6).alias("soft_tfidf"),
+    )
+
+
+def soft_tfidf_sql_ctes(
+    pairs_rel: str, canon_rel: str, jw_threshold: float = 0.9
+) -> str:
+    """DuckDB twin CTE chain for soft_tfidf_pairs; final relation
+    `soft_out` has (doc_id_a, doc_id_b, soft_tfidf). `canon_rel` needs
+    (doc_id, doc_text); `pairs_rel` needs (doc_id_a, doc_id_b)."""
+    return (
+        f"st_sets AS (SELECT doc_id, list_distinct(list_filter("
+        f"string_split(doc_text, ' '), x -> x <> '')) AS toks FROM {canon_rel} "
+        "WHERE len(list_filter(string_split(doc_text, ' '), x -> x <> '')) > 0), "
+        "st_long AS (SELECT doc_id, unnest(toks) AS token FROM st_sets), "
+        "st_df AS (SELECT token, count(*) AS df FROM st_long GROUP BY token), "
+        "st_n AS (SELECT count(*) AS n_docs FROM st_sets), "
+        "st_w AS (SELECT doc_id, l.token, "
+        "  ln(1.0 + CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS w, "
+        "  CAST(round(ln(1.0 + CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) "
+        "    * ln(1.0 + CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) "
+        "    AS DECIMAL(18,6)) AS w2 "
+        "  FROM st_long l JOIN st_df USING (token) CROSS JOIN st_n), "
+        "st_nrm AS (SELECT doc_id, sqrt(CAST(sum(w2) AS DOUBLE)) AS nrm "
+        "  FROM st_w GROUP BY doc_id), "
+        "st_v AS (SELECT w.doc_id, token, w / nrm AS v "
+        "  FROM st_w w JOIN st_nrm USING (doc_id)), "
+        f"st_cross AS (SELECT p.doc_id_a, p.doc_id_b, "
+        "  va.token AS tok_a, va.v AS va, vb.token AS tok_b, vb.v AS vb, "
+        "  jaro_winkler_similarity(va.token, vb.token) AS jw "
+        f"  FROM {pairs_rel} p "
+        "  JOIN st_v va ON va.doc_id = p.doc_id_a "
+        "  JOIN st_v vb ON vb.doc_id = p.doc_id_b), "
+        f"st_best AS (SELECT * FROM (SELECT *, row_number() OVER ("
+        "    PARTITION BY doc_id_a, doc_id_b, tok_a "
+        "    ORDER BY jw DESC, vb DESC) AS rn "
+        f"  FROM st_cross WHERE jw > {jw_threshold!r}) WHERE rn = 1), "
+        "st_sums AS (SELECT doc_id_a, doc_id_b, "
+        "  CAST(sum(CAST(floor(va * vb * jw * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS soft "
+        "  FROM st_best GROUP BY doc_id_a, doc_id_b), "
+        f"soft_out AS (SELECT p.doc_id_a, p.doc_id_b, "
+        "  round(coalesce(s.soft, 0.0), 6) AS soft_tfidf "
+        f"  FROM {pairs_rel} p LEFT JOIN st_sums s USING (doc_id_a, doc_id_b))"
+    )

@@ -198,3 +198,69 @@ def test_tfidf_cosine_sql_twin_matches_spark(spark):
     )
     want = sorted(tuple(r) for r in con.sql(setsim.tfidf_cosine_sql(0.3, 100)).fetchall())
     assert got == want
+
+
+def test_soft_tfidf_credits_typos(spark):
+    """Soft TF-IDF scores near-1 for per-token typos where exact-token
+    cosine scores 0; identical docs score ~1; disjoint docs score 0."""
+    from sneaky_data_matcher_spark.operators.setsim import soft_tfidf_pairs
+
+    canon = spark.createDataFrame(
+        [
+            (1, "jonathan smith acme"),
+            (2, "jonathon smyth acme"),   # typos of 1's tokens
+            (3, "jonathan smith acme"),   # identical to 1
+            (4, "zzz qqq rrr"),           # disjoint
+        ],
+        "doc_id int, doc_text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_id_a int, doc_id_b int"
+    )
+    # jw(smith, smyth) = 0.8933 — the 0.85 threshold admits all 3 tokens
+    out = {
+        (r.doc_id_a, r.doc_id_b): r.soft_tfidf
+        for r in soft_tfidf_pairs(pairs, canon, jw_threshold=0.85).collect()
+    }
+    assert out[(1, 4)] == 0.0
+    assert out[(1, 3)] > 0.999          # identical up to quantization
+    assert 0.9 < out[(1, 2)] <= out[(1, 3)]  # typo'd tokens still credited
+    # at a 0.9 bar the smyth token falls out but the pair still scores
+    strict = {
+        (r.doc_id_a, r.doc_id_b): r.soft_tfidf
+        for r in soft_tfidf_pairs(pairs, canon, jw_threshold=0.9).collect()
+    }
+    assert 0.0 < strict[(1, 2)] < out[(1, 2)]
+
+
+def test_soft_tfidf_matches_duckdb_twin(spark):
+    import duckdb
+
+    from sneaky_data_matcher_spark.operators.setsim import (
+        soft_tfidf_pairs,
+        soft_tfidf_sql_ctes,
+    )
+
+    docs = [
+        (i, " ".join(f"tok{(i * 7 + j * 3) % 11}" for j in range(1 + i % 4)))
+        for i in range(1, 21)
+    ]
+    prs = [(a, b) for a in range(1, 21) for b in range(a + 1, 21) if (a + b) % 3]
+    canon = spark.createDataFrame(docs, "doc_id int, doc_text string")
+    pairs = spark.createDataFrame(prs, "doc_id_a int, doc_id_b int")
+    got = sorted(
+        tuple(r) for r in soft_tfidf_pairs(pairs, canon, 0.9).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c(doc_id INT, doc_text VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?, ?)", docs)
+    con.execute("CREATE TABLE p(doc_id_a INT, doc_id_b INT)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", prs)
+    exp = sorted(
+        con.execute(
+            "WITH "
+            + soft_tfidf_sql_ctes("p", "c", 0.9)
+            + " SELECT doc_id_a, doc_id_b, soft_tfidf FROM soft_out"
+        ).fetchall()
+    )
+    assert got == [tuple(e) for e in exp]
