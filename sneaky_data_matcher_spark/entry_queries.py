@@ -5681,3 +5681,94 @@ def soft_tfidf_pairs_q(spark, sf_dir):
 
     canon, _, pairs = _er_frames(spark, sf_dir)
     return soft_tfidf_pairs(pairs, canon, jw_threshold=0.9)
+
+
+# Group linkage (On et al., ICDE 2007): treat even-id docs as source A
+# and odd-id docs as source B, grouped by a deterministic residue
+# (demo fixture — real callers pass household/author-set ids). Member
+# similarity = tok_jaccard from the ER scored pairs (rational, rounded 6
+# -> engine-exact); group similarity = 1:1-matched-member Jaccard.
+_GL_CTE = (
+    _ER_SCORED_CTE
+    + ", gl_pairs AS MATERIALIZED ("
+    "SELECT CASE WHEN doc_id_a % 2 = 0 THEN doc_id_a ELSE doc_id_b END AS id_a, "
+    "       CASE WHEN doc_id_a % 2 = 0 THEN doc_id_b ELSE doc_id_a END AS id_b, "
+    "       round(tok_jaccard, 6) AS sim FROM er_scored "
+    "WHERE (doc_id_a % 2) + (doc_id_b % 2) = 1), "
+    "gl_keyed AS (SELECT id_a % 37 AS group_a, id_b % 37 AS group_b, id_a, id_b, sim FROM gl_pairs), "
+    "gl_sza AS (SELECT doc_id % 37 AS group_a, count(*) AS na FROM canon "
+    "  WHERE doc_text <> '' AND doc_id % 2 = 0 GROUP BY 1), "
+    "gl_szb AS (SELECT doc_id % 37 AS group_b, count(*) AS nb FROM canon "
+    "  WHERE doc_text <> '' AND doc_id % 2 = 1 GROUP BY 1), "
+    + __import__(
+        "sneaky_data_matcher_spark.operators.assignment", fromlist=["x"]
+    ).group_linkage_sql_ctes("gl_keyed", "gl_sza", "gl_szb", 0.2)
+)
+
+
+@_q(
+    "group_linkage",
+    f"WITH {_GL_CTE} SELECT group_a, group_b, n_matched, "
+    "round(group_sim, 6) AS group_sim, round(avg_sim, 6) AS avg_sim FROM gl_out",
+)
+def group_linkage_q(spark, sf_dir):
+    from .operators.assignment import group_linkage
+
+    canon, _, _ = _er_frames(spark, sf_dir)
+    s = _er_scored_frame(spark, sf_dir)
+    cross = s.where((F.col("doc_id_a") % 2 + F.col("doc_id_b") % 2) == 1)
+    even_first = F.col("doc_id_a") % 2 == 0
+    mp = cross.select(
+        F.when(even_first, F.col("doc_id_a")).otherwise(F.col("doc_id_b")).alias("id_a"),
+        F.when(even_first, F.col("doc_id_b")).otherwise(F.col("doc_id_a")).alias("id_b"),
+        F.round("tok_jaccard", 6).alias("sim"),
+    ).select(
+        (F.col("id_a") % 37).alias("group_a"),
+        (F.col("id_b") % 37).alias("group_b"),
+        "id_a",
+        "id_b",
+        "sim",
+    )
+    sza = (
+        canon.where(F.col("doc_id") % 2 == 0)
+        .groupBy((F.col("doc_id") % 37).alias("group_a"))
+        .agg(F.count("*").alias("na"))
+    )
+    szb = (
+        canon.where(F.col("doc_id") % 2 == 1)
+        .groupBy((F.col("doc_id") % 37).alias("group_b"))
+        .agg(F.count("*").alias("nb"))
+    )
+    out = group_linkage(mp, sza, szb, min_sim=0.2)
+    return out.select(
+        "group_a",
+        "group_b",
+        "n_matched",
+        F.round("group_sim", 6).alias("group_sim"),
+        F.round("avg_sim", 6).alias("avg_sim"),
+    )
+
+
+# k-anonymity audit (operators/profiling.py): quasi-identifiers =
+# (nation, market segment, account-balance band). Classes under k=4 are
+# the re-identifiable ones a release gate must suppress or generalize.
+_KANON_BAND_SQL = "CAST(floor(c_acctbal / 2000.0) AS BIGINT)"
+
+
+@_q(
+    "k_anonymity_report",
+    f"SELECT c_nationkey, c_mktsegment, {_KANON_BAND_SQL} AS bal_band, "
+    "count(*) AS class_size FROM customer "
+    "GROUP BY c_nationkey, c_mktsegment, bal_band HAVING count(*) < 4",
+)
+def k_anonymity_report_q(spark, sf_dir):
+    from .operators.profiling import k_anonymity_report
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("bal_band"),
+    )
+    return k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment", "bal_band"], k=4
+    )

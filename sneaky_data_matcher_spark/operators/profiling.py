@@ -83,3 +83,24 @@ def profile_sql(table: str, cols: list[str], numeric: set[str]) -> str:
             f"{mn} AS min_num, {mx} AS max_num, {al} AS avg_len FROM {table}"
         )
     return " UNION ALL ".join(parts)
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_identifiers: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: every QI
+    equivalence class with fewer than k rows (the re-identifiable ones),
+    plus its size. A released table is k-anonymous iff this report is
+    EMPTY — the standard privacy gate before a linkage corpus or training
+    extract leaves the pipeline (complements functions/pii.py's direct-
+    identifier scan: QIs re-identify by COMBINATION, not content).
+
+    One groupBy over the QI columns (map-side combine), filter < k —
+    identical shape at 100 TB; the report size is bounded by the number
+    of small classes, not the table."""
+    qi = [F.col(c) for c in quasi_identifiers]
+    return (
+        df.groupBy(*qi)
+        .agg(F.count("*").alias("class_size"))
+        .where(F.col("class_size") < k)
+    )

@@ -276,3 +276,86 @@ def test_address_spark_matches_duckdb(spark):
         f"SELECT {A.normalize_address_sql('a')}, {A.address_unit_sql('a')} FROM t"
     ).fetchall()
     assert got == [tuple(e) for e in exp]
+
+
+# ---------------------------------------------------------------------------
+# Group linkage
+# ---------------------------------------------------------------------------
+
+def test_group_linkage_hand_case(spark):
+    """Two groups with 2x2 members: the 1:1 assignment must not double-use
+    a member, and group_sim is the matched-member Jaccard."""
+    from sneaky_data_matcher_spark.operators.assignment import group_linkage
+
+    # group pair (g1, h1): members a1,a2 vs b1,b2.
+    # sims: (a1,b1)=0.9 (a1,b2)=0.8 (a2,b1)=0.85 -> mutual best: (a1,b1);
+    # a2's best b1 is taken by... mutual-best does NOT chain: a2->b1 but
+    # b1->a1, so only (a1,b1) matches => n_matched=1, sim=1/(2+2-1)=1/3.
+    rows = [
+        (1, 1, "a1", "b1", 0.9),
+        (1, 1, "a1", "b2", 0.8),
+        (1, 1, "a2", "b1", 0.85),
+        # group pair (2, 2): perfect 1:1 double match
+        (2, 2, "c1", "d1", 1.0),
+        (2, 2, "c2", "d2", 1.0),
+    ]
+    mp = spark.createDataFrame(
+        rows, "group_a int, group_b int, id_a string, id_b string, sim double"
+    )
+    sza = spark.createDataFrame([(1, 2), (2, 2)], "group_a int, na long")
+    szb = spark.createDataFrame([(1, 2), (2, 2)], "group_b int, nb long")
+    out = {
+        (r.group_a, r.group_b): (r.n_matched, round(r.group_sim, 6), r.avg_sim)
+        for r in group_linkage(mp, sza, szb).collect()
+    }
+    assert out[(1, 1)] == (1, round(1 / 3, 6), 0.9)
+    assert out[(2, 2)] == (2, 1.0, 1.0)
+
+
+def test_group_linkage_matches_duckdb_twin(spark):
+    import random
+
+    import duckdb
+
+    from sneaky_data_matcher_spark.operators.assignment import (
+        group_linkage,
+        group_linkage_sql_ctes,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for ga in range(4):
+        for gb in range(4):
+            for i in range(rng.randint(0, 5)):
+                rows.append(
+                    (ga, gb, f"a{rng.randint(0,6)}", f"b{rng.randint(0,6)}",
+                     round(rng.random(), 6))
+                )
+    rows = list({(ga, gb, ia, ib): (ga, gb, ia, ib, s)
+                 for ga, gb, ia, ib, s in rows}.values())
+    sza_r = [(g, rng.randint(7, 10)) for g in range(4)]
+    szb_r = [(g, rng.randint(7, 10)) for g in range(4)]
+    mp = spark.createDataFrame(
+        rows, "group_a int, group_b int, id_a string, id_b string, sim double"
+    )
+    sza = spark.createDataFrame(sza_r, "group_a int, na long")
+    szb = spark.createDataFrame(szb_r, "group_b int, nb long")
+    got = sorted(
+        (r.group_a, r.group_b, r.n_matched, round(r.group_sim, 9), round(r.avg_sim, 9))
+        for r in group_linkage(mp, sza, szb, min_sim=0.3).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE mp(group_a INT, group_b INT, id_a VARCHAR, id_b VARCHAR, sim DOUBLE)")
+    con.executemany("INSERT INTO mp VALUES (?,?,?,?,?)", rows)
+    con.execute("CREATE TABLE sza(group_a INT, na BIGINT)")
+    con.executemany("INSERT INTO sza VALUES (?,?)", sza_r)
+    con.execute("CREATE TABLE szb(group_b INT, nb BIGINT)")
+    con.executemany("INSERT INTO szb VALUES (?,?)", szb_r)
+    exp = sorted(
+        (a, b, n, round(gs, 9), round(av, 9))
+        for a, b, n, gs, av in con.execute(
+            "WITH " + group_linkage_sql_ctes("mp", "sza", "szb", 0.3)
+            + " SELECT group_a, group_b, n_matched, group_sim, avg_sim FROM gl_out"
+        ).fetchall()
+    )
+    assert got == exp
