@@ -5772,3 +5772,68 @@ def k_anonymity_report_q(spark, sf_dir):
     return k_anonymity_report(
         cust, ["c_nationkey", "c_mktsegment", "bal_band"], k=4
     )
+
+
+# Person-name standardization (functions/names.py): both layouts,
+# nicknames, generational suffixes — synthesized deterministically from
+# customer keys like the other comparator fixtures.
+_NM_FIRSTS = ["Bill", "KATE", "jim", "Alexandra", "LIZ", "Tom", "Sue", "NED"]
+_NM_LASTS = ["Smith", "van der Berg", "JOHNSON", "o neil", "Garcia", "Lee", "BROWN"]
+_NM_MIDS = ["", "A.", "B", "C. D."]
+_NM_SFX = ["", "Jr.", "III", "", "SR"]
+
+
+def _name_raw_sql() -> str:
+    f = "([" + ", ".join(f"'{x}'" for x in _NM_FIRSTS) + "])[c_custkey % 8 + 1]"
+    l = "([" + ", ".join(f"'{x}'" for x in _NM_LASTS) + "])[c_custkey % 7 + 1]"
+    m = "([" + ", ".join(f"'{x}'" for x in _NM_MIDS) + "])[c_custkey % 4 + 1]"
+    s = "([" + ", ".join(f"'{x}'" for x in _NM_SFX) + "])[c_custkey % 5 + 1]"
+    mid = f"CASE WHEN {m} <> '' THEN ' ' || {m} ELSE '' END"
+    sfx = f"CASE WHEN {s} <> '' THEN ' ' || {s} ELSE '' END"
+    return (
+        f"CASE WHEN c_custkey % 3 = 0 THEN {l} || {sfx} || ', ' || {f} || {mid} "
+        f"ELSE {f} || {mid} || ' ' || {l} || {sfx} END"
+    )
+
+
+def _name_raw_col() -> F.Column:
+    k = F.col("c_custkey")
+    pick = lambda opts, n: F.element_at(  # noqa: E731
+        F.array(*[F.lit(o) for o in opts]), (k % n + 1).cast("int")
+    )
+    f, l = pick(_NM_FIRSTS, 8), pick(_NM_LASTS, 7)
+    m, s = pick(_NM_MIDS, 4), pick(_NM_SFX, 5)
+    mid = F.when(m != "", F.concat(F.lit(" "), m)).otherwise(F.lit(""))
+    sfx = F.when(s != "", F.concat(F.lit(" "), s)).otherwise(F.lit(""))
+    return F.when(
+        k % 3 == 0, F.concat(l, sfx, F.lit(", "), f, mid)
+    ).otherwise(F.concat(f, mid, F.lit(" "), l, sfx))
+
+
+@_q(
+    "parse_names",
+    "SELECT c_custkey, p.first AS first_name, p.middle AS middle_name, "
+    "p.last AS last_name, p.suffix AS name_suffix, "
+    + __import__(
+        "sneaky_data_matcher_spark.functions.names", fromlist=["x"]
+    ).canonical_name_sql("name_raw")
+    + " AS canon_name FROM (SELECT c_custkey, name_raw, "
+    + __import__(
+        "sneaky_data_matcher_spark.functions.names", fromlist=["x"]
+    ).parse_person_name_sql("name_raw")
+    + f" AS p FROM (SELECT c_custkey, {_name_raw_sql()} AS name_raw FROM customer))",
+)
+def parse_names_q(spark, sf_dir):
+    from .functions import names as N
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    t = cust.select("c_custkey", _name_raw_col().alias("name_raw"))
+    p = N.parse_person_name(F.col("name_raw"))
+    return t.select(
+        "c_custkey",
+        p.getField("first").alias("first_name"),
+        p.getField("middle").alias("middle_name"),
+        p.getField("last").alias("last_name"),
+        p.getField("suffix").alias("name_suffix"),
+        N.canonical_name(F.col("name_raw")).alias("canon_name"),
+    )

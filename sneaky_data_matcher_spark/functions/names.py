@@ -1,0 +1,257 @@
+"""Person-name standardization for record linkage.
+
+Names arrive in two dominant layouts — "LAST, FIRST [MIDDLE]" (file-order)
+and "First [Middle] Last [Suffix]" (display-order) — plus nickname variants
+(BILL vs WILLIAM) and generational suffixes (JR/SR/III). The reference
+compares canonical keys by exact equality (SearchService.java:17-45
+StringTransformer chain), so name agreement is only as strong as the
+standardization in front of it. This module decomposes and canonicalizes
+deterministically:
+
+  parse_person_name -> struct(first, middle, last, suffix)
+  canonical_name    -> "FIRST LAST" with the nickname map applied
+
+All native Catalyst (regexp + CASE + array ops) — codegen-friendly at
+100 TB; DuckDB twins mirror every branch (shared literal tables), so
+driver value-hashes hold. Scope notes: single-token names become LAST
+with NULL first; multi-word surnames ("VAN DER BERG") keep only the final
+token as last in display-order input (the comma layout preserves them) —
+the standard heuristic's documented limitation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# classic English nickname -> formal map (the high-frequency subset used
+# by febrl/recordlinkage toolkits; extend per deployment)
+NICKNAMES: dict[str, str] = {
+    "BILL": "WILLIAM",
+    "WILL": "WILLIAM",
+    "LIZ": "ELIZABETH",
+    "BETH": "ELIZABETH",
+    "BETTY": "ELIZABETH",
+    "BOB": "ROBERT",
+    "ROB": "ROBERT",
+    "DICK": "RICHARD",
+    "RICK": "RICHARD",
+    "JIM": "JAMES",
+    "JIMMY": "JAMES",
+    "MIKE": "MICHAEL",
+    "TOM": "THOMAS",
+    "TONY": "ANTHONY",
+    "KATE": "KATHERINE",
+    "KATHY": "KATHERINE",
+    "PEGGY": "MARGARET",
+    "MEG": "MARGARET",
+    "TED": "EDWARD",
+    "ED": "EDWARD",
+    "JACK": "JOHN",
+    "HANK": "HENRY",
+    "CHUCK": "CHARLES",
+    "CHARLIE": "CHARLES",
+    "ALEX": "ALEXANDER",
+    "SUE": "SUSAN",
+    "NED": "EDWARD",
+    "SAM": "SAMUEL",
+    "DAVE": "DAVID",
+    "DAN": "DANIEL",
+    "DANNY": "DANIEL",
+    "JOE": "JOSEPH",
+    "FRED": "FREDERICK",
+    "STEVE": "STEPHEN",
+    "GREG": "GREGORY",
+    "PAT": "PATRICIA",
+    "TRISH": "PATRICIA",
+    "NICK": "NICHOLAS",
+    "CHRIS": "CHRISTOPHER",
+}
+
+SUFFIXES = ("JR", "SR", "II", "III", "IV", "V")
+
+
+def _clean(col: Column) -> Column:
+    """Uppercase, strip periods, collapse whitespace, trim."""
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.upper(col), r"\.", ""), r"\s+", " ")
+    )
+
+
+def _tokens_no_suffix(cleaned: Column) -> tuple[Column, Column]:
+    """(tokens-with-suffix-removed, suffix-or-null) from a cleaned,
+    comma-free name string."""
+    toks = F.filter(F.split(cleaned, " "), lambda t: t != "")
+    # guard: ANSI element_at errors on empty arrays
+    last_tok = F.when(F.size(toks) > 0, F.element_at(toks, -1))
+    has_suffix = (F.size(toks) > 1) & F.coalesce(
+        last_tok.isin(*SUFFIXES), F.lit(False)
+    )
+    body = F.when(has_suffix, F.slice(toks, 1, F.size(toks) - 1)).otherwise(toks)
+    suffix = F.when(has_suffix, last_tok)
+    return body, suffix
+
+
+def parse_person_name(col: Column) -> Column:
+    """struct(first, middle, last, suffix) from either layout.
+
+    Comma present -> "LAST[, SUFFIX?], FIRST [MIDDLE...]": text before the
+    first comma is the full surname (multi-word preserved); remaining
+    comma-free text is cleaned of a trailing generational suffix, then
+    token 1 = first, rest joined = middle.
+    No comma -> "FIRST [MIDDLE...] LAST [SUFFIX?]": trailing suffix token
+    peeled, then last token = surname, first token = first, middle = rest.
+    Single token -> last only. Empty/blank -> all NULL."""
+    c = _clean(col)
+    has_comma = F.instr(c, ",") > 0
+    # ---- comma layout
+    pre = F.trim(F.substring_index(c, ",", 1))
+    post = F.trim(F.regexp_replace(c, r"^[^,]*,", ""))
+    post = F.trim(F.regexp_replace(post, ",", " "))
+    post = F.regexp_replace(post, r"\s+", " ")
+    ptoks, psuf = _tokens_no_suffix(post)
+    # the suffix may also trail the surname segment ("SMITH JR, JOHN")
+    pre_toks, pre_suf = _tokens_no_suffix(pre)
+    comma_first = F.when(F.size(ptoks) >= 1, F.element_at(ptoks, 1))
+    comma_middle = F.when(
+        F.size(ptoks) > 1, F.array_join(F.slice(ptoks, 2, F.size(ptoks) - 1), " ")
+    )
+    comma_last = F.array_join(pre_toks, " ")
+    comma_suffix = F.coalesce(pre_suf, psuf)
+    # ---- display layout
+    dtoks, dsuf = _tokens_no_suffix(c)
+    n = F.size(dtoks)
+    disp_first = F.when(n >= 2, F.element_at(dtoks, 1))
+    disp_middle = F.when(n >= 3, F.array_join(F.slice(dtoks, 2, n - 2), " "))
+    disp_last = F.when(n >= 1, F.element_at(dtoks, -1))
+    empty = c == ""
+    null_s = F.lit(None).cast("string")
+    return F.struct(
+        F.when(empty, null_s)
+        .when(has_comma, comma_first)
+        .otherwise(disp_first)
+        .alias("first"),
+        F.when(empty, null_s)
+        .when(has_comma, comma_middle)
+        .otherwise(disp_middle)
+        .alias("middle"),
+        F.when(empty, null_s)
+        .when(has_comma, F.when(comma_last != "", comma_last))
+        .otherwise(disp_last)
+        .alias("last"),
+        F.when(empty, null_s)
+        .when(has_comma, comma_suffix)
+        .otherwise(dsuf)
+        .alias("suffix"),
+    )
+
+
+def _nickname_case(t: Column) -> Column:
+    out = None
+    for nick, formal in NICKNAMES.items():
+        out = (
+            F.when(t == nick, F.lit(formal))
+            if out is None
+            else out.when(t == nick, F.lit(formal))
+        )
+    return out.otherwise(t)
+
+
+def canonical_name(col: Column) -> Column:
+    """Blocking/matching key: 'FIRST LAST' with the nickname map applied
+    to the first name; falls back to whichever component exists."""
+    p = parse_person_name(col)
+    first = _nickname_case(p.getField("first"))
+    last = p.getField("last")
+    return F.when(
+        first.isNotNull() & last.isNotNull(), F.concat(first, F.lit(" "), last)
+    ).otherwise(F.coalesce(last, first))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins
+# ---------------------------------------------------------------------------
+
+def _clean_sql(col: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(upper({col}), '\\.', '', 'g'), "
+        "'\\s+', ' ', 'g'))"
+    )
+
+
+def _suffix_list_sql() -> str:
+    return "[" + ", ".join(f"'{s}'" for s in SUFFIXES) + "]"
+
+
+def _body_sql(toks: str) -> str:
+    """tokens with a trailing generational suffix removed (1-indexed)."""
+    u = _suffix_list_sql()
+    return (
+        f"CASE WHEN len({toks}) > 1 AND list_contains({u}, ({toks})[-1]) "
+        f"THEN ({toks})[1:len({toks}) - 1] ELSE {toks} END"
+    )
+
+
+def _suf_sql(toks: str) -> str:
+    u = _suffix_list_sql()
+    return (
+        f"CASE WHEN len({toks}) > 1 AND list_contains({u}, ({toks})[-1]) "
+        f"THEN ({toks})[-1] END"
+    )
+
+
+def parse_person_name_sql(col: str) -> str:
+    """DuckDB twin of parse_person_name producing the same 4 fields as a
+    STRUCT via struct_pack. Callers typically splice the per-field
+    expressions; this returns one struct expression string."""
+    c = _clean_sql(col)
+    toks = f"list_filter(string_split({c}, ' '), x -> x <> '')"
+    pre = f"trim(string_split({c}, ',')[1])"
+    post = (
+        f"regexp_replace(trim(regexp_replace(regexp_replace({c}, '^[^,]*,', ''), "
+        "',', ' ', 'g')), '\\s+', ' ', 'g')"
+    )
+    ptoks = f"list_filter(string_split({post}, ' '), x -> x <> '')"
+    pretoks = f"list_filter(string_split({pre}, ' '), x -> x <> '')"
+    pbody, psuf = _body_sql(ptoks), _suf_sql(ptoks)
+    prebody, presuf = _body_sql(pretoks), _suf_sql(pretoks)
+    dbody, dsuf = _body_sql(toks), _suf_sql(toks)
+    has_comma = f"instr({c}, ',') > 0"
+    empty = f"{c} = ''"
+    first = (
+        f"CASE WHEN {empty} THEN NULL WHEN {has_comma} THEN ({pbody})[1] "
+        f"WHEN len({dbody}) >= 2 THEN ({dbody})[1] END"
+    )
+    middle = (
+        f"CASE WHEN {empty} THEN NULL WHEN {has_comma} THEN "
+        f"(CASE WHEN len({pbody}) > 1 THEN array_to_string(({pbody})[2:], ' ') END) "
+        f"WHEN len({dbody}) >= 3 THEN array_to_string(({dbody})[2:len({dbody}) - 1], ' ') END"
+    )
+    last = (
+        f"CASE WHEN {empty} THEN NULL WHEN {has_comma} THEN "
+        f"(CASE WHEN array_to_string({prebody}, ' ') <> '' THEN array_to_string({prebody}, ' ') END) "
+        f"WHEN len({dbody}) >= 1 THEN ({dbody})[-1] END"
+    )
+    suffix = (
+        f"CASE WHEN {empty} THEN NULL WHEN {has_comma} THEN coalesce({presuf}, {psuf}) "
+        f"ELSE {dsuf} END"
+    )
+    return (
+        f"struct_pack(first := {first}, middle := {middle}, "
+        f"last := {last}, suffix := {suffix})"
+    )
+
+
+def nickname_case_sql(t: str) -> str:
+    cases = " ".join(f"WHEN {t} = '{n}' THEN '{f}'" for n, f in NICKNAMES.items())
+    return f"CASE {cases} ELSE {t} END"
+
+
+def canonical_name_sql(col: str) -> str:
+    p = parse_person_name_sql(col)
+    return (
+        f"(WITH np AS (SELECT {p} AS p) "
+        f"SELECT CASE WHEN {nickname_case_sql('p.first')} IS NOT NULL AND p.last IS NOT NULL "
+        f"THEN {nickname_case_sql('p.first')} || ' ' || p.last "
+        f"ELSE coalesce(p.last, {nickname_case_sql('p.first')}) END FROM np)"
+    )

@@ -359,3 +359,65 @@ def test_group_linkage_matches_duckdb_twin(spark):
         ).fetchall()
     )
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Person names
+# ---------------------------------------------------------------------------
+
+NAME_CASES = [
+    ("Smith, John A.", ("JOHN", "A", "SMITH", None), "JOHN SMITH"),
+    ("John A. Smith", ("JOHN", "A", "SMITH", None), "JOHN SMITH"),
+    ("SMITH JR, BILL", ("BILL", None, "SMITH", "JR"), "WILLIAM SMITH"),
+    ("Bill Smith Jr.", ("BILL", None, "SMITH", "JR"), "WILLIAM SMITH"),
+    ("Cher", (None, None, "CHER", None), "CHER"),
+    ("", (None, None, None, None), None),
+    ("van der Berg, Liz", ("LIZ", None, "VAN DER BERG", None),
+     "ELIZABETH VAN DER BERG"),
+    (",John", ("JOHN", None, None, None), "JOHN"),
+    ("Kate  B.  C.  O Neil III", ("KATE", "B C O", "NEIL", "III"),
+     "KATHERINE NEIL"),
+]
+
+
+def test_parse_person_name_cases(spark):
+    from sneaky_data_matcher_spark.functions import names as N
+
+    df = spark.createDataFrame([(x,) for x, _, _ in NAME_CASES], "x string")
+    out = {
+        r.x: ((r.p.first, r.p.middle, r.p.last, r.p.suffix), r.cn)
+        for r in df.select(
+            "x",
+            N.parse_person_name(F.col("x")).alias("p"),
+            N.canonical_name(F.col("x")).alias("cn"),
+        ).collect()
+    }
+    for raw, parts, canon in NAME_CASES:
+        assert out[raw] == (parts, canon), raw
+
+
+def test_parse_person_name_matches_duckdb(spark):
+    from sneaky_data_matcher_spark.functions import names as N
+
+    extra = ["x, y, z", "PAT  LEE  SR", "JR", "Smith,", "  "]
+    all_names = [x for x, _, _ in NAME_CASES] + extra
+    df = spark.createDataFrame([(x,) for x in all_names], "x string")
+    got = [
+        (r.x, (r.p.first, r.p.middle, r.p.last, r.p.suffix), r.cn)
+        for r in df.select(
+            "x",
+            N.parse_person_name(F.col("x")).alias("p"),
+            N.canonical_name(F.col("x")).alias("cn"),
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE nm(x VARCHAR)")
+    con.executemany("INSERT INTO nm VALUES (?)", [(x,) for x in all_names])
+    exp = [
+        (r[0], (r[1]["first"], r[1]["middle"], r[1]["last"], r[1]["suffix"]), r[2])
+        for r in con.execute(
+            f"SELECT x, {N.parse_person_name_sql('x')} p, "
+            f"{N.canonical_name_sql('x')} cn FROM nm"
+        ).fetchall()
+    ]
+    assert got == exp
