@@ -321,13 +321,19 @@ def soft_tfidf_pairs(
         ),
         "doc_id_b",
     )
-    scored = cross.withColumn(
-        "jw", jaro_winkler(F.col("tok_a"), F.col("tok_b"))
-    ).where(F.col("jw") > jw_threshold)
+    scored = cross.withColumn("jw", jaro_winkler(F.col("tok_a"), F.col("tok_b")))
     win = Window.partitionBy("doc_id_a", "doc_id_b", "tok_a").orderBy(
         F.col("jw").desc(), F.col("vb").desc()
     )
-    best = scored.withColumn("rn", F.row_number().over(win)).where(F.col("rn") == 1)
+    # Threshold AFTER the rank, not before: equivalent (the rank-1 row
+    # carries the per-(pair, a-token) MAX jw, so pre- and post-filtering
+    # keep exactly the same rows) and it stops Catalyst inlining the
+    # Arrow UDF into a below-window Filter, which would evaluate the
+    # kernel TWICE (plan-audited: one ArrowEvalPython, PLANS.md).
+    best = (
+        scored.withColumn("rn", F.row_number().over(win))
+        .where((F.col("rn") == 1) & (F.col("jw") > jw_threshold))
+    )
     term = F.floor(F.col("va") * F.col("vb") * F.col("jw") * 1e9).cast("long")
     sums = best.groupBy("doc_id_a", "doc_id_b").agg(
         (F.sum(term).cast("double") / 1e9).alias("soft")
