@@ -5837,3 +5837,315 @@ def parse_names_q(spark, sf_dir):
         p.getField("suffix").alias("name_suffix"),
         N.canonical_name(F.col("name_raw")).alias("canon_name"),
     )
+
+
+# Width folding: construct fullwidth-polluted text deterministically from
+# documents (translate ASCII -> fullwidth on even ids, the exact inverse
+# domain of the fold), then fold back; round trip proven by the twin.
+@_q(
+    "width_fold",
+    "SELECT doc_id, "
+    + __import__(
+        "sneaky_data_matcher_spark.functions.canonicalize", fromlist=["x"]
+    ).fold_width_sql(
+        "CASE WHEN doc_id % 2 = 0 THEN translate(text, "
+        "'" + "".join(chr(0x21 + i) for i in range(0x5E)).replace("'", "''") + "', "
+        "'" + "".join(chr(0xFF01 + i) for i in range(0x5E)).replace("'", "''") + "') "
+        "ELSE text END"
+    )
+    + " AS folded, "
+    + __import__(
+        "sneaky_data_matcher_spark.functions.canonicalize", fromlist=["x"]
+    ).fold_width_sql(
+        "CASE WHEN doc_id % 2 = 0 THEN translate(text, "
+        "'" + "".join(chr(0x21 + i) for i in range(0x5E)).replace("'", "''") + "', "
+        "'" + "".join(chr(0xFF01 + i) for i in range(0x5E)).replace("'", "''") + "') "
+        "ELSE text END"
+    )
+    + " = text AS roundtrip FROM documents",
+)
+def width_fold_q(spark, sf_dir):
+    from .functions.canonicalize import WIDTH_DST, WIDTH_SRC, fold_width
+
+    d = _docs(spark, sf_dir)
+    # widen: ASCII -> fullwidth (inverse mapping, minus the space pair)
+    widened = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.translate(F.col("text"), WIDTH_DST[:-1], WIDTH_SRC[:-1]),
+    ).otherwise(F.col("text"))
+    folded = fold_width(widened)
+    return d.select(
+        "doc_id", folded.alias("folded"), (folded == F.col("text")).alias("roundtrip")
+    )
+
+
+# Numeric comparator levels over dual-source amounts (same fixture style
+# as dob_match_features: residue-chosen corruption modes).
+_AMT_B_SQL = (
+    "CASE WHEN c_custkey % 5 IN (0, 1) THEN amt_a "
+    "WHEN c_custkey % 5 = 2 THEN amt_a * 1.005 "
+    "WHEN c_custkey % 5 = 3 THEN amt_a * 1.05 "
+    "ELSE amt_a + 1000.0 END"
+)
+
+
+@_q(
+    "amount_match_features",
+    "SELECT c_custkey, amt_a, amt_b, "
+    + __import__(
+        "sneaky_data_matcher_spark.functions.comparators", fromlist=["x"]
+    ).numeric_match_sql("amt_a", "amt_b")
+    + " AS match_level FROM (SELECT c_custkey, amt_a, "
+    + _AMT_B_SQL
+    + " AS amt_b FROM (SELECT c_custkey, c_acctbal AS amt_a FROM customer))",
+)
+def amount_match_features_q(spark, sf_dir):
+    from .functions.comparators import numeric_match_level
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    t = cust.select("c_custkey", F.col("c_acctbal").alias("amt_a"))
+    a = F.col("amt_a")
+    b = (
+        F.when((k % 5).isin(0, 1), a)
+        .when(k % 5 == 2, a * 1.005)
+        .when(k % 5 == 3, a * 1.05)
+        .otherwise(a + 1000.0)
+    )
+    t = t.withColumn("amt_b", b)
+    return t.select(
+        "c_custkey",
+        "amt_a",
+        "amt_b",
+        numeric_match_level(F.col("amt_a"), F.col("amt_b")).alias("match_level"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship comparator composition (r3 continuation): end-to-end TWO-SOURCE
+# person linkage over synthesized person records — name (dual layout +
+# nicknames), DOB (graded corruption), address (spelling-variant raw,
+# same canonical), amount (relative-error grades). Blocking =
+# soundex(surname) | birth year; scoring = fixed-weight sum of the field
+# comparators; decision = threshold + mutual-best 1:1 assignment.
+# Exercises functions/names+dates+addresses+comparators+phonetic and
+# operators/assignment TOGETHER, the way a real deployment would.
+# ---------------------------------------------------------------------------
+
+_PL_NAME_B_SQL = (
+    # source B: the OTHER layout than A (k%3=0 was comma in A), middle
+    # dropped — same person, different formatting
+    "CASE WHEN c_custkey % 3 = 0 THEN "
+    "([" + ", ".join(f"'{x}'" for x in _NM_FIRSTS) + "])[c_custkey % 8 + 1]"
+    " || ' ' || ([" + ", ".join(f"'{x}'" for x in _NM_LASTS) + "])[c_custkey % 7 + 1] "
+    "ELSE ([" + ", ".join(f"'{x}'" for x in _NM_LASTS) + "])[c_custkey % 7 + 1]"
+    " || ', ' || ([" + ", ".join(f"'{x}'" for x in _NM_FIRSTS) + "])[c_custkey % 8 + 1] END"
+)
+
+# source B address: swap the suffix spelling within its canonical class
+# (Street<->St., AVENUE<->Ave), drop the unit part
+_ADDR_B_IDX = (
+    "CASE c_custkey % 7 WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 4 "
+    "WHEN 3 THEN 3 ELSE c_custkey % 7 + 1 END"
+)
+
+
+def _pl_addr_b_sql() -> str:
+    dirs = ", ".join(f"'{d}'" for d in _ADDR_DIRS)
+    names = ", ".join(f"'{n}'" for n in _ADDR_NAMES)
+    sufs = ", ".join(f"'{s}'" for s in _ADDR_SUFFIXES)
+    return (
+        f"CAST(c_custkey AS VARCHAR) || ' ' || ([{dirs}])[c_custkey % 5 + 1] "
+        f"|| ' ' || ([{names}])[c_custkey % 6 + 1] "
+        f"|| ' ' || ([{sufs}])[{_ADDR_B_IDX}]"
+    )
+
+
+def _pl_addr_b_col() -> F.Column:
+    k = F.col("c_custkey")
+    pick = lambda opts, idx: F.element_at(  # noqa: E731
+        F.array(*[F.lit(o) for o in opts]), idx
+    )
+    idx_b = (
+        F.when(k % 7 == 0, F.lit(2))
+        .when(k % 7 == 1, F.lit(1))
+        .when(k % 7 == 2, F.lit(4))
+        .when(k % 7 == 3, F.lit(3))
+        .otherwise((k % 7 + 1).cast("int"))
+    ).cast("int")
+    return F.concat(
+        k.cast("string"),
+        F.lit(" "),
+        pick(_ADDR_DIRS, (k % 5 + 1).cast("int")),
+        F.lit(" "),
+        pick(_ADDR_NAMES, (k % 6 + 1).cast("int")),
+        F.lit(" "),
+        pick(_ADDR_SUFFIXES, idx_b),
+    )
+
+
+def _person_linkage_sql() -> str:
+    from .functions import addresses as A
+    from .functions import comparators as CMP
+    from .functions import dates as D
+    from .functions import names as N
+    from .functions.phonetic import soundex_sql
+
+    parse_a = N.parse_person_name_sql("name_a")
+    parse_b = N.parse_person_name_sql("name_b")
+    return (
+        "WITH pl_src AS (SELECT c_custkey AS rid, "
+        f"{_name_raw_sql()} AS name_a, {_PL_NAME_B_SQL} AS name_b, "
+        f"{_DOB_A_SQL} AS dob_a, "
+        f"{_addr_raw_sql()} AS addr_a, {_pl_addr_b_sql()} AS addr_b, "
+        "c_acctbal AS amt_a, c_custkey FROM customer), "
+        f"pl_src2 AS (SELECT *, {_DOB_B_SQL} AS dob_b, {_AMT_B_SQL} AS amt_b FROM pl_src), "
+        f"pl_a AS (SELECT rid AS id_a, {N.canonical_name_sql('name_a')} AS cn_a, "
+        f"  ({parse_a}).last AS last_a, dob_a, "
+        f"  {A.normalize_address_sql('addr_a')} AS an_a, amt_a FROM pl_src2), "
+        f"pl_b AS (SELECT rid AS id_b, {N.canonical_name_sql('name_b')} AS cn_b, "
+        f"  ({parse_b}).last AS last_b, dob_b, "
+        f"  {A.normalize_address_sql('addr_b')} AS an_b, amt_b FROM pl_src2), "
+        f"pl_ka AS (SELECT *, {soundex_sql('last_a')} || '|' || CAST(year(dob_a) AS VARCHAR) AS bk FROM pl_a), "
+        f"pl_kb AS (SELECT *, {soundex_sql('last_b')} || '|' || CAST(year(dob_b) AS VARCHAR) AS bk FROM pl_b), "
+        "pl_cand AS (SELECT * FROM pl_ka JOIN pl_kb USING (bk)), "
+        "pl_scored AS (SELECT id_a, id_b, "
+        "  round(4.0 * round(jaro_winkler_similarity(cn_a, cn_b), 6) "
+        f"    + 1.0 * ({D.date_match_sql('dob_a', 'dob_b')}) "
+        "    + 2.0 * (CASE WHEN an_a = an_b THEN 1 ELSE 0 END) "
+        f"    + 0.5 * ({CMP.numeric_match_sql('amt_a', 'amt_b')}), 6) AS score "
+        "  FROM pl_cand), "
+        "pl_match AS (SELECT * FROM pl_scored WHERE score >= 7.0), "
+        "pl_rk AS (SELECT *, "
+        "  row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS ra, "
+        "  row_number() OVER (PARTITION BY id_b ORDER BY score DESC, id_a ASC) AS rb "
+        "  FROM pl_match) "
+        "SELECT id_a, id_b, score, id_a = id_b AS is_true "
+        "FROM pl_rk WHERE ra = 1 AND rb = 1"
+    )
+
+
+@_q("person_linkage_e2e", None)
+def person_linkage_e2e_q(spark, sf_dir):
+    import datetime as _dt
+
+    from pyspark.sql import Window as W
+
+    from .functions import addresses as A
+    from .functions import comparators as CMP
+    from .functions import dates as D
+    from .functions import names as N
+    from .functions.phonetic import soundex_col
+    from .functions.similarity import jaro_winkler
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    dob_a = F.date_add(F.lit(_dt.date(1950, 1, 1)), (k * 97 % 15000).cast("int"))
+    src = cust.select(
+        k.alias("rid"),
+        _name_raw_col().alias("name_a"),
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.element_at(
+                    F.array(*[F.lit(x) for x in _NM_FIRSTS]), (k % 8 + 1).cast("int")
+                ),
+                F.lit(" "),
+                F.element_at(
+                    F.array(*[F.lit(x) for x in _NM_LASTS]), (k % 7 + 1).cast("int")
+                ),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.element_at(
+                    F.array(*[F.lit(x) for x in _NM_LASTS]), (k % 7 + 1).cast("int")
+                ),
+                F.lit(", "),
+                F.element_at(
+                    F.array(*[F.lit(x) for x in _NM_FIRSTS]), (k % 8 + 1).cast("int")
+                ),
+            )
+        )
+        .alias("name_b"),
+        dob_a.alias("dob_a"),
+        _addr_raw_col().alias("addr_a"),
+        _pl_addr_b_col().alias("addr_b"),
+        F.col("c_acctbal").alias("amt_a"),
+        "c_custkey",
+    )
+    da = F.col("dob_a")
+    swapped = F.when(
+        F.dayofmonth(da) <= 12,
+        F.make_date(F.year(da), F.dayofmonth(da), F.month(da)),
+    ).otherwise(da)
+    dob_b = (
+        F.when((k % 6).isin(0, 1), da)
+        .when(k % 6 == 2, swapped)
+        .when(k % 6 == 3, F.date_add(da, 1))
+        .when(k % 6 == 4, F.date_add(da, 370))
+        .otherwise(F.date_add(da, 40))
+    )
+    amt_a = F.col("amt_a")
+    amt_b = (
+        F.when((k % 5).isin(0, 1), amt_a)
+        .when(k % 5 == 2, amt_a * 1.005)
+        .when(k % 5 == 3, amt_a * 1.05)
+        .otherwise(amt_a + 1000.0)
+    )
+    src = src.withColumn("dob_b", dob_b).withColumn("amt_b", amt_b)
+    pa = src.select(
+        F.col("rid").alias("id_a"),
+        N.canonical_name(F.col("name_a")).alias("cn_a"),
+        N.parse_person_name(F.col("name_a")).getField("last").alias("last_a"),
+        "dob_a",
+        A.normalize_address(F.col("addr_a")).alias("an_a"),
+        "amt_a",
+    ).withColumn(
+        "bk",
+        F.concat(
+            soundex_col(F.col("last_a")),
+            F.lit("|"),
+            F.year("dob_a").cast("string"),
+        ),
+    )
+    pb = src.select(
+        F.col("rid").alias("id_b"),
+        N.canonical_name(F.col("name_b")).alias("cn_b"),
+        N.parse_person_name(F.col("name_b")).getField("last").alias("last_b"),
+        "dob_b",
+        A.normalize_address(F.col("addr_b")).alias("an_b"),
+        "amt_b",
+    ).withColumn(
+        "bk",
+        F.concat(
+            soundex_col(F.col("last_b")),
+            F.lit("|"),
+            F.year("dob_b").cast("string"),
+        ),
+    )
+    cand = pa.join(pb, "bk")
+    score = F.round(
+        4.0 * F.round(jaro_winkler(F.col("cn_a"), F.col("cn_b")), 6)
+        + 1.0 * D.date_match_level(F.col("dob_a"), F.col("dob_b"))
+        + 2.0
+        * F.when(F.col("an_a") == F.col("an_b"), F.lit(1)).otherwise(F.lit(0))
+        + 0.5 * CMP.numeric_match_level(F.col("amt_a"), F.col("amt_b")),
+        6,
+    )
+    matched = cand.select("id_a", "id_b", score.alias("score")).where(
+        F.col("score") >= 7.0
+    )
+    wa = W.partitionBy("id_a").orderBy(F.col("score").desc(), F.col("id_b").asc())
+    wb = W.partitionBy("id_b").orderBy(F.col("score").desc(), F.col("id_a").asc())
+    return (
+        matched.withColumn("ra", F.row_number().over(wa))
+        .withColumn("rb", F.row_number().over(wb))
+        .where((F.col("ra") == 1) & (F.col("rb") == 1))
+        .select(
+            "id_a", "id_b", "score", (F.col("id_a") == F.col("id_b")).alias("is_true")
+        )
+    )
+
+
+ORACLE_SQL["person_linkage_e2e"] = _person_linkage_sql()

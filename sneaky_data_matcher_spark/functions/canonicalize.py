@@ -211,3 +211,27 @@ def fold_accents(col: Column) -> Column:
 def fold_accents_sql(expr: str) -> str:
     """DuckDB twin of :func:`fold_accents` — identical mapping string."""
     return f"translate({expr}, '{ACCENT_SRC}', '{ACCENT_DST}')"
+
+
+# --- width folding (r3 continuation) ---------------------------------------
+# Fullwidth ASCII variants (U+FF01..U+FF5E) -> ASCII (U+0021..U+007E), plus
+# the ideographic space U+3000 -> ' '. 1:1 code-point translate on both
+# engines (Spark `translate` and DuckDB `translate` are code-point based),
+# the compatibility-fold subset that matters for CJK/web text where
+# numbers, latin letters and punctuation often arrive fullwidth.
+WIDTH_SRC = "".join(chr(0xFF01 + i) for i in range(0x5E)) + "　"
+WIDTH_DST = "".join(chr(0x21 + i) for i in range(0x5E)) + " "
+assert len(WIDTH_SRC) == len(WIDTH_DST) == 0x5F
+
+
+def fold_width(col: Column) -> Column:
+    """Fullwidth->ASCII folded text (1:1 translate, shared mapping)."""
+    return F.translate(col, WIDTH_SRC, WIDTH_DST)
+
+
+def fold_width_sql(expr: str) -> str:
+    """DuckDB twin of :func:`fold_width` — identical mapping string
+    (single quotes SQL-escaped)."""
+    src = WIDTH_SRC.replace("'", "''")
+    dst = WIDTH_DST.replace("'", "''")
+    return f"translate({expr}, '{src}', '{dst}')"
