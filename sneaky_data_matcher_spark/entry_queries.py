@@ -6149,3 +6149,71 @@ def person_linkage_e2e_q(spark, sf_dir):
 
 
 ORACLE_SQL["person_linkage_e2e"] = _person_linkage_sql()
+
+
+# Blocking-pass contribution report: for each blocking pass, how many
+# candidate pairs it generates and how many of the FINAL match pairs it
+# (also) covers — the pass-level efficiency/recall table that decides
+# which passes earn their pair mass at 100 TB (drop a pass whose matches
+# are all covered elsewhere; investigate one generating 10^9 pairs for 3
+# matches).
+_ER_PASS_PAIRS_CTE = (
+    _ER_SCORED_CTE
+    + ", pass_pairs AS MATERIALIZED (SELECT DISTINCT a.pass, "
+    "  a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
+    "FROM er_keys a JOIN er_keys b ON a.pass = b.pass AND a.block_key = b.block_key "
+    "WHERE a.doc_id < b.doc_id), "
+    f"m_edges AS MATERIALIZED (SELECT doc_id_a, doc_id_b FROM er_scored WHERE {_ER_MATCH_COND})"
+)
+
+
+@_q(
+    "blocking_pass_report",
+    f"WITH {_ER_PASS_PAIRS_CTE} "
+    "SELECT p.pass, count(*) AS n_pairs, "
+    "count(m.doc_id_a) AS n_matches_covered, "
+    "round(CAST(count(m.doc_id_a) AS DOUBLE) / count(*), 6) AS efficiency "
+    "FROM pass_pairs p LEFT JOIN m_edges m "
+    "USING (doc_id_a, doc_id_b) GROUP BY p.pass",
+)
+def blocking_pass_report_q(spark, sf_dir):
+    _, keys, _ = _er_frames(spark, sf_dir)
+    a = keys.select("pass", "block_key", F.col("doc_id").alias("doc_id_a"))
+    b = keys.select("pass", "block_key", F.col("doc_id").alias("doc_id_b"))
+    pass_pairs = (
+        a.join(b, ["pass", "block_key"])
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("pass", "doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    m = er_matches(spark, sf_dir).withColumn("is_m", F.lit(1))
+    j = pass_pairs.join(m, ["doc_id_a", "doc_id_b"], "left")
+    return j.groupBy("pass").agg(
+        F.count("*").alias("n_pairs"),
+        F.count("is_m").alias("n_matches_covered"),
+        F.round(F.count("is_m").cast("double") / F.count("*"), 6).alias(
+            "efficiency"
+        ),
+    )
+
+
+# LPA communities on the ER match graph: the cluster-SPLITTING view
+# (a label must win a local majority, so thin bridges don't merge dense
+# groups) next to er_clusters' transitive closure.
+@_q(
+    "lpa_communities",
+    f"WITH {_ER_MEDGES_CTE}, "
+    "lpa_nodes AS (SELECT doc_id FROM canon WHERE doc_text <> ''), "
+    + __import__(
+        "sneaky_data_matcher_spark.operators.clustering", fromlist=["x"]
+    ).lpa_sql_ctes("msym", "lpa_nodes", rounds=3)
+    + " SELECT node AS doc_id, label AS community FROM lpa_final",
+)
+def lpa_communities_q(spark, sf_dir):
+    from .operators.clustering import lpa_communities
+
+    canon, _, _ = _er_frames(spark, sf_dir)
+    edges = _er_match_edges_scored(spark, sf_dir).select(
+        F.col("u").alias("doc_id_a"), F.col("v").alias("doc_id_b")
+    )
+    return lpa_communities(edges, canon.select("doc_id"), rounds=3)

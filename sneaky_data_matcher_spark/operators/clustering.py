@@ -339,3 +339,89 @@ def golden_fields(clusters: DataFrame, docs: DataFrame) -> DataFrame:
         "modal_lang",
         F.col("src.s").alias("best_source"),
     )
+
+
+def lpa_communities(
+    edges: DataFrame,
+    nodes: DataFrame,
+    rounds: int = 3,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    node_col: str = "doc_id",
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007),
+    made fully deterministic: every round, each node adopts the MOST
+    FREQUENT label among its neighbors, ties broken by the SMALLEST
+    label; isolated (or neighbor-less this round) nodes keep their label.
+    Fixed `rounds` with synchronous updates — no asynchronous order
+    dependence, so the result is a pure function of the graph and is
+    SQL-replayable round by round.
+
+    vs connected_components: CC merges everything reachable (a single
+    weak bridge glues two communities); LPA needs a label to WIN a local
+    majority, so dense subgraphs connected by a thin bridge keep distinct
+    communities — the cluster-splitting view of the same match graph
+    (complements edge_support-based repair, which edits edges instead).
+
+    Scale shape: per round one equi-join (labels onto the symmetric edge
+    list, shuffle on node), one groupBy(node, label) with map-side
+    combine, one per-node window argmax — all bounded by E; rounds is a
+    small constant. Labels never leave the node-id domain, so the frame
+    stays (node, label) longs end to end."""
+    from pyspark.sql import Window
+
+    sym = edges.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).unionByName(edges.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        nb = (
+            sym.join(labels.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        best = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node", F.coalesce("new_label", "label").alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        F.col("node").alias(node_col), F.col("label").alias("community")
+    )
+
+
+def lpa_sql_ctes(
+    sym_rel: str, nodes_rel: str, rounds: int = 3, node_col: str = "doc_id"
+) -> str:
+    """DuckDB twin: the same synchronous rounds unrolled into CTEs; final
+    relation `lpa_final` has (node, label). `sym_rel` must hold the
+    SYMMETRIC edge list as (u, v); `nodes_rel` one row per node."""
+    parts = [
+        f"lpa_l0 AS (SELECT {node_col} AS node, {node_col} AS label FROM {nodes_rel})"
+    ]
+    prev = "lpa_l0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"lpa_nb{r} AS (SELECT s.v AS node, l.label, count(*) AS cnt "
+            f"FROM {sym_rel} s JOIN {prev} l ON s.u = l.node GROUP BY s.v, l.label), "
+            f"lpa_b{r} AS (SELECT node, label AS new_label FROM (SELECT node, label, "
+            "row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn "
+            f"FROM lpa_nb{r}) WHERE rn = 1), "
+            f"lpa_l{r} AS (SELECT p.node, coalesce(b.new_label, p.label) AS label "
+            f"FROM {prev} p LEFT JOIN lpa_b{r} b USING (node))"
+        )
+        prev = f"lpa_l{r}"
+    parts.append(f"lpa_final AS (SELECT node, label FROM {prev})")
+    return ", ".join(parts)

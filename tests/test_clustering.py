@@ -194,3 +194,63 @@ def test_golden_fields_modal_tie_breaks_lexicographically(spark):
     )
     got = golden_fields(clusters, docs).first()
     assert got["modal_lang"] == "de"  # 1-1 tie -> lexicographically smallest
+
+
+def test_lpa_splits_bridged_cliques(spark):
+    """Two K4 cliques joined by one bridge: CC merges them into one
+    cluster; LPA keeps two communities (the bridge label never wins a
+    local majority)."""
+    from sneaky_data_matcher_spark.operators.clustering import (
+        connected_components,
+        lpa_communities,
+    )
+
+    k4a = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    k4b = [(a, b) for a in range(5, 9) for b in range(a + 1, 9)]
+    edges = k4a + k4b + [(4, 5)]  # bridge
+    df = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    cc = connected_components(df)
+    assert cc.select("cluster_id").distinct().count() == 1
+    out = {r.doc_id: r.community for r in lpa_communities(df, nodes, 3).collect()}
+    comms = set(out.values())
+    assert len(comms) == 2
+    assert {out[i] for i in range(1, 5)} != {out[i] for i in range(5, 9)}
+
+
+def test_lpa_matches_sql_twin_random_graph(spark):
+    import random
+
+    import duckdb
+
+    from sneaky_data_matcher_spark.operators.clustering import (
+        lpa_communities,
+        lpa_sql_ctes,
+    )
+
+    rng = random.Random(21)
+    edges = set()
+    while len(edges) < 90:
+        a, b = rng.randint(1, 40), rng.randint(1, 40)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    df = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 41)], "doc_id long")
+    got = sorted(
+        (r.doc_id, r.community)
+        for r in lpa_communities(df, nodes, rounds=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(u BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    con.execute("CREATE TABLE nd(doc_id BIGINT)")
+    con.executemany("INSERT INTO nd VALUES (?)", [(i,) for i in range(1, 41)])
+    exp = sorted(
+        con.execute(
+            "WITH sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e), "
+            + lpa_sql_ctes("sym", "nd", rounds=4)
+            + " SELECT node, label FROM lpa_final"
+        ).fetchall()
+    )
+    assert got == [tuple(e) for e in exp]
