@@ -6217,3 +6217,115 @@ def lpa_communities_q(spark, sf_dir):
         F.col("u").alias("doc_id_a"), F.col("v").alias("doc_id_b")
     )
     return lpa_communities(edges, canon.select("doc_id"), rounds=3)
+
+
+# Graded name comparator over the dual-source person fixture: canonical /
+# surname+initial / surname / first-only / none.
+@_q(
+    "name_match_features",
+    "SELECT c_custkey, name_a, name_b, "
+    + __import__(
+        "sneaky_data_matcher_spark.functions.names", fromlist=["x"]
+    ).name_match_sql("name_a", "name_b")
+    + " AS match_level FROM (SELECT c_custkey, "
+    + _name_raw_sql()
+    + " AS name_a, CASE WHEN c_custkey % 11 = 0 THEN "
+    # corrupted B: first initial only for every 11th record
+    "substr(([" + ", ".join(f"'{x}'" for x in _NM_FIRSTS) + "])[c_custkey % 8 + 1], 1, 1)"
+    " || ' ' || ([" + ", ".join(f"'{x}'" for x in _NM_LASTS) + "])[c_custkey % 7 + 1] "
+    "ELSE " + _PL_NAME_B_SQL + " END AS name_b FROM customer)",
+)
+def name_match_features_q(spark, sf_dir):
+    from .functions import names as N
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    firsts = F.element_at(
+        F.array(*[F.lit(x) for x in _NM_FIRSTS]), (k % 8 + 1).cast("int")
+    )
+    lasts = F.element_at(
+        F.array(*[F.lit(x) for x in _NM_LASTS]), (k % 7 + 1).cast("int")
+    )
+    name_b_norm = F.when(
+        k % 3 == 0, F.concat(firsts, F.lit(" "), lasts)
+    ).otherwise(F.concat(lasts, F.lit(", "), firsts))
+    name_b = F.when(
+        k % 11 == 0,
+        F.concat(F.substring(firsts, 1, 1), F.lit(" "), lasts),
+    ).otherwise(name_b_norm)
+    t = cust.select(
+        "c_custkey", _name_raw_col().alias("name_a"), name_b.alias("name_b")
+    )
+    return t.select(
+        "c_custkey",
+        "name_a",
+        "name_b",
+        N.name_match_level(F.col("name_a"), F.col("name_b")).alias("match_level"),
+    )
+
+
+# Truth discovery (operators/fusion.py): 4 sources claim a segment value
+# per entity with source-specific error patterns (source 0 always right,
+# 1/2/3 increasingly wrong); two synchronous trust iterations, then
+# value election. All-integer nano-unit math -> engine-exact.
+_TD_CLAIMS_SQL = (
+    "SELECT (c_custkey // 200) % 4 AS source_id, c_custkey % 200 AS entity_id, "
+    "'segment' AS attr, "
+    "CASE WHEN (c_custkey // 200) % 4 = 0 THEN 'V' || CAST(c_custkey % 200 % 7 AS VARCHAR) "
+    "WHEN (c_custkey // 200) % 4 = 1 AND c_custkey % 200 % 5 = 0 THEN 'W1' "
+    "WHEN (c_custkey // 200) % 4 = 2 AND c_custkey % 200 % 3 = 0 THEN 'W2' "
+    "WHEN (c_custkey // 200) % 4 = 3 AND c_custkey % 200 % 2 = 0 THEN 'W3' "
+    "ELSE 'V' || CAST(c_custkey % 200 % 7 AS VARCHAR) END AS value "
+    "FROM customer"
+)
+
+
+def _td_claims_frame(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    e = k % 200
+    s = F.expr("(c_custkey DIV 200) % 4")
+    true_v = F.concat(F.lit("V"), (e % 7).cast("string"))
+    val = (
+        F.when(s == 0, true_v)
+        .when((s == 1) & (e % 5 == 0), F.lit("W1"))
+        .when((s == 2) & (e % 3 == 0), F.lit("W2"))
+        .when((s == 3) & (e % 2 == 0), F.lit("W3"))
+        .otherwise(true_v)
+    )
+    return cust.select(
+        s.alias("source_id"),
+        e.alias("entity_id"),
+        F.lit("segment").alias("attr"),
+        val.alias("value"),
+    )
+
+
+_TD_CTES = (
+    f"td_claims AS ({_TD_CLAIMS_SQL}), "
+    + __import__(
+        "sneaky_data_matcher_spark.operators.fusion", fromlist=["x"]
+    ).truth_discovery_sql_ctes("td_claims", rounds=2)
+)
+
+
+@_q(
+    "truth_discovery",
+    f"WITH {_TD_CTES} SELECT entity_id, attr, value, confidence FROM td_elected",
+)
+def truth_discovery_q(spark, sf_dir):
+    from .operators.fusion import truth_discovery
+
+    elected, _ = truth_discovery(_td_claims_frame(spark, sf_dir), rounds=2)
+    return elected
+
+
+@_q(
+    "td_source_trust",
+    f"WITH {_TD_CTES} SELECT source_id, trust FROM td_trust",
+)
+def td_source_trust_q(spark, sf_dir):
+    from .operators.fusion import truth_discovery
+
+    _, trust = truth_discovery(_td_claims_frame(spark, sf_dir), rounds=2)
+    return trust

@@ -255,3 +255,51 @@ def canonical_name_sql(col: str) -> str:
         f"THEN {nickname_case_sql('p.first')} || ' ' || p.last "
         f"ELSE coalesce(p.last, {nickname_case_sql('p.first')}) END FROM np)"
     )
+
+
+def name_match_level(a: Column, b: Column) -> Column:
+    """Graded agreement between two raw person-name strings:
+      4 canonical equality (nicknames folded, layout-independent)
+      3 same surname + same first name up to nickname folding is covered
+        by 4; level 3 = same surname + first-INITIAL agreement
+        ('J SMITH' vs 'JOHN SMITH')
+      2 same surname only
+      1 same folded first name only
+      0 otherwise (incl. either side unparseable)
+    Composes parse_person_name/canonical_name — native exprs only."""
+    pa, pb = parse_person_name(a), parse_person_name(b)
+    ca, cb = canonical_name(a), canonical_name(b)
+    fa = _nickname_case(pa.getField("first"))
+    fb = _nickname_case(pb.getField("first"))
+    la, lb = pa.getField("last"), pb.getField("last")
+    init = (
+        fa.isNotNull()
+        & fb.isNotNull()
+        & (F.substring(fa, 1, 1) == F.substring(fb, 1, 1))
+    )
+    return (
+        F.when(ca.isNotNull() & (ca == cb), F.lit(4))
+        .when(la.isNotNull() & (la == lb) & init, F.lit(3))
+        .when(la.isNotNull() & (la == lb), F.lit(2))
+        .when(fa.isNotNull() & (fa == fb), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def name_match_sql(a: str, b: str) -> str:
+    """DuckDB twin of name_match_level."""
+    pa, pb = parse_person_name_sql(a), parse_person_name_sql(b)
+    ca, cb = canonical_name_sql(a), canonical_name_sql(b)
+    fa = nickname_case_sql(f"({pa}).first")
+    fb = nickname_case_sql(f"({pb}).first")
+    la, lb = f"({pa}).last", f"({pb}).last"
+    init = (
+        f"({fa}) IS NOT NULL AND ({fb}) IS NOT NULL "
+        f"AND substr({fa}, 1, 1) = substr({fb}, 1, 1)"
+    )
+    return (
+        f"CASE WHEN ({ca}) IS NOT NULL AND ({ca}) = ({cb}) THEN 4 "
+        f"WHEN ({la}) IS NOT NULL AND ({la}) = ({lb}) AND ({init}) THEN 3 "
+        f"WHEN ({la}) IS NOT NULL AND ({la}) = ({lb}) THEN 2 "
+        f"WHEN ({fa}) IS NOT NULL AND ({fa}) = ({fb}) THEN 1 ELSE 0 END"
+    )
