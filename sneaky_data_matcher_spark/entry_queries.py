@@ -6329,3 +6329,42 @@ def td_source_trust_q(spark, sf_dir):
 
     _, trust = truth_discovery(_td_claims_frame(spark, sf_dir), rounds=2)
     return trust
+
+
+# B-cubed comparison of the two clusterings of the SAME match graph:
+# LPA communities (pred) vs transitive CC clusters (truth). LPA only
+# splits CC clusters, so B-cubed precision is 1.0 by construction
+# (tested invariant) and recall measures how much splitting happened.
+@_q(
+    "bcubed_lpa_vs_cc",
+    __import__(
+        "sneaky_data_matcher_spark.operators.evaluation", fromlist=["x"]
+    ).bcubed_sql(
+        "bc_pred",
+        "bc_truth",
+        prelude_ctes=(
+            _ER_CLUSTERS_CTE
+            + ", bmsym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges), "
+            "lpa_nodes AS (SELECT doc_id FROM canon WHERE doc_text <> ''), "
+            + __import__(
+                "sneaky_data_matcher_spark.operators.clustering", fromlist=["x"]
+            ).lpa_sql_ctes("bmsym", "lpa_nodes", rounds=3)
+            + ", bc_pred AS (SELECT node AS doc_id, label AS cluster_id FROM lpa_final), "
+            "bc_truth AS (SELECT doc_id, cluster_id FROM clusters)"
+        ),
+        recursive=True,
+    ),
+)
+def bcubed_lpa_vs_cc_q(spark, sf_dir):
+    from .operators.clustering import lpa_communities
+    from .operators.evaluation import bcubed
+
+    canon, _, _ = _er_frames(spark, sf_dir)
+    edges = _er_match_edges_scored(spark, sf_dir).select(
+        F.col("u").alias("doc_id_a"), F.col("v").alias("doc_id_b")
+    )
+    pred = lpa_communities(edges, canon.select("doc_id"), rounds=3).select(
+        "doc_id", F.col("community").alias("cluster_id")
+    )
+    truth = er_clusters(spark, sf_dir)
+    return bcubed(pred, truth)

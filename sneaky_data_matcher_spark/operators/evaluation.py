@@ -195,3 +195,84 @@ def blocking_census(keys: DataFrame, max_block_size: int) -> DataFrame:
             "hot_pair_mass",
         )
     )
+
+
+def bcubed(pred: DataFrame, truth: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """B-cubed precision/recall/F1 between two clusterings (Bagga &
+    Baldwin 1998) — the standard ER cluster metric that, unlike pairwise
+    F1, weights every RECORD equally instead of every pair (one giant
+    cluster can't dominate the score).
+
+    pred/truth: (id_col, cluster_id) assignments over the same records.
+    Per record r: precision(r) = |C_pred(r) ∩ C_truth(r)| / |C_pred(r)|,
+    recall(r) the same with the roles swapped; the scores are the means.
+
+    Shape without materializing per-record cluster sets: join the two
+    assignments on the record, count records per (pred_cluster,
+    truth_cluster) CELL — for every record in a cell, the intersection
+    size IS the cell count — then join cell counts with the two cluster
+    sizes and average. Three groupBys + two bare-id joins, all exact
+    longs until two final divisions; the mean is an exact rational of
+    decimal-summed per-record fractions quantized to 1e-9 (engine-exact,
+    same discipline as operators/fusion.py)."""
+    p = pred.select(F.col(id_col).alias("rid"), F.col("cluster_id").alias("pc"))
+    t = truth.select(F.col(id_col).alias("rid"), F.col("cluster_id").alias("tc"))
+    j = p.join(t, "rid")
+    cells = j.groupBy("pc", "tc").agg(F.count("*").alias("cell"))
+    psz = p.groupBy("pc").agg(F.count("*").alias("pn"))
+    tsz = t.groupBy("tc").agg(F.count("*").alias("tn"))
+    per_rec = (
+        j.join(cells, ["pc", "tc"])
+        .join(psz, "pc")
+        .join(tsz, "tc")
+        .select(
+            F.expr("(cell * 1000000000) DIV pn").alias("prec_n"),
+            F.expr("(cell * 1000000000) DIV tn").alias("rec_n"),
+        )
+    )
+    agg = per_rec.agg(
+        F.count("*").alias("n"),
+        F.sum("prec_n").alias("sp"),
+        F.sum("rec_n").alias("sr"),
+    )
+    prec = F.col("sp").cast("double") / (F.col("n") * 1000000000).cast("double")
+    rec = F.col("sr").cast("double") / (F.col("n") * 1000000000).cast("double")
+    return agg.select(
+        F.col("n").alias("n_records"),
+        F.round(prec, 6).alias("bcubed_precision"),
+        F.round(rec, 6).alias("bcubed_recall"),
+        F.round(2 * prec * rec / (prec + rec), 6).alias("bcubed_f1"),
+    )
+
+
+def bcubed_sql(
+    pred_rel: str, truth_rel: str, id_col: str = "doc_id",
+    prelude_ctes: str = "", recursive: bool = False,
+) -> str:
+    """DuckDB twin of bcubed over two (id, cluster_id) relations.
+    `prelude_ctes` is spliced in front (same WITH chain); set
+    `recursive` when the prelude needs WITH RECURSIVE."""
+    kw = "WITH RECURSIVE" if recursive else "WITH"
+    pre = f"{prelude_ctes}, " if prelude_ctes else ""
+    return (
+        f"{kw} {pre}bc_p AS (SELECT {id_col} AS rid, cluster_id AS pc FROM {pred_rel}), "
+        f"bc_t AS (SELECT {id_col} AS rid, cluster_id AS tc FROM {truth_rel}), "
+        "bc_j AS (SELECT * FROM bc_p JOIN bc_t USING (rid)), "
+        "bc_cells AS (SELECT pc, tc, count(*) AS cell FROM bc_j GROUP BY 1, 2), "
+        "bc_psz AS (SELECT pc, count(*) AS pn FROM bc_p GROUP BY 1), "
+        "bc_tsz AS (SELECT tc, count(*) AS tn FROM bc_t GROUP BY 1), "
+        "bc_per AS (SELECT (c.cell * 1000000000) // s.pn AS prec_n, "
+        "  (c.cell * 1000000000) // z.tn AS rec_n "
+        "  FROM bc_j j JOIN bc_cells c USING (pc, tc) "
+        "  JOIN bc_psz s USING (pc) JOIN bc_tsz z USING (tc)), "
+        "bc_agg AS (SELECT count(*) AS n, CAST(sum(prec_n) AS BIGINT) AS sp, "
+        "  CAST(sum(rec_n) AS BIGINT) AS sr FROM bc_per) "
+        "SELECT n AS n_records, "
+        "round(CAST(sp AS DOUBLE) / CAST(n * 1000000000 AS DOUBLE), 6) AS bcubed_precision, "
+        "round(CAST(sr AS DOUBLE) / CAST(n * 1000000000 AS DOUBLE), 6) AS bcubed_recall, "
+        "round(2 * (CAST(sp AS DOUBLE) / CAST(n * 1000000000 AS DOUBLE)) "
+        "* (CAST(sr AS DOUBLE) / CAST(n * 1000000000 AS DOUBLE)) "
+        "/ ((CAST(sp AS DOUBLE) / CAST(n * 1000000000 AS DOUBLE)) "
+        "+ (CAST(sr AS DOUBLE) / CAST(n * 1000000000 AS DOUBLE))), 6) AS bcubed_f1 "
+        "FROM bc_agg"
+    )

@@ -254,3 +254,21 @@ def test_lpa_matches_sql_twin_random_graph(spark):
         ).fetchall()
     )
     assert got == [tuple(e) for e in exp]
+
+
+def test_bcubed_hand_case(spark):
+    """truth = {1,2,3,4}; pred splits it into {1,2},{3,4}:
+    precision 1.0, recall = mean(2/4) = 0.5."""
+    from sneaky_data_matcher_spark.operators.evaluation import bcubed
+
+    truth = spark.createDataFrame(
+        [(i, 100) for i in range(1, 5)], "doc_id long, cluster_id long"
+    )
+    pred = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "doc_id long, cluster_id long"
+    )
+    r = bcubed(pred, truth).collect()[0]
+    assert (r.n_records, r.bcubed_precision, r.bcubed_recall) == (4, 1.0, 0.5)
+    # symmetric direction: merging halves precision instead
+    r2 = bcubed(truth, pred).collect()[0]
+    assert (r2.bcubed_precision, r2.bcubed_recall) == (0.5, 1.0)
