@@ -6368,3 +6368,24 @@ def bcubed_lpa_vs_cc_q(spark, sf_dir):
     )
     truth = er_clusters(spark, sf_dir)
     return bcubed(pred, truth)
+
+
+# Unsupervised threshold selection on the ER candidate scores: the
+# histogram-valley between the non-match and match modes (labeled
+# alternative: er_threshold_sweep).
+@_q(
+    "er_threshold_valley",
+    f"WITH {_ER_SCORED_CTE}, "
+    f"tv_scores AS (SELECT round({_ER_SCORE_SQL}, 6) AS score FROM er_scored) "
+    + __import__(
+        "sneaky_data_matcher_spark.operators.evaluation", fromlist=["x"]
+    ).threshold_valley_sql("tv_scores").replace("WITH tv_b", ", tv_b", 1),
+)
+def er_threshold_valley_q(spark, sf_dir):
+    from .operators.evaluation import threshold_valley
+
+    s = _er_scored_frame(spark, sf_dir)
+    score = F.round(
+        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard"), 6
+    )
+    return threshold_valley(s.select(score.alias("score")))

@@ -276,3 +276,101 @@ def bcubed_sql(
         "+ (CAST(sr AS DOUBLE) / CAST(n * 1000000000 AS DOUBLE))), 6) AS bcubed_f1 "
         "FROM bc_agg"
     )
+
+
+def threshold_valley(
+    scores: DataFrame,
+    score_col: str = "score",
+    bins_per_unit: int = 50,
+    min_mode_gap_bins: int = 10,
+) -> DataFrame:
+    """Unsupervised match-threshold selection: quantize pair scores into
+    1/bins_per_unit-wide bins, locate the two dominant modes (the
+    non-match mass and the match mass — candidate-score distributions
+    are characteristically bimodal), and suggest the threshold at the
+    DENSITY VALLEY between them (the classic histogram-dip heuristic;
+    labeled alternatives live in threshold_sweep).
+
+    Fully deterministic: modes and the valley break ties toward the
+    LOWER bin; bins absent from the census count 0 (the gap is filled
+    with a sequence so an empty bin can win the valley). Returns ONE
+    row: (mode_lo_bin, mode_hi_bin, valley_bin, valley_count,
+    suggested_threshold) with the threshold at the valley bin's upper
+    edge. Shape: one groupBy onto <= bins_per_unit*max_score rows, then
+    driver-free window argmaxes over that tiny frame."""
+    from pyspark.sql import Window
+
+    b = scores.select(
+        F.floor(F.col(score_col) * bins_per_unit).cast("long").alias("bin")
+    )
+    census = b.groupBy("bin").agg(F.count("*").alias("cnt"))
+    w_all = Window.orderBy(F.col("cnt").desc(), F.col("bin").asc())
+    m1 = (
+        census.withColumn("rn", F.row_number().over(w_all))
+        .where(F.col("rn") == 1)
+        .select(F.col("bin").alias("m1"))
+    )
+    cand2 = census.crossJoin(F.broadcast(m1)).where(
+        F.abs(F.col("bin") - F.col("m1")) >= min_mode_gap_bins
+    )
+    m2 = (
+        cand2.withColumn("rn", F.row_number().over(w_all))
+        .where(F.col("rn") == 1)
+        .select(F.col("bin").alias("m2"), "m1")
+    )
+    span = m2.select(
+        F.least("m1", "m2").alias("lo"), F.greatest("m1", "m2").alias("hi")
+    )
+    # guard: Spark's sequence(a, b) runs DESCENDING when a > b (DuckDB's
+    # range is empty) — emit no grid rows for adjacent modes instead
+    seq = F.when(
+        F.col("hi") - 1 >= F.col("lo") + 1,
+        F.sequence(F.col("lo") + 1, F.col("hi") - 1),
+    )
+    grid = span.select("lo", "hi", F.explode(seq).alias("bin"))
+    filled = grid.join(census, "bin", "left").select(
+        "lo", "hi", "bin", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    w_valley = Window.orderBy(F.col("cnt").asc(), F.col("bin").asc())
+    valley = (
+        filled.withColumn("rn", F.row_number().over(w_valley))
+        .where(F.col("rn") == 1)
+    )
+    return valley.select(
+        F.col("lo").alias("mode_lo_bin"),
+        F.col("hi").alias("mode_hi_bin"),
+        F.col("bin").alias("valley_bin"),
+        F.col("cnt").alias("valley_count"),
+        ((F.col("bin") + 1).cast("double") / bins_per_unit).alias(
+            "suggested_threshold"
+        ),
+    )
+
+
+def threshold_valley_sql(
+    scores_rel: str,
+    score_col: str = "score",
+    bins_per_unit: int = 50,
+    min_mode_gap_bins: int = 10,
+) -> str:
+    """DuckDB twin of threshold_valley (same tie-breaks, same gap fill)."""
+    return (
+        f"WITH tv_b AS (SELECT CAST(floor({score_col} * {bins_per_unit}) AS BIGINT) AS bin "
+        f"FROM {scores_rel}), "
+        "tv_census AS (SELECT bin, count(*) AS cnt FROM tv_b GROUP BY bin), "
+        "tv_m1 AS (SELECT bin AS m1 FROM (SELECT bin, row_number() OVER "
+        "(ORDER BY cnt DESC, bin ASC) AS rn FROM tv_census) WHERE rn = 1), "
+        "tv_m2 AS (SELECT bin AS m2, m1 FROM (SELECT c.bin, c.cnt, m.m1, "
+        "row_number() OVER (ORDER BY c.cnt DESC, c.bin ASC) AS rn "
+        f"FROM tv_census c CROSS JOIN tv_m1 m WHERE abs(c.bin - m.m1) >= {min_mode_gap_bins}) "
+        "WHERE rn = 1), "
+        "tv_span AS (SELECT least(m1, m2) AS lo, greatest(m1, m2) AS hi FROM tv_m2), "
+        "tv_grid AS (SELECT s.lo, s.hi, g.bin FROM tv_span s, "
+        "  (SELECT unnest(range((SELECT lo + 1 FROM tv_span), (SELECT hi FROM tv_span))) AS bin) g), "
+        "tv_filled AS (SELECT g.lo, g.hi, g.bin, coalesce(c.cnt, 0) AS cnt "
+        "FROM tv_grid g LEFT JOIN tv_census c USING (bin)) "
+        "SELECT lo AS mode_lo_bin, hi AS mode_hi_bin, bin AS valley_bin, "
+        f"cnt AS valley_count, CAST(bin + 1 AS DOUBLE) / {bins_per_unit} AS suggested_threshold "
+        "FROM (SELECT *, row_number() OVER (ORDER BY cnt ASC, bin ASC) AS rn FROM tv_filled) "
+        "WHERE rn = 1"
+    )

@@ -117,3 +117,32 @@ def test_threshold_sweep_orientation_and_quantization(spark):
     }
     assert set(rows) == {83}
     assert (rows[83]["tp"], rows[83]["fp"], rows[83]["fn"]) == (1, 1, 0)
+
+
+def test_threshold_valley_bimodal(spark):
+    """A planted bimodal score set: modes at 0.2 and 0.9, valley in the
+    empty middle — the suggested threshold lands between the modes, at
+    the FIRST emptiest bin (ties toward lower)."""
+    from sneaky_data_matcher_spark.operators.evaluation import (
+        threshold_valley,
+        threshold_valley_sql,
+    )
+
+    scores = (
+        [0.18 + 0.001 * i for i in range(40)]   # non-match mode ~0.2
+        + [0.88 + 0.001 * i for i in range(30)]  # match mode ~0.9
+        + [0.55, 0.56]                           # sparse middle
+    )
+    df = spark.createDataFrame([(s,) for s in scores], "score double")
+    r = threshold_valley(df).collect()[0]
+    assert r.mode_lo_bin < r.valley_bin < r.mode_hi_bin
+    # the first emptiest bin after the non-match mass, before the match mass
+    assert 0.2 < r.suggested_threshold <= 0.88
+    assert r.valley_count == 0
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE sc(score DOUBLE)")
+    con.executemany("INSERT INTO sc VALUES (?)", [(s,) for s in scores])
+    exp = con.execute(threshold_valley_sql("sc")).fetchone()
+    assert tuple(r) == tuple(exp)
