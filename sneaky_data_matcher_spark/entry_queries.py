@@ -6389,3 +6389,46 @@ def er_threshold_valley_q(spark, sf_dir):
         0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard"), 6
     )
     return threshold_valley(s.select(score.alias("score")))
+
+
+# Ligature expansion composed with accent folding: construct ligature-
+# polluted text deterministically, expand + fold, prove the round trip.
+_LIG_RAW_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN replace(replace(text, 'ss', 'ß'), 'ae', 'æ') "
+    "WHEN doc_id % 3 = 1 THEN replace(replace(text, 'fi', 'ﬁ'), 'th', 'þ') "
+    "ELSE text END"
+)
+
+
+@_q(
+    "ligature_fold",
+    "SELECT doc_id, "
+    + __import__(
+        "sneaky_data_matcher_spark.functions.canonicalize", fromlist=["x"]
+    ).expand_ligatures_sql(_LIG_RAW_SQL)
+    + " AS expanded, "
+    + __import__(
+        "sneaky_data_matcher_spark.functions.canonicalize", fromlist=["x"]
+    ).expand_ligatures_sql(_LIG_RAW_SQL)
+    + " = text AS roundtrip FROM documents",
+)
+def ligature_fold_q(spark, sf_dir):
+    from .functions.canonicalize import expand_ligatures
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    raw = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.replace(F.replace(t, F.lit("ss"), F.lit("ß")), F.lit("ae"), F.lit("æ")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.replace(F.replace(t, F.lit("fi"), F.lit("ﬁ")), F.lit("th"), F.lit("þ")),
+        )
+        .otherwise(t)
+    )
+    expanded = expand_ligatures(raw)
+    return d.select(
+        "doc_id", expanded.alias("expanded"), (expanded == t).alias("roundtrip")
+    )

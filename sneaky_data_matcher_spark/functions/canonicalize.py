@@ -235,3 +235,41 @@ def fold_width_sql(expr: str) -> str:
     src = WIDTH_SRC.replace("'", "''")
     dst = WIDTH_DST.replace("'", "''")
     return f"translate({expr}, '{src}', '{dst}')"
+
+
+# --- ligature / multi-char expansions (r3 continuation) ---------------------
+# The 1:1 translate in fold_accents cannot express multi-char expansions;
+# these are the standard ones (documented out of scope until now). Applied
+# as a chained replace — both engines' replace() is plain substring
+# replacement, so the twins are definitionally identical. Order matters
+# only for the uppercase/lowercase pairs (disjoint sources, so it doesn't).
+LIGATURES: dict[str, str] = {
+    "ß": "ss",
+    "æ": "ae",
+    "Æ": "AE",
+    "œ": "oe",
+    "Œ": "OE",
+    "ﬁ": "fi",
+    "ﬂ": "fl",
+    "þ": "th",
+    "Þ": "TH",
+    "ĳ": "ij",
+    "Ĳ": "IJ",
+}
+
+
+def expand_ligatures(col: Column) -> Column:
+    """Multi-char ligature expansion (ß→ss, æ→ae, …) — chained replace,
+    composes with fold_accents for full latin normalization."""
+    out = col
+    for src, dst in LIGATURES.items():
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return out
+
+
+def expand_ligatures_sql(expr: str) -> str:
+    """DuckDB twin of :func:`expand_ligatures` (same chain, same order)."""
+    out = expr
+    for src, dst in LIGATURES.items():
+        out = f"replace({out}, '{src}', '{dst}')"
+    return out

@@ -228,3 +228,28 @@ def test_accent_fold_matches_duckdb_strip_accents_on_names(spark):
     for n in names:
         want = con.sql("SELECT strip_accents(?)", params=[n]).fetchone()[0]
         assert got[n] == want, (n, got[n], want)
+
+
+def test_expand_ligatures(spark):
+    import duckdb
+
+    from sneaky_data_matcher_spark.functions.canonicalize import (
+        expand_ligatures,
+        expand_ligatures_sql,
+    )
+
+    rows = ["straße", "Ægis œuvre", "ﬁne ﬂow", "Þor þing", "plain", ""]
+    df = spark.createDataFrame([(x,) for x in rows], "x string")
+    got = [r[0] for r in df.select(expand_ligatures(F.col("x"))).collect()]
+    assert got[0] == "strasse" and got[1] == "AEgis oeuvre"
+    assert got[2] == "fine flow" and got[3] == "THor thing"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lg(x VARCHAR)")
+    con.executemany("INSERT INTO lg VALUES (?)", [(x,) for x in rows])
+    exp = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {expand_ligatures_sql('x')} FROM lg"
+        ).fetchall()
+    ]
+    assert got == exp
