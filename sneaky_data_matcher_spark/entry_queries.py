@@ -6432,3 +6432,60 @@ def ligature_fold_q(spark, sf_dir):
     return d.select(
         "doc_id", expanded.alias("expanded"), (expanded == t).alias("roundtrip")
     )
+
+
+# Cascade verification (the BENCH.md implication, operational): the cheap
+# composite decides outside an uncertainty band; the expensive hybrid
+# (soft TF-IDF, ~170x the per-pair cost — measured) runs ONLY inside it.
+# At sf0.01 the band is 8,529 of 39,492 pairs (21.6%) — the ~78% cost cut
+# on the expensive kernel is the point of the pattern. The soft bar sits
+# high (0.99) because the template-generated fixture docs share most
+# low-idf tokens, which inflates soft cosine corpus-wide.
+_CASCADE_LO, _CASCADE_HI, _CASCADE_SOFT = 0.72, 0.85, 0.99
+
+
+@_q(
+    "er_cascade_matches",
+    f"WITH {_ER_SCORED_CTE}, "
+    f"cv_cheap AS (SELECT doc_id_a, doc_id_b, round({_ER_SCORE_SQL}, 6) AS cheap "
+    "FROM er_scored), "
+    f"cv_band AS (SELECT doc_id_a, doc_id_b FROM cv_cheap "
+    f"WHERE cheap >= {_CASCADE_LO!r} AND cheap < {_CASCADE_HI!r}), "
+    + __import__(
+        "sneaky_data_matcher_spark.operators.setsim", fromlist=["x"]
+    ).soft_tfidf_sql_ctes("cv_band", "canon")
+    + " SELECT c.doc_id_a, c.doc_id_b, c.cheap, "
+    "CASE WHEN c.cheap >= 0.85 THEN 'cheap' ELSE 'soft_tfidf' END AS decided_by "
+    "FROM cv_cheap c LEFT JOIN soft_out s USING (doc_id_a, doc_id_b) "
+    f"WHERE c.cheap >= {_CASCADE_HI!r} "
+    f"OR (s.soft_tfidf IS NOT NULL AND s.soft_tfidf >= {_CASCADE_SOFT!r})",
+)
+def er_cascade_matches_q(spark, sf_dir):
+    from .operators.setsim import soft_tfidf_pairs
+
+    canon, _, _ = _er_frames(spark, sf_dir)
+    s = _er_scored_frame(spark, sf_dir)
+    cheap = s.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.round(
+            0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard"),
+            6,
+        ).alias("cheap"),
+    )
+    band = cheap.where(
+        (F.col("cheap") >= _CASCADE_LO) & (F.col("cheap") < _CASCADE_HI)
+    ).select("doc_id_a", "doc_id_b")
+    soft = soft_tfidf_pairs(band, canon, jw_threshold=0.9)
+    j = cheap.join(soft, ["doc_id_a", "doc_id_b"], "left")
+    return j.where(
+        (F.col("cheap") >= _CASCADE_HI)
+        | (F.col("soft_tfidf").isNotNull() & (F.col("soft_tfidf") >= _CASCADE_SOFT))
+    ).select(
+        "doc_id_a",
+        "doc_id_b",
+        "cheap",
+        F.when(F.col("cheap") >= _CASCADE_HI, F.lit("cheap"))
+        .otherwise(F.lit("soft_tfidf"))
+        .alias("decided_by"),
+    )
