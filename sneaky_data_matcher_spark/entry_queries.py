@@ -6489,3 +6489,127 @@ def er_cascade_matches_q(spark, sf_dir):
         .otherwise(F.lit("soft_tfidf"))
         .alias("decided_by"),
     )
+
+
+# Contact comparators over dual-source phone/email fixtures (residue-
+# chosen corruption modes, same style as dob/amount fixtures).
+_PHONE_A_SQL = "'555' || lpad(CAST(c_custkey * 37 % 10000000 AS VARCHAR), 7, '0')"
+_PHONE_B_SQL = (
+    "CASE WHEN c_custkey % 4 = 0 THEN ph_a "
+    "WHEN c_custkey % 4 = 1 THEN '1' || ph_a "
+    "WHEN c_custkey % 4 = 2 THEN '555999' || right(ph_a, 4) "
+    "ELSE '8675309' END"
+)
+_EMAIL_A_SQL = (
+    "'user.' || CAST(c_custkey AS VARCHAR) || '@ex' "
+    "|| CAST(c_custkey % 5 AS VARCHAR) || '.com'"
+)
+_EMAIL_B_SQL = (
+    "CASE WHEN c_custkey % 4 = 0 THEN em_a "
+    "WHEN c_custkey % 4 = 1 THEN 'USER' || CAST(c_custkey AS VARCHAR) "
+    "  || '+promo@EX' || CAST(c_custkey % 5 AS VARCHAR) || '.COM' "
+    "WHEN c_custkey % 4 = 2 THEN 'other@ex' || CAST(c_custkey % 5 AS VARCHAR) || '.com' "
+    "ELSE 'user.' || CAST(c_custkey AS VARCHAR) || '@nowhere.net' END"
+)
+
+
+@_q(
+    "contact_match_features",
+    "SELECT c_custkey, ph_a, ph_b, em_a, em_b, "
+    + __import__(
+        "sneaky_data_matcher_spark.functions.comparators", fromlist=["x"]
+    ).phone_match_sql("ph_a", "ph_b")
+    + " AS phone_level, "
+    + __import__(
+        "sneaky_data_matcher_spark.functions.comparators", fromlist=["x"]
+    ).email_match_sql("em_a", "em_b")
+    + f" AS email_level FROM (SELECT c_custkey, ph_a, em_a, {_PHONE_B_SQL} AS ph_b, "
+    f"{_EMAIL_B_SQL} AS em_b FROM (SELECT c_custkey, {_PHONE_A_SQL} AS ph_a, "
+    f"{_EMAIL_A_SQL} AS em_a FROM customer))",
+)
+def contact_match_features_q(spark, sf_dir):
+    from .functions.comparators import email_match_level, phone_match_level
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    ph_a = F.concat(
+        F.lit("555"), F.lpad((k * 37 % 10000000).cast("string"), 7, "0")
+    )
+    em_a = F.concat(
+        F.lit("user."), k.cast("string"), F.lit("@ex"),
+        (k % 5).cast("string"), F.lit(".com"),
+    )
+    t = cust.select("c_custkey", ph_a.alias("ph_a"), em_a.alias("em_a"))
+    pa = F.col("ph_a")
+    ph_b = (
+        F.when(k % 4 == 0, pa)
+        .when(k % 4 == 1, F.concat(F.lit("1"), pa))
+        .when(k % 4 == 2, F.concat(F.lit("555999"), F.substring(pa, -4, 4)))
+        .otherwise(F.lit("8675309"))
+    )
+    em_b = (
+        F.when(k % 4 == 0, F.col("em_a"))
+        .when(
+            k % 4 == 1,
+            F.concat(
+                F.lit("USER"), k.cast("string"), F.lit("+promo@EX"),
+                (k % 5).cast("string"), F.lit(".COM"),
+            ),
+        )
+        .when(
+            k % 4 == 2,
+            F.concat(F.lit("other@ex"), (k % 5).cast("string"), F.lit(".com")),
+        )
+        .otherwise(
+            F.concat(F.lit("user."), k.cast("string"), F.lit("@nowhere.net"))
+        )
+    )
+    t = t.withColumn("ph_b", ph_b).withColumn("em_b", em_b)
+    return t.select(
+        "c_custkey",
+        "ph_a",
+        "ph_b",
+        "em_a",
+        "em_b",
+        phone_match_level(F.col("ph_a"), F.col("ph_b")).alias("phone_level"),
+        email_match_level(F.col("em_a"), F.col("em_b")).alias("email_level"),
+    )
+
+
+# Confusable folding: pollute even-id docs Latin->Cyrillic on the
+# involutive subset, fold back, prove the round trip (same certificate
+# shape as width_fold / ligature_fold).
+_CONF_LAT = "aeopcyx"
+_CONF_CYR = "аеорсух"
+
+
+@_q(
+    "confusable_fold",
+    "SELECT doc_id, "
+    + __import__(
+        "sneaky_data_matcher_spark.functions.canonicalize", fromlist=["x"]
+    ).fold_confusables_sql(
+        f"CASE WHEN doc_id % 2 = 0 THEN translate(text, '{_CONF_LAT}', '{_CONF_CYR}') ELSE text END"
+    )
+    + " = text AS roundtrip, "
+    + __import__(
+        "sneaky_data_matcher_spark.functions.canonicalize", fromlist=["x"]
+    ).fold_confusables_sql(
+        f"CASE WHEN doc_id % 2 = 0 THEN translate(text, '{_CONF_LAT}', '{_CONF_CYR}') ELSE text END"
+    )
+    + " AS folded FROM documents",
+)
+def confusable_fold_q(spark, sf_dir):
+    from .functions.canonicalize import fold_confusables
+
+    d = _docs(spark, sf_dir)
+    polluted = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.translate(F.col("text"), _CONF_LAT, _CONF_CYR),
+    ).otherwise(F.col("text"))
+    folded = fold_confusables(polluted)
+    return d.select(
+        "doc_id",
+        (folded == F.col("text")).alias("roundtrip"),
+        folded.alias("folded"),
+    )

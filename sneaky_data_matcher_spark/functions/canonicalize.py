@@ -273,3 +273,31 @@ def expand_ligatures_sql(expr: str) -> str:
     for src, dst in LIGATURES.items():
         out = f"replace({out}, '{src}', '{dst}')"
     return out
+
+
+# --- confusable (homoglyph) folding (r3 continuation) -----------------------
+# Cyrillic/Greek letters visually identical to Latin — the standard
+# adversarial-dedup trick (spam templates swap a Latin 'o' for Cyrillic
+# 'о' to defeat exact/shingle dedup). 1:1 code-point translate of the
+# high-confidence Unicode-confusables subset; composes with fold_width +
+# fold_accents. NOT a full UTS#39 skeleton (multi-char confusables like
+# 'rn'→'m' are out of scope — they're string rewrites, not homoglyphs).
+CONFUSABLE_SRC = (
+    "аеорсухіѕјԛнвкмтАВЕКМНОРСТХУІЅЈ"  # Cyrillic lowers + uppers
+    "οΑΒΕΖΗΙΚΜΝΟΡΤΥΧνιρυχκ"            # Greek
+)
+CONFUSABLE_DST = (
+    "aeopcyxisjqhbkmtABEKMHOPCTXYISJ"
+    "oABEZHIKMNOPTYXvipyxk"
+)
+assert len(CONFUSABLE_SRC) == len(CONFUSABLE_DST)
+
+
+def fold_confusables(col: Column) -> Column:
+    """Homoglyph-folded text (1:1 translate, shared mapping)."""
+    return F.translate(col, CONFUSABLE_SRC, CONFUSABLE_DST)
+
+
+def fold_confusables_sql(expr: str) -> str:
+    """DuckDB twin of :func:`fold_confusables` — identical mapping."""
+    return f"translate({expr}, '{CONFUSABLE_SRC}', '{CONFUSABLE_DST}')"

@@ -253,3 +253,28 @@ def test_expand_ligatures(spark):
         ).fetchall()
     ]
     assert got == exp
+
+
+def test_fold_confusables(spark):
+    import duckdb
+
+    from sneaky_data_matcher_spark.functions.canonicalize import (
+        fold_confusables,
+        fold_confusables_sql,
+    )
+
+    rows = ["соруright", "νery нice ρass", "plain ascii", ""]
+    df = spark.createDataFrame([(x,) for x in rows], "x string")
+    got = [r[0] for r in df.select(fold_confusables(F.col("x"))).collect()]
+    assert got[0] == "copyright" and got[1] == "very hice pass"
+    assert got[2] == "plain ascii"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE cf(x VARCHAR)")
+    con.executemany("INSERT INTO cf VALUES (?)", [(x,) for x in rows])
+    exp = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {fold_confusables_sql('x')} FROM cf"
+        ).fetchall()
+    ]
+    assert got == exp
