@@ -6613,3 +6613,19 @@ def confusable_fold_q(spark, sf_dir):
         (folded == F.col("text")).alias("roundtrip"),
         folded.alias("folded"),
     )
+
+
+# Interpolated bigram LM scores (operators/lm.py) — the order-2 CCNet-
+# style perplexity filter next to lm_logprob's unigram.
+@_q(
+    "bigram_lm_logprob",
+    "WITH "
+    + __import__(
+        "sneaky_data_matcher_spark.operators.lm", fromlist=["x"]
+    ).bigram_logprob_sql_ctes("documents")
+    + " SELECT doc_id, n_bigrams, mean_logprob FROM blm_out",
+)
+def bigram_lm_logprob_q(spark, sf_dir):
+    from .operators.lm import bigram_logprob_scores
+
+    return bigram_logprob_scores(_docs(spark, sf_dir))

@@ -79,3 +79,112 @@ def unigram_logprob_scores(
             F.round(F.sum("term").cast("double") / F.sum("c"), 6).alias("mean_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM (r3 continuation)
+# ---------------------------------------------------------------------------
+
+def doc_bigram_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, prev, cur, c) — per-document bigram occurrence counts
+    (no BOS marker; docs with < 2 tokens emit nothing)."""
+    t = tokens(F.col(text_col))
+    pairs = F.expr(
+        "transform(sequence(2, size(__toks)), i -> "
+        "struct(__toks[i - 2] AS prev, __toks[i - 1] AS cur))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), t.alias("__toks"))
+        .where(F.size("__toks") >= 2)
+        .select("doc_id", F.explode(pairs).alias("bg"))
+        .groupBy("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def bigram_logprob_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bigrams, mean_logprob) under a corpus-self-trained
+    interpolated bigram model (the CCNet-style perplexity-filter signal,
+    one order up from unigram_logprob_scores):
+
+        p(w | prev) = (c(prev,w) + p1(w)) / (c(prev·) + 1)
+        p1(w)       = (c(w) + 1) / (N + V)   (add-one unigram)
+
+    i.e. one pseudo-count of the smoothed unigram distribution backs off
+    every context. The log argument is assembled as a ratio of EXACT
+    int64 products — (c_bi·(N+V) + c_w + 1) / ((N+V)·(c_prev + 1)) — so
+    both engines take ln() of identical doubles (widen to DECIMAL(38,0)
+    past ~3e9 corpus tokens); per-doc-bigram terms c·ln(p) are rounded
+    to 9 decimals and summed as DECIMAL (order-independent), mean
+    rounded to 6 — the module's established float discipline.
+
+    Scale shape: bigrams reduce to per-(doc, prev, cur) counts FIRST
+    (map-side combinable, hot bigrams bounded by doc count); the model
+    joins key on (prev, cur) / cur / prev; totals broadcast as one row.
+    """
+    db = doc_bigram_counts(docs, id_col, text_col)
+    bi = db.groupBy("prev", "cur").agg(F.sum("c").alias("n_bi"))
+    ctx = bi.groupBy("prev").agg(F.sum("n_bi").alias("n_prev"))
+    uni = doc_token_counts(docs, id_col, text_col).groupBy("tok").agg(
+        F.sum("c").alias("n_uni")
+    )
+    totals = F.broadcast(
+        uni.agg(F.sum("n_uni").alias("tot_n"), F.count("*").alias("vocab_v"))
+    )
+    j = (
+        db.join(bi, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(uni.withColumnRenamed("tok", "cur"), "cur")
+        .crossJoin(totals)
+    )
+    nv = F.col("tot_n") + F.col("vocab_v")
+    num = (F.col("n_bi") * nv + F.col("n_uni") + 1).cast("double")
+    den = (nv * (F.col("n_prev") + 1)).cast("double")
+    term = F.round(F.col("c") * F.log(num / den), 9).cast("decimal(28,9)")
+    return (
+        j.groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.sum(term).alias("s"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("s").cast("double") / F.col("n_bigrams").cast("double"), 6
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+def bigram_logprob_sql_ctes(docs_rel: str = "documents") -> str:
+    """DuckDB twin CTE chain; final relation `blm_out` mirrors
+    bigram_logprob_scores' columns. Tokenization matches textstats.tokens
+    (lower + whitespace split + drop empties)."""
+    toks = (
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    )
+    return (
+        f"blm_t AS (SELECT doc_id, {toks} AS tk FROM {docs_rel}), "
+        "blm_db AS (SELECT doc_id, bg.prev AS prev, bg.cur AS cur, count(*) AS c FROM ("
+        "  SELECT doc_id, unnest(list_transform(range(2, len(tk) + 1), "
+        "    i -> struct_pack(prev := tk[i - 1], cur := tk[i]))) AS bg "
+        "  FROM blm_t WHERE len(tk) >= 2) "
+        "  GROUP BY 1, 2, 3), "
+        "blm_bi AS (SELECT prev, cur, CAST(sum(c) AS BIGINT) AS n_bi FROM blm_db GROUP BY 1, 2), "
+        "blm_ctx AS (SELECT prev, CAST(sum(n_bi) AS BIGINT) AS n_prev FROM blm_bi GROUP BY 1), "
+        "blm_uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_uni FROM ("
+        "  SELECT doc_id, unnest(tk) AS tok FROM blm_t) GROUP BY 1), "
+        "blm_tot AS (SELECT CAST(sum(n_uni) AS BIGINT) AS tot_n, "
+        "  CAST(count(*) AS BIGINT) AS vocab_v FROM blm_uni), "
+        "blm_j AS (SELECT d.doc_id, d.c, b.n_bi, x.n_prev, u.n_uni, t.tot_n, t.vocab_v "
+        "  FROM blm_db d JOIN blm_bi b USING (prev, cur) JOIN blm_ctx x USING (prev) "
+        "  JOIN blm_uni u ON u.tok = d.cur CROSS JOIN blm_tot t), "
+        "blm_out AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, "
+        "  round(CAST(sum(CAST(round(c * ln("
+        "    CAST(n_bi * (tot_n + vocab_v) + n_uni + 1 AS DOUBLE) "
+        "    / CAST((tot_n + vocab_v) * (n_prev + 1) AS DOUBLE)), 9) "
+        "    AS DECIMAL(28,9))) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS mean_logprob "
+        "  FROM blm_j GROUP BY doc_id)"
+    )

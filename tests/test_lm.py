@@ -80,3 +80,29 @@ def test_heldout_scoring_with_unseen_tokens(spark):
     )
     assert got["n_tokens"] == 2
     assert got["mean_logprob"] == pytest.approx(want, abs=1e-6)
+
+
+def test_bigram_lm_prefers_fluent_docs(spark):
+    """A doc made of corpus-frequent bigrams outscores a shuffled-token
+    doc with identical unigram counts — exactly the signal the unigram
+    model cannot see."""
+    from sneaky_data_matcher_spark.operators.lm import bigram_logprob_scores
+
+    base = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    fluent = (100, "the quick brown fox jumps over the lazy dog")
+    shuffled = (101, "dog the over quick lazy fox brown jumps the")
+    docs = spark.createDataFrame(
+        base + [fluent, shuffled], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.mean_logprob for r in bigram_logprob_scores(docs).collect()}
+    assert out[100] > out[101]
+
+
+def test_bigram_counts_exact(spark):
+    from sneaky_data_matcher_spark.operators.lm import doc_bigram_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    out = {(r.doc_id, r.prev, r.cur): r.c for r in doc_bigram_counts(docs).collect()}
+    assert out == {(1, "a", "b"): 2, (1, "b", "a"): 1}
