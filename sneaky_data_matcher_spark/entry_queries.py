@@ -6629,3 +6629,59 @@ def bigram_lm_logprob_q(spark, sf_dir):
     from .operators.lm import bigram_logprob_scores
 
     return bigram_logprob_scores(_docs(spark, sf_dir))
+
+
+# Cluster-merge review queue: pairs of DISTINCT final clusters connected
+# by near-miss candidate evidence (composite in [0.7, 0.8) — just under
+# the match bar), ranked by their strongest cross edge and total
+# evidence. The clerical-review complement of er_review_queue (which
+# ranks PAIR decisions): this ranks CLUSTER-MERGE decisions, the thing a
+# steward actually signs off on.
+@_q(
+    "er_merge_review",
+    f"WITH RECURSIVE {_ER_CLUSTERS_CTE}, "
+    f"mr_near AS (SELECT s.doc_id_a, s.doc_id_b, round({_ER_SCORE_SQL}, 6) AS score "
+    f"  FROM er_scored s WHERE {_ER_SCORE_SQL} >= 0.7 AND NOT ({_ER_MATCH_COND})), "
+    "mr_x AS (SELECT least(ca.cluster_id, cb.cluster_id) AS cluster_lo, "
+    "  greatest(ca.cluster_id, cb.cluster_id) AS cluster_hi, n.score "
+    "  FROM mr_near n JOIN clusters ca ON n.doc_id_a = ca.doc_id "
+    "  JOIN clusters cb ON n.doc_id_b = cb.doc_id "
+    "  WHERE ca.cluster_id <> cb.cluster_id) "
+    "SELECT cluster_lo, cluster_hi, count(*) AS n_edges, "
+    "max(score) AS best_score, "
+    "CAST(sum(CAST(score AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_score "
+    "FROM mr_x GROUP BY 1, 2",
+)
+def er_merge_review_q(spark, sf_dir):
+    assign = er_clusters(spark, sf_dir)
+    s = _er_scored_frame(spark, sf_dir)
+    score = (
+        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+    )
+    near = s.where((score >= 0.7) & ~(score >= 0.8)).select(
+        "doc_id_a", "doc_id_b", F.round(score, 6).alias("score")
+    )
+    ca = assign.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("cluster_id").alias("cl_a")
+    )
+    cb = assign.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("cluster_id").alias("cl_b")
+    )
+    x = (
+        near.join(ca, "doc_id_a")
+        .join(cb, "doc_id_b")
+        .where(F.col("cl_a") != F.col("cl_b"))
+        .select(
+            F.least("cl_a", "cl_b").alias("cluster_lo"),
+            F.greatest("cl_a", "cl_b").alias("cluster_hi"),
+            "score",
+        )
+    )
+    return x.groupBy("cluster_lo", "cluster_hi").agg(
+        F.count("*").alias("n_edges"),
+        F.max("score").alias("best_score"),
+        (
+            F.sum(F.col("score").cast("decimal(18,9)")).cast("double")
+            / F.count("*")
+        ).alias("avg_score"),
+    )
