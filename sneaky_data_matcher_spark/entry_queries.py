@@ -6685,3 +6685,295 @@ def er_merge_review_q(spark, sf_dir):
             / F.count("*")
         ).alias("avg_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistent entity ids + cluster churn (operators/entity_ids.py): the
+# production-ER continuity pair. The previous run is simulated as the 0.8
+# clustering over the EVEN-doc_id half of the corpus; the current run is
+# the 0.85 clustering over everything — so the transition genuinely
+# exercises new docs arriving (odd ids), entities growing/merging across
+# the new arrivals, and strict-threshold splits, all deterministically.
+# The oracle replays both recursive closures and the same mutual-best
+# windows.
+# ---------------------------------------------------------------------------
+
+_ER_PREV_CUR_CTE = (
+    _ER_SCORED_CTE
+    + ", pe AS MATERIALIZED (SELECT doc_id_a AS u, doc_id_b AS v FROM er_scored "
+    f"  WHERE ({_ER_MATCH_COND}) AND doc_id_a % 2 = 0 AND doc_id_b % 2 = 0), "
+    "ps AS (SELECT u, v FROM pe UNION SELECT v, u FROM pe), "
+    "pr(a, b) AS (SELECT doc_id, doc_id FROM canon WHERE doc_text <> '' AND doc_id % 2 = 0 "
+    "  UNION SELECT r.a, s.v FROM pr r JOIN ps s ON r.b = s.u), "
+    "p AS MATERIALIZED (SELECT a AS doc_id, min(b) AS entity_id FROM pr GROUP BY a), "
+    "ce AS MATERIALIZED (SELECT doc_id_a AS u, doc_id_b AS v FROM er_scored "
+    f"  WHERE {_ER_STRICT_COND}), "
+    "cs AS (SELECT u, v FROM ce UNION SELECT v, u FROM ce), "
+    "cr(a, b) AS (SELECT doc_id, doc_id FROM canon WHERE doc_text <> '' "
+    "  UNION SELECT r.a, s.v FROM cr r JOIN cs s ON r.b = s.u), "
+    "c AS MATERIALIZED (SELECT a AS doc_id, min(b) AS cluster_id FROM cr GROUP BY a), "
+    "ov AS MATERIALIZED (SELECT entity_id, cluster_id, count(*) AS overlap_n "
+    "  FROM p JOIN c USING (doc_id) GROUP BY entity_id, cluster_id)"
+)
+
+
+def _er_prev_cur(spark, sf_dir):
+    """Spark side of the simulated prev/cur assignment pair (cached)."""
+    from .operators.clustering import connected_components
+
+    s = _er_scored_frame(spark, sf_dir)
+    score = (
+        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+    )
+    canon, _, _ = _er_frames(spark, sf_dir)
+
+    def build_prev():
+        edges = s.where(
+            (score >= 0.8)
+            & (F.col("doc_id_a") % 2 == 0)
+            & (F.col("doc_id_b") % 2 == 0)
+        ).select("doc_id_a", "doc_id_b")
+        comp = connected_components(edges)
+        return (
+            canon.where(F.col("doc_id") % 2 == 0)
+            .select("doc_id")
+            .join(comp, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("cluster_id", F.col("doc_id")).alias("entity_id"),
+            )
+        )
+
+    def build_cur():
+        edges = s.where(score >= 0.85).select("doc_id_a", "doc_id_b")
+        comp = connected_components(edges)
+        return (
+            canon.select("doc_id")
+            .join(comp, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            )
+        )
+
+    prev = _cached(spark, sf_dir, "er_prev_assign", build_prev)
+    cur = _cached(spark, sf_dir, "er_cur_assign", build_cur)
+    return prev, cur
+
+
+@_q(
+    "er_persistent_ids",
+    f"WITH RECURSIVE {_ER_PREV_CUR_CTE}, "
+    "nom AS (SELECT entity_id, cluster_id, overlap_n, "
+    "  row_number() OVER (PARTITION BY entity_id ORDER BY overlap_n DESC, cluster_id) AS rk_e FROM ov), "
+    "inh AS (SELECT cluster_id, entity_id FROM ("
+    "  SELECT cluster_id, entity_id, "
+    "  row_number() OVER (PARTITION BY cluster_id ORDER BY overlap_n DESC, entity_id) AS rk_c "
+    "  FROM nom WHERE rk_e = 1) WHERE rk_c = 1) "
+    "SELECT c.doc_id, c.cluster_id, coalesce(i.entity_id, c.cluster_id) AS entity_id, "
+    "CASE WHEN i.entity_id IS NULL THEN 'minted' ELSE 'inherited' END AS id_source "
+    "FROM c LEFT JOIN inh i USING (cluster_id)",
+)
+def er_persistent_ids_q(spark, sf_dir):
+    from .operators import entity_ids
+
+    prev, cur = _er_prev_cur(spark, sf_dir)
+    return entity_ids.persistent_entity_ids(prev, cur)
+
+
+@_q(
+    "er_cluster_churn",
+    f"WITH RECURSIVE {_ER_PREV_CUR_CTE}, "
+    "psize AS (SELECT entity_id, count(*) AS prev_size FROM p GROUP BY entity_id), "
+    "spread AS (SELECT entity_id, count(DISTINCT cluster_id) AS n_cur_clusters FROM ov GROUP BY entity_id), "
+    "percl AS (SELECT cluster_id, count(DISTINCT entity_id) AS n_prev_entities, "
+    "  sum(overlap_n) AS n_carried FROM ov GROUP BY cluster_id), "
+    "csize AS (SELECT cluster_id, count(*) AS n_members FROM c GROUP BY cluster_id), "
+    "single AS (SELECT ov.cluster_id, ov.overlap_n, psize.prev_size, spread.n_cur_clusters "
+    "  FROM ov JOIN percl ON ov.cluster_id = percl.cluster_id AND percl.n_prev_entities = 1 "
+    "  JOIN psize USING (entity_id) JOIN spread USING (entity_id)) "
+    "SELECT cs.cluster_id, cs.n_members, "
+    "coalesce(pc.n_prev_entities, 0) AS n_prev_entities, "
+    "cs.n_members - coalesce(pc.n_carried, 0) AS n_new_docs, "
+    "CASE WHEN coalesce(pc.n_prev_entities, 0) = 0 THEN 'new' "
+    "  WHEN pc.n_prev_entities >= 2 THEN 'merged' "
+    "  WHEN sg.n_cur_clusters >= 2 THEN 'split' "
+    "  WHEN sg.overlap_n = sg.prev_size AND cs.n_members - pc.n_carried = 0 THEN 'stable' "
+    "  WHEN sg.overlap_n = sg.prev_size THEN 'grown' "
+    "  WHEN cs.n_members - pc.n_carried = 0 THEN 'shrunk' "
+    "  ELSE 'changed' END AS status "
+    "FROM csize cs LEFT JOIN percl pc USING (cluster_id) "
+    "LEFT JOIN single sg ON cs.cluster_id = sg.cluster_id",
+)
+def er_cluster_churn_q(spark, sf_dir):
+    from .operators import entity_ids
+
+    prev, cur = _er_prev_cur(spark, sf_dir)
+    return entity_ids.cluster_churn(prev, cur)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe corpus splitting (operators/sampling.py cluster_split): the
+# split is a function of the CLUSTER key, so an entity's near-duplicates
+# can never straddle train/eval — the internal-holdout complement of the
+# decontamination operator.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "cluster_split_docs",
+    f"WITH RECURSIVE {_ER_CLUSTERS_CTE} "
+    "SELECT doc_id, cluster_id, "
+    "CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' "
+    "  ELSE 'test' END AS split "
+    f"FROM (SELECT doc_id, cluster_id, {_lehmer_sql('cluster_id')} AS u FROM clusters)",
+)
+def cluster_split_docs_q(spark, sf_dir):
+    from .operators.sampling import cluster_split
+
+    assign = er_clusters(spark, sf_dir)
+    return cluster_split(assign)
+
+
+# ---------------------------------------------------------------------------
+# Blocking-scheme quality vs EXTERNAL truth (operators/evaluation.py
+# blocking_quality): Christen's reduction-ratio / pairs-completeness /
+# pairs-quality per blocking pass + the union scheme, against the same
+# n-gram-Jaccard>=0.7 truth relation er_eval uses. The literature-standard
+# drop-or-keep table for blocking passes; complements blocking_pass_report
+# (which measures coverage of the matcher's OWN matches, not truth).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "blocking_quality",
+    f"WITH {_ER_KEYS_CTE}, {_NGRAM_SH_CTE}, "
+    "truth AS MATERIALIZED (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
+    "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.7), "
+    "pp AS MATERIALIZED (SELECT DISTINCT a.pass, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
+    "  FROM er_keys a JOIN er_keys b ON a.pass = b.pass AND a.block_key = b.block_key "
+    "  WHERE a.doc_id < b.doc_id), "
+    "cand AS (SELECT pass, doc_id_a, doc_id_b FROM pp "
+    "  UNION ALL SELECT DISTINCT 'all', doc_id_a, doc_id_b FROM pp), "
+    "nrec AS (SELECT count(*) AS n FROM canon WHERE doc_text <> ''), "
+    "ntr AS (SELECT count(*) AS n FROM truth), "
+    "st AS (SELECT pass, count(*) AS n_candidates, count(t.doc_id_a) AS n_truth_hits "
+    "  FROM cand c LEFT JOIN truth t USING (doc_id_a, doc_id_b) GROUP BY pass) "
+    "SELECT pass, n_candidates, n_truth_hits, "
+    "round(1.0 - CAST(n_candidates AS DOUBLE) / CAST(nrec.n * (nrec.n - 1) // 2 AS DOUBLE), 6) AS reduction_ratio, "
+    "round(CAST(n_truth_hits AS DOUBLE) / CAST(greatest(ntr.n, 1) AS DOUBLE), 6) AS pairs_completeness, "
+    "round(CAST(n_truth_hits AS DOUBLE) / CAST(greatest(n_candidates, 1) AS DOUBLE), 6) AS pairs_quality "
+    "FROM st CROSS JOIN nrec CROSS JOIN ntr",
+)
+def blocking_quality_q(spark, sf_dir):
+    from .operators import evaluation
+
+    canon, keys, _ = _er_frames(spark, sf_dir)
+    truth = ngram_dup_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    n_records = canon.count()
+    return evaluation.blocking_quality(keys, truth, n_records)
+
+
+# ---------------------------------------------------------------------------
+# Value standardization (operators/standardize.py): OpenRefine-style
+# fingerprint key-collision clustering of a messy column + modal canonical
+# election. Deterministic surface-form pollution is synthesized from
+# customer.c_mktsegment identically on both engines (case, punctuation,
+# padding, accents; the '%4=3' variant adds a real token, which must NOT
+# merge — different fingerprint).
+# ---------------------------------------------------------------------------
+
+_STD_RAW_SQL = (
+    "CASE c_custkey % 4 "
+    "WHEN 0 THEN c_mktsegment "
+    "WHEN 1 THEN lower(c_mktsegment) || '.' "
+    "WHEN 2 THEN '  ' || c_mktsegment || ' ' "
+    "ELSE regexp_replace(lower(c_mktsegment), 'a', 'á', 'g') || ', dept' END"
+)
+
+from .operators.standardize import fingerprint_sql as _fp_sql  # noqa: E402
+
+
+@_q(
+    "value_standardize",
+    "WITH raw AS (SELECT c_custkey, " + _STD_RAW_SQL + " AS value FROM customer), "
+    "census AS MATERIALIZED (SELECT value, count(*) AS n_rows, "
+    f"  {_fp_sql('value')} AS fp FROM raw GROUP BY value), "
+    "ranked AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY n_rows DESC, value) AS rk FROM census), "
+    "canon AS (SELECT fp, value AS canonical_value FROM ranked WHERE rk = 1), "
+    "sizes AS (SELECT fp, count(*) AS group_size FROM census GROUP BY fp) "
+    "SELECT c.value, "
+    "CASE WHEN c.fp = '' THEN c.value ELSE k.canonical_value END AS canonical_value, "
+    "c.n_rows, CASE WHEN c.fp = '' THEN 1 ELSE s.group_size END AS group_size "
+    "FROM census c JOIN canon k USING (fp) JOIN sizes s USING (fp)",
+)
+def value_standardize_q(spark, sf_dir):
+    from .operators.standardize import standardize_values
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    seg = F.col("c_mktsegment")
+    raw = (
+        F.when(F.col("c_custkey") % 4 == 0, seg)
+        .when(F.col("c_custkey") % 4 == 1, F.concat(F.lower(seg), F.lit(".")))
+        .when(
+            F.col("c_custkey") % 4 == 2,
+            F.concat(F.lit("  "), seg, F.lit(" ")),
+        )
+        .otherwise(
+            F.concat(
+                F.regexp_replace(F.lower(seg), "a", "á"), F.lit(", dept")
+            )
+        )
+    )
+    return standardize_values(cust.select(raw.alias("value")), "value")
+
+
+# ---------------------------------------------------------------------------
+# Audit-sample precision estimation (operators/evaluation.py
+# sampled_precision): stratify predicted matches by score band, grade a
+# deterministic k-per-band Lehmer sample against the n-gram truth (the
+# stand-in clerical reviewer), report per-band precision + Wilson 95% CI.
+# The estimator a 10^12-pair matcher actually ships — nobody labels the
+# full match set. Oracle replays bands, the ranked sample, and the same
+# Wilson expression term for term.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "er_precision_estimate",
+    f"WITH {_ER_SCORED_CTE}, {_NGRAM_SH_CTE}, "
+    "truth AS MATERIALIZED (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
+    "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.7), "
+    "m AS MATERIALIZED (SELECT doc_id_a, doc_id_b, "
+    "  CAST(floor((0.4*jw + 0.2*lev_ratio + 0.4*tok_jaccard) * 20.0) * 5 AS INT) AS band_pct, "
+    f"  {_lehmer_sql('(doc_id_a * 100000 + doc_id_b)')} AS u "
+    f"  FROM er_scored WHERE {_ER_MATCH_COND}), "
+    "ranked AS (SELECT *, row_number() OVER (PARTITION BY band_pct ORDER BY u, doc_id_a, doc_id_b) AS rk FROM m), "
+    "graded AS (SELECT band_pct, count(*) AS n_sampled, count(t.doc_id_a) AS n_true_sampled "
+    "  FROM ranked r LEFT JOIN truth t USING (doc_id_a, doc_id_b) WHERE rk <= 50 GROUP BY band_pct), "
+    "pop AS (SELECT band_pct, count(*) AS n_pairs FROM m GROUP BY band_pct), "
+    "wil AS (SELECT band_pct, n_pairs, n_sampled, n_true_sampled, "
+    "  CAST(n_true_sampled AS DOUBLE) / CAST(n_sampled AS DOUBLE) AS p, "
+    "  CAST(n_sampled AS DOUBLE) AS n FROM pop JOIN graded USING (band_pct)) "
+    "SELECT band_pct, n_pairs, n_sampled, n_true_sampled, "
+    "round(p, 6) AS p_hat, "
+    "round((p + 1.959964*1.959964/(2.0*n)) / (1.0 + 1.959964*1.959964/n) "
+    "  - 1.959964 * sqrt(p*(1.0-p)/n + 1.959964*1.959964/(4.0*n*n)) / (1.0 + 1.959964*1.959964/n), 6) AS wilson_lo, "
+    "round((p + 1.959964*1.959964/(2.0*n)) / (1.0 + 1.959964*1.959964/n) "
+    "  + 1.959964 * sqrt(p*(1.0-p)/n + 1.959964*1.959964/(4.0*n*n)) / (1.0 + 1.959964*1.959964/n), 6) AS wilson_hi "
+    "FROM wil",
+)
+def er_precision_estimate_q(spark, sf_dir):
+    from .operators import evaluation
+
+    s = _er_scored_frame(spark, sf_dir)
+    score = (
+        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+    )
+    matches = s.where(score >= 0.8).select(
+        "doc_id_a", "doc_id_b", score.alias("score")
+    )
+    truth = ngram_dup_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    return evaluation.sampled_precision(matches, truth)

@@ -74,6 +74,162 @@ def pairwise_confusion(pred: DataFrame, truth: DataFrame) -> DataFrame:
     )
 
 
+def blocking_quality(
+    keys: DataFrame, truth: DataFrame, n_records: int
+) -> DataFrame:
+    """Christen's standard blocking-scheme metrics, per pass and for the
+    union of passes ('all'): reduction ratio, pairs completeness, pairs
+    quality.
+
+      RR = 1 - |candidates| / C(n_records, 2)   (how much comparison work
+                                                 blocking saved)
+      PC = |candidates ∩ truth| / |truth|       (recall of the truth pairs
+                                                 — what blocking can lose)
+      PQ = |candidates ∩ truth| / |candidates|  (precision of the
+                                                 candidate set)
+
+    keys: (doc_id, pass, block_key) blocking keys; truth: (doc_id_a,
+    doc_id_b) labeled/oracle duplicate pairs. The drop-or-keep evidence
+    for each pass: a pass with PC ≈ 0 adds pair mass without recall; the
+    'all' row is the scheme as shipped. Complements blocking_pass_report
+    (coverage vs the matcher's own matches) with coverage vs EXTERNAL
+    truth.
+
+    Scale notes: candidate enumeration is the same per-block self-join the
+    pipeline runs (bounded by salting upstream when used for real); counts
+    are exact longs, the three ratios single IEEE divisions. Output rows =
+    #passes + 1."""
+    k = keys.select("doc_id", "pass", "block_key")
+    a = k.select("pass", "block_key", F.col("doc_id").alias("doc_id_a"))
+    b = k.select("pass", "block_key", F.col("doc_id").alias("doc_id_b"))
+    per_pass = (
+        a.join(b, ["pass", "block_key"])
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("pass", "doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    cand = per_pass.unionByName(
+        per_pass.select(
+            F.lit("all").alias("pass"), "doc_id_a", "doc_id_b"
+        ).distinct()
+    )
+    t = _canon_pairs(truth)
+    n_truth = t.count()
+    hits = (
+        cand.join(t, ["doc_id_a", "doc_id_b"], "left_semi")
+        .groupBy("pass")
+        .agg(F.count("*").alias("n_truth_hits"))
+    )
+    total_possible = n_records * (n_records - 1) // 2
+    stats = (
+        cand.groupBy("pass")
+        .agg(F.count("*").alias("n_candidates"))
+        .join(hits, "pass", "left")
+        .select(
+            "pass",
+            "n_candidates",
+            F.coalesce("n_truth_hits", F.lit(0)).alias("n_truth_hits"),
+        )
+    )
+    return stats.select(
+        "pass",
+        "n_candidates",
+        "n_truth_hits",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_candidates").cast("double") / F.lit(float(total_possible)),
+            6,
+        ).alias("reduction_ratio"),
+        F.round(
+            F.col("n_truth_hits").cast("double") / F.lit(float(max(n_truth, 1))), 6
+        ).alias("pairs_completeness"),
+        F.round(
+            F.col("n_truth_hits").cast("double")
+            / F.greatest(F.col("n_candidates"), F.lit(1)),
+            6,
+        ).alias("pairs_quality"),
+    )
+
+
+WILSON_Z = 1.959964  # ~97.5th normal quantile; shared literal with the twin
+
+
+def sampled_precision(
+    matches: DataFrame,
+    truth: DataFrame,
+    score_col: str = "score",
+    band_width_pct: int = 5,
+    k_per_band: int = 50,
+    salt: int = 0,
+) -> DataFrame:
+    """Audit-sample precision estimation for match decisions at a scale
+    where labeling everything is impossible: stratify predicted matches by
+    score band, draw a DETERMINISTIC k-per-band audit sample (Lehmer-hash
+    order — rerun-stable, partition-independent), grade the sample against
+    the truth relation (standing in for the clerical reviewer), and report
+    per-band precision with a Wilson 95% interval.
+
+    Output: (band_pct, n_pairs, n_sampled, n_true_sampled, p_hat,
+    wilson_lo, wilson_hi), one row per non-empty band. The stratified
+    corpus-level estimate is sum(n_pairs * p_hat) / sum(n_pairs) —
+    computed by the caller/test so the per-band evidence stays visible.
+
+    Scale notes: band assignment is a projection; the only window ranks
+    WITHIN a band ordered by the hash, and only to cut off at k — at real
+    scale replace with an approximate per-band threshold on the hash
+    (keep u < k/n_band) to avoid the sort entirely; counts are exact longs
+    and the Wilson terms are IEEE-deterministic expressions of them."""
+    from .sampling import lehmer_unit
+
+    band = (F.floor(F.col(score_col) * (100 / band_width_pct)) * band_width_pct).cast(
+        "int"
+    )
+    key = F.col("doc_id_a") * 100000 + F.col("doc_id_b")
+    m = matches.select(
+        "doc_id_a",
+        "doc_id_b",
+        band.alias("band_pct"),
+        lehmer_unit(key, salt).alias("u"),
+    )
+    w = Window.partitionBy("band_pct").orderBy(
+        F.col("u").asc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc()
+    )
+    ranked = m.withColumn("rk", F.row_number().over(w))
+    t = _canon_pairs(truth).withColumn("is_true", F.lit(1))
+    graded = (
+        ranked.where(F.col("rk") <= k_per_band)
+        .join(t, ["doc_id_a", "doc_id_b"], "left")
+        .groupBy("band_pct")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(F.coalesce("is_true", F.lit(0))).alias("n_true_sampled"),
+        )
+    )
+    pop = m.groupBy("band_pct").agg(F.count("*").alias("n_pairs"))
+    z = F.lit(WILSON_Z)
+    n = F.col("n_sampled").cast("double")
+    p = F.col("n_true_sampled").cast("double") / n
+    denom = F.lit(1.0) + z * z / n
+    center = (p + z * z / (F.lit(2.0) * n)) / denom
+    half = (
+        z
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z * z / (F.lit(4.0) * n * n))
+        / denom
+    )
+    return (
+        pop.join(graded, "band_pct")
+        .select(
+            "band_pct",
+            "n_pairs",
+            "n_sampled",
+            "n_true_sampled",
+            F.round(p, 6).alias("p_hat"),
+            F.round(center - half, 6).alias("wilson_lo"),
+            F.round(center + half, 6).alias("wilson_hi"),
+        )
+    )
+
+
 def cluster_size_stats(clusters: DataFrame) -> DataFrame:
     """clusters(doc_id, cluster_id) -> (cluster_size, n_clusters, n_docs):
     the cluster-size histogram. Two map-side-combinable aggregations; the

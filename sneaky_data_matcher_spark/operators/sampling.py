@@ -124,6 +124,42 @@ def mixture_weights(
     )
 
 
+def cluster_split(
+    assign: DataFrame,
+    splits: list[tuple[str, float]] | None = None,
+    key_col: str = "cluster_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the split decision is a pure
+    function of the CLUSTER key, so every member of an entity (and
+    therefore every near-duplicate the matcher found) lands in the same
+    split — the standard guard against train/eval contamination that
+    row-level splitting of a deduplicated-but-clustered corpus violates
+    (eval examples with a near-twin in train inflate benchmark scores;
+    cf. the decontamination operator, which handles EXTERNAL benchmarks,
+    while this handles internal holdouts).
+
+    ``splits`` is an ordered list of (name, weight); weights are
+    normalized and carved as half-open cumulative intervals of the
+    cluster key's Lehmer unit, so the assignment is rerun-stable,
+    partition-independent, and portable to the DuckDB twin bit-for-bit.
+
+    Scale: a broadcast-free projection — one Lehmer expression and a CASE
+    chain per row, fully codegen'd; no shuffle, no census."""
+    splits = splits or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    tot = float(sum(w for _, w in splits))
+    u = lehmer_unit(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    for name, w in splits[:-1]:
+        acc += w / tot
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return assign.withColumn("split", expr)
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

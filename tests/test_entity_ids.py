@@ -1,0 +1,126 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sneaky_data_matcher_spark.operators import entity_ids as E
+from sneaky_data_matcher_spark.operators.sampling import cluster_split
+
+
+def _prev(spark):
+    # entities: 10 -> {1,2,3}; 20 -> {4,5}; 30 -> {6,7}; 40 -> {8};
+    # 50 -> {9} (dissolves: doc 9 absent from cur)
+    rows = [
+        (1, 10), (2, 10), (3, 10),
+        (4, 20), (5, 20),
+        (6, 30), (7, 30),
+        (8, 40),
+        (9, 50),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, entity_id long")
+
+
+def _cur(spark):
+    # 100 = {1,2,3}        -> stable continuation of 10
+    # 200 = {4,5,6,7}      -> merged (20 + 30)
+    # 300 = {8, 11}        -> grown (all of 40 + new doc)
+    # 400 = {12, 13}       -> new
+    # doc 9 dropped        -> entity 50 dissolves
+    rows = [
+        (1, 100), (2, 100), (3, 100),
+        (4, 200), (5, 200), (6, 200), (7, 200),
+        (8, 300), (11, 300),
+        (12, 400), (13, 400),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+
+
+def test_persistent_ids_mutual_best(spark):
+    out = E.persistent_entity_ids(_prev(spark), _cur(spark))
+    got = {r["cluster_id"]: (r["entity_id"], r["id_source"]) for r in out.collect()}
+    assert got[100] == (10, "inherited")
+    # merged cluster inherits the larger-overlap entity; tie -> min id.
+    # 20 and 30 both overlap 200 by 2 -> entity 20 wins the tie
+    assert got[200] == (20, "inherited")
+    assert got[300] == (40, "inherited")
+    assert got[400] == (400, "minted")
+    # every doc present, uniqueness of assigned ids across clusters
+    assert out.count() == 11
+    ids = out.select("cluster_id", "entity_id").distinct()
+    assert ids.count() == ids.select("entity_id").distinct().count()
+
+
+def test_persistent_ids_split_keeps_id_on_best_half(spark):
+    prev = _prev(spark)
+    # entity 10 splits: {1,2} vs {3}; bigger fragment keeps id 10
+    cur = prev.sparkSession.createDataFrame(
+        [(1, 100), (2, 100), (3, 333)], "doc_id long, cluster_id long"
+    )
+    out = E.persistent_entity_ids(prev, cur)
+    got = {r["cluster_id"]: (r["entity_id"], r["id_source"]) for r in out.collect()}
+    assert got[100] == (10, "inherited")
+    assert got[333] == (333, "minted")
+
+
+def test_cluster_churn_statuses(spark):
+    rep = E.cluster_churn(_prev(spark), _cur(spark))
+    got = {r["cluster_id"]: r.asDict() for r in rep.collect()}
+    assert got[100]["status"] == "stable"
+    assert got[200]["status"] == "merged"
+    assert got[200]["n_prev_entities"] == 2
+    assert got[300]["status"] == "grown"
+    assert got[300]["n_new_docs"] == 1
+    assert got[400]["status"] == "new"
+    assert got[400]["n_prev_entities"] == 0
+
+
+def test_cluster_churn_split_shrunk_changed(spark):
+    prev = _prev(spark)
+    # 10 -> {1,2} + {3}: split on both sides; 20 -> {4} only (5 dropped):
+    # shrunk; 30 -> {6, 14}: 7 dropped AND 14 added: changed
+    cur = prev.sparkSession.createDataFrame(
+        [(1, 100), (2, 100), (3, 333), (4, 20), (6, 600), (14, 600)],
+        "doc_id long, cluster_id long",
+    )
+    got = {r["cluster_id"]: r["status"] for r in E.cluster_churn(prev, cur).collect()}
+    assert got[100] == "split"
+    assert got[333] == "split"
+    assert got[20] == "shrunk"
+    assert got[600] == "changed"
+
+
+def test_dissolved_entities_countable(spark):
+    prev, cur = _prev(spark), _cur(spark)
+    surviving = E.cluster_overlap(prev, cur).select("entity_id").distinct().count()
+    total = prev.select("entity_id").distinct().count()
+    assert total - surviving == 1  # entity 50
+
+
+def test_cluster_split_is_leakproof_and_deterministic(spark):
+    assign = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 500).alias("cluster_id")
+    )
+    out = cluster_split(assign)
+    # every cluster maps to exactly one split
+    per = out.groupBy("cluster_id").agg(F.countDistinct("split").alias("n"))
+    assert per.where(F.col("n") != 1).count() == 0
+    # rerun-stable
+    a = sorted(out.collect())
+    b = sorted(cluster_split(assign).collect())
+    assert a == b
+    # proportions roughly honor the weights (clusters are the unit)
+    shares = {
+        r["split"]: r["n"]
+        for r in out.select("cluster_id", "split")
+        .distinct()
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert shares["train"] > shares["val"] and shares["train"] > shares["test"]
+    assert set(shares) == {"train", "val", "test"}
+    # custom weights + ordering respected
+    two = cluster_split(assign, splits=[("a", 0.5), ("b", 0.5)])
+    assert set(r["split"] for r in two.select("split").distinct().collect()) == {
+        "a",
+        "b",
+    }

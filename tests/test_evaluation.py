@@ -146,3 +146,74 @@ def test_threshold_valley_bimodal(spark):
     con.executemany("INSERT INTO sc VALUES (?)", [(s,) for s in scores])
     exp = con.execute(threshold_valley_sql("sc")).fetchone()
     assert tuple(r) == tuple(exp)
+
+
+def test_blocking_quality_metrics(spark):
+    """Hand-computable blocking scheme over 6 records: pass p1 blocks
+    {1,2,3} + {4,5}, pass p2 blocks {1,4}. Truth = {(1,2), (4,5), (2,6)}."""
+    from sneaky_data_matcher_spark.operators.evaluation import blocking_quality
+
+    keys = spark.createDataFrame(
+        [
+            (1, "p1", "a"), (2, "p1", "a"), (3, "p1", "a"),
+            (4, "p1", "b"), (5, "p1", "b"),
+            (1, "p2", "x"), (4, "p2", "x"),
+        ],
+        "doc_id long, pass string, block_key string",
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (4, 5), (2, 6)], "doc_id_a long, doc_id_b long"
+    )
+    out = {r["pass"]: r.asDict() for r in blocking_quality(keys, truth, 6).collect()}
+    # p1: pairs {12,13,23,45} -> hits {12,45}; C(6,2)=15
+    assert out["p1"]["n_candidates"] == 4 and out["p1"]["n_truth_hits"] == 2
+    assert abs(out["p1"]["reduction_ratio"] - (1 - 4 / 15)) < 1e-6
+    assert abs(out["p1"]["pairs_completeness"] - 2 / 3) < 1e-6
+    assert abs(out["p1"]["pairs_quality"] - 0.5) < 1e-6
+    # p2: one pair (1,4), no truth hit
+    assert out["p2"]["n_candidates"] == 1 and out["p2"]["n_truth_hits"] == 0
+    assert out["p2"]["pairs_quality"] == 0.0
+    # union: {12,13,23,45,14} -> 5 candidates, 2 hits; (2,6) unreachable
+    assert out["all"]["n_candidates"] == 5 and out["all"]["n_truth_hits"] == 2
+    assert abs(out["all"]["pairs_completeness"] - 2 / 3) < 1e-6
+
+
+def test_sampled_precision_bands_and_wilson(spark):
+    from sneaky_data_matcher_spark.operators.evaluation import (
+        WILSON_Z,
+        sampled_precision,
+    )
+
+    # 120 matched pairs in band 80 (scores 0.80-0.849), 30 in band 95;
+    # truth marks every pair whose doc_id_a is even
+    rows = [(2 * i, 2 * i + 1, 0.81) for i in range(120)] + [
+        (10_000 + 2 * i + 1, 10_000 + 2 * i + 2, 0.96) for i in range(30)
+    ]
+    m = spark.createDataFrame(rows, "doc_id_a long, doc_id_b long, score double")
+    truth = spark.createDataFrame(
+        [(a, b) for a, b, _ in rows if a % 2 == 0],
+        "doc_id_a long, doc_id_b long",
+    )
+    out = {r["band_pct"]: r.asDict() for r in sampled_precision(m, truth, k_per_band=40).collect()}
+    assert set(out) == {80, 95}
+    assert out[80]["n_pairs"] == 120 and out[80]["n_sampled"] == 40
+    assert out[95]["n_pairs"] == 30 and out[95]["n_sampled"] == 30
+    # band 80 is all-even doc_id_a -> all true; band 95 all-odd -> none
+    assert out[80]["n_true_sampled"] == 40 and out[80]["p_hat"] == 1.0
+    assert out[95]["n_true_sampled"] == 0 and out[95]["p_hat"] == 0.0
+    # Wilson interval: inside [0,1], contains p_hat, shrinks with n
+    for b in (80, 95):
+        r = out[b]
+        assert 0.0 <= r["wilson_lo"] <= r["p_hat"] <= r["wilson_hi"] <= 1.0
+    # closed-form check for the all-true band (p=1): lo = n/(n+z^2)... via
+    # the standard formula computed directly
+    import math
+
+    n, z = 40.0, WILSON_Z
+    denom = 1 + z * z / n
+    center = (1.0 + z * z / (2 * n)) / denom
+    half = z * math.sqrt(0.0 + z * z / (4 * n * n)) / denom
+    assert abs(out[80]["wilson_lo"] - round(center - half, 6)) < 1e-9
+    # determinism: rerun equals
+    again = {r["band_pct"]: r.asDict() for r in sampled_precision(m, truth, k_per_band=40).collect()}
+    assert again == out
