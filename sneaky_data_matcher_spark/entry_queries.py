@@ -6977,3 +6977,108 @@ def er_precision_estimate_q(spark, sf_dir):
     )
     truth = ngram_dup_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
     return evaluation.sampled_precision(matches, truth)
+
+
+# ---------------------------------------------------------------------------
+# Truth-free blocking-recall estimate (operators/evaluation.py
+# capture_recapture_recall): treat the pfx and srt passes as independent
+# capture occasions over the (unknown) true-match population and apply the
+# Chapman census estimator — the coverage answer when no labels exist at
+# 10^12 pairs. Counts exact; the estimate is one mirrored expression.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "er_recall_estimate",
+    f"WITH {_ER_SCORED_CTE}, "
+    "pp AS (SELECT DISTINCT a.pass, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
+    "  FROM er_keys a JOIN er_keys b ON a.pass = b.pass AND a.block_key = b.block_key "
+    "  WHERE a.doc_id < b.doc_id), "
+    f"mt AS (SELECT doc_id_a, doc_id_b FROM er_scored WHERE {_ER_MATCH_COND}), "
+    "tag AS (SELECT DISTINCT pp.pass, pp.doc_id_a, pp.doc_id_b FROM pp JOIN mt USING (doc_id_a, doc_id_b)), "
+    "per AS (SELECT doc_id_a, doc_id_b, "
+    "  max(CASE WHEN pass = 'pfx' THEN 1 ELSE 0 END) AS in_a, "
+    "  max(CASE WHEN pass = 'srt' THEN 1 ELSE 0 END) AS in_b FROM tag GROUP BY doc_id_a, doc_id_b), "
+    "ag AS (SELECT CAST(sum(in_a) AS BIGINT) AS n_a, CAST(sum(in_b) AS BIGINT) AS n_b, "
+    "  CAST(sum(in_a * in_b) AS BIGINT) AS n_both, count(*) AS n_union "
+    "  FROM per WHERE in_a = 1 OR in_b = 1) "
+    "SELECT n_a, n_b, n_both, n_union, "
+    "round((CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0) / (CAST(n_both AS DOUBLE) + 1.0) - 1.0, 6) AS est_total_matches, "
+    "round(greatest((CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0) / (CAST(n_both AS DOUBLE) + 1.0) - 1.0 - CAST(n_union AS DOUBLE), 0.0), 6) AS est_missed, "
+    "round(least(CAST(n_union AS DOUBLE) / ((CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0) / (CAST(n_both AS DOUBLE) + 1.0) - 1.0), 1.0), 6) AS est_completeness "
+    "FROM ag",
+)
+def er_recall_estimate_q(spark, sf_dir):
+    from .operators import evaluation
+
+    _, keys, _ = _er_frames(spark, sf_dir)
+    k = keys.select("doc_id", "pass", "block_key")
+    a = k.select("pass", "block_key", F.col("doc_id").alias("doc_id_a"))
+    b = k.select("pass", "block_key", F.col("doc_id").alias("doc_id_b"))
+    per_pass = (
+        a.join(b, ["pass", "block_key"])
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("pass", "doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    mt = er_matches(spark, sf_dir)
+    tagged = per_pass.join(mt, ["doc_id_a", "doc_id_b"])
+    return evaluation.capture_recapture_recall(tagged, "pfx", "srt")
+
+
+# ---------------------------------------------------------------------------
+# Match explanation: per-feature weighted contributions + threshold margin
+# + dominant-evidence label for every match — the "why did these two link"
+# column set a review UI renders next to each pair.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "er_match_explain",
+    f"WITH {_ER_SCORED_CTE} "
+    "SELECT doc_id_a, doc_id_b, "
+    "round(0.4*jw, 6) AS jw_term, round(0.2*lev_ratio, 6) AS lev_term, "
+    "round(0.4*tok_jaccard, 6) AS tok_term, "
+    "round(0.4*jw + 0.2*lev_ratio + 0.4*tok_jaccard - 0.8, 6) AS margin, "
+    "CASE WHEN 0.4*jw >= 0.2*lev_ratio AND 0.4*jw >= 0.4*tok_jaccard THEN 'jw' "
+    "  WHEN 0.2*lev_ratio >= 0.4*tok_jaccard THEN 'lev' ELSE 'tok' END AS top_feature "
+    f"FROM er_scored WHERE {_ER_MATCH_COND}",
+)
+def er_match_explain_q(spark, sf_dir):
+    s = _er_scored_frame(spark, sf_dir)
+    jw_t = 0.4 * F.col("jw")
+    lev_t = 0.2 * F.col("lev_ratio")
+    tok_t = 0.4 * F.col("tok_jaccard")
+    score = jw_t + lev_t + tok_t
+    top = (
+        F.when((jw_t >= lev_t) & (jw_t >= tok_t), F.lit("jw"))
+        .when(lev_t >= tok_t, F.lit("lev"))
+        .otherwise(F.lit("tok"))
+    )
+    return s.where(score >= 0.8).select(
+        "doc_id_a",
+        "doc_id_b",
+        F.round(jw_t, 6).alias("jw_term"),
+        F.round(lev_t, 6).alias("lev_term"),
+        F.round(tok_t, 6).alias("tok_term"),
+        F.round(score - 0.8, 6).alias("margin"),
+        top.alias("top_feature"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (operators/bpe.py): learn the ordered merge table
+# over the documents corpus — vocabulary-sized rounds after one corpus
+# census; the oracle replays every round (pair census, argmax with the
+# same tie-break, the same list_reduce fold) and must learn the SAME
+# merges, frequencies included.
+# ---------------------------------------------------------------------------
+
+from .operators.bpe import bpe_train_sql as _bpe_train_sql  # noqa: E402
+
+
+@_q("bpe_merges", _bpe_train_sql(6))
+def bpe_merges_q(spark, sf_dir):
+    from .operators.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=6)

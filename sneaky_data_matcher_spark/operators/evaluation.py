@@ -151,6 +151,64 @@ def blocking_quality(
     )
 
 
+def capture_recapture_recall(
+    tagged_matches: DataFrame, pass_a: str, pass_b: str
+) -> DataFrame:
+    """Estimate how many TRUE matches the blocking scheme missed — with no
+    labeled truth at all — by treating two blocking passes as independent
+    capture occasions (Lincoln–Petersen / Chapman, the census estimator
+    record-linkage evaluation borrowed from ecology; cf. Winkler's
+    coverage work). If pass A finds n_a matches, pass B finds n_b, and
+    they agree on n_both, the Chapman estimate of the total match
+    population is
+
+        N̂ = (n_a + 1)(n_b + 1) / (n_both + 1) - 1
+
+    and est_missed = N̂ - n_union is the mass NEITHER pass reached. Valid
+    insofar as the passes' capture probabilities are independent across
+    pairs (different key functions — prefix vs sorted-token — approximate
+    this; the caveat ships in the output as the method's standard
+    assumption, not hidden).
+
+    tagged_matches: (pass, doc_id_a, doc_id_b) — match pairs attributed to
+    every pass that generated them (a pair found by both passes appears
+    twice). Output: ONE row of exact counts + the Chapman estimate and
+    the implied union completeness.
+
+    Scale: two groupBys over bare id pairs; output is one row."""
+    t = tagged_matches.select("pass", "doc_id_a", "doc_id_b").distinct()
+    per = (
+        t.groupBy("doc_id_a", "doc_id_b")
+        .agg(
+            F.max(F.when(F.col("pass") == pass_a, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("pass") == pass_b, 1).otherwise(0)).alias("in_b"),
+        )
+        .where((F.col("in_a") == 1) | (F.col("in_b") == 1))
+    )
+    agg = per.agg(
+        F.sum("in_a").alias("n_a"),
+        F.sum("in_b").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        F.count("*").alias("n_union"),
+    )
+    na, nb, m, nu = (
+        F.col("n_a").cast("double"),
+        F.col("n_b").cast("double"),
+        F.col("n_both").cast("double"),
+        F.col("n_union").cast("double"),
+    )
+    est = (na + 1.0) * (nb + 1.0) / (m + 1.0) - 1.0
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_both",
+        "n_union",
+        F.round(est, 6).alias("est_total_matches"),
+        F.round(F.greatest(est - nu, F.lit(0.0)), 6).alias("est_missed"),
+        F.round(F.least(nu / est, F.lit(1.0)), 6).alias("est_completeness"),
+    )
+
+
 WILSON_Z = 1.959964  # ~97.5th normal quantile; shared literal with the twin
 
 

@@ -217,3 +217,30 @@ def test_sampled_precision_bands_and_wilson(spark):
     # determinism: rerun equals
     again = {r["band_pct"]: r.asDict() for r in sampled_precision(m, truth, k_per_band=40).collect()}
     assert again == out
+
+
+def test_capture_recapture_chapman(spark):
+    from sneaky_data_matcher_spark.operators.evaluation import (
+        capture_recapture_recall,
+    )
+
+    # pass A finds pairs 1-4; pass B finds pairs 3-6: n_a=4, n_b=4,
+    # n_both=2, union=6; Chapman: 5*5/3 - 1 = 7.333...
+    rows = [("A", i, i + 100) for i in range(1, 5)] + [
+        ("B", i, i + 100) for i in range(3, 7)
+    ]
+    t = spark.createDataFrame(rows, "pass string, doc_id_a long, doc_id_b long")
+    r = capture_recapture_recall(t, "A", "B").collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_both"], r["n_union"]) == (4, 4, 2, 6)
+    est = 5.0 * 5.0 / 3.0 - 1.0
+    assert abs(r["est_total_matches"] - round(est, 6)) < 1e-9
+    assert abs(r["est_missed"] - round(est - 6.0, 6)) < 1e-9
+    assert abs(r["est_completeness"] - round(6.0 / est, 6)) < 1e-9
+    # perfect overlap -> estimate equals the union, nothing missed
+    both = spark.createDataFrame(
+        [(p, i, i + 100) for p in ("A", "B") for i in range(1, 5)],
+        "pass string, doc_id_a long, doc_id_b long",
+    )
+    r2 = capture_recapture_recall(both, "A", "B").collect()[0]
+    assert r2["n_both"] == 4 and r2["est_missed"] == 0.0
+    assert r2["est_completeness"] == 1.0
