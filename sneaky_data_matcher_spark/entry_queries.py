@@ -6781,9 +6781,10 @@ def er_persistent_ids_q(spark, sf_dir):
     return entity_ids.persistent_entity_ids(prev, cur)
 
 
-@_q(
-    "er_cluster_churn",
-    f"WITH RECURSIVE {_ER_PREV_CUR_CTE}, "
+# churn-report SQL tail shared by er_cluster_churn and er_forget_audit:
+# reads CTEs p(doc_id, entity_id), c(doc_id, cluster_id),
+# ov(entity_id, cluster_id, overlap_n)
+_CHURN_TAIL_SQL = (
     "psize AS (SELECT entity_id, count(*) AS prev_size FROM p GROUP BY entity_id), "
     "spread AS (SELECT entity_id, count(DISTINCT cluster_id) AS n_cur_clusters FROM ov GROUP BY entity_id), "
     "percl AS (SELECT cluster_id, count(DISTINCT entity_id) AS n_prev_entities, "
@@ -6803,7 +6804,13 @@ def er_persistent_ids_q(spark, sf_dir):
     "  WHEN cs.n_members - pc.n_carried = 0 THEN 'shrunk' "
     "  ELSE 'changed' END AS status "
     "FROM csize cs LEFT JOIN percl pc USING (cluster_id) "
-    "LEFT JOIN single sg ON cs.cluster_id = sg.cluster_id",
+    "LEFT JOIN single sg ON cs.cluster_id = sg.cluster_id"
+)
+
+
+@_q(
+    "er_cluster_churn",
+    f"WITH RECURSIVE {_ER_PREV_CUR_CTE}, {_CHURN_TAIL_SQL}",
 )
 def er_cluster_churn_q(spark, sf_dir):
     from .operators import entity_ids
@@ -7082,3 +7089,110 @@ def bpe_merges_q(spark, sf_dir):
     from .operators.bpe import bpe_train
 
     return bpe_train(_docs(spark, sf_dir), n_merges=6)
+
+
+# ---------------------------------------------------------------------------
+# Cross-source entity overlap (the data-fusion planning matrix): for each
+# unordered source pair, how many resolved entities contain documents from
+# BOTH — the number every multi-source integration project needs before
+# deciding which feeds actually link. Diagonal rows (a = b) count entities
+# with >= 2 docs from the same source (intra-source duplication).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "source_overlap_matrix",
+    f"WITH RECURSIVE {_ER_CLUSTERS_CTE}, "
+    "cs AS (SELECT DISTINCT c.cluster_id, d.source FROM clusters c "
+    "  JOIN documents d ON c.doc_id = d.doc_id), "
+    "dup AS (SELECT c.cluster_id, d.source FROM clusters c "
+    "  JOIN documents d ON c.doc_id = d.doc_id GROUP BY c.cluster_id, d.source HAVING count(*) >= 2) "
+    "SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_entities "
+    "FROM cs a JOIN cs b ON a.cluster_id = b.cluster_id AND a.source < b.source "
+    "GROUP BY a.source, b.source "
+    "UNION ALL SELECT source, source, count(*) FROM dup GROUP BY source",
+)
+def source_overlap_matrix_q(spark, sf_dir):
+    cl = er_clusters(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    j = cl.join(d, "doc_id")
+    cs = j.select("cluster_id", "source").distinct()
+    a = cs.select("cluster_id", F.col("source").alias("source_a"))
+    b = cs.select("cluster_id", F.col("source").alias("source_b"))
+    cross = (
+        a.join(b, "cluster_id")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_entities"))
+    )
+    diag = (
+        j.groupBy("cluster_id", "source")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_entities"))
+        .select(
+            F.col("source").alias("source_a"),
+            F.col("source").alias("source_b"),
+            "n_entities",
+        )
+    )
+    return cross.unionByName(diag)
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten cascade audit: delete a deterministic doc subset
+# (doc_id % 37 = 0 — the stand-in deletion request), re-resolve the
+# remaining corpus, and report the per-cluster impact as a churn report
+# vs the pre-deletion entities. The honest version of GDPR delete in an
+# ER system: removing a BRIDGE document legitimately splits its cluster,
+# which a naive "drop the rows" audit never surfaces. Statuses here can
+# only be stable/shrunk/split (nothing is added — tested invariant).
+# ---------------------------------------------------------------------------
+
+_FORGET_COND = "doc_id % 37 <> 0"
+
+
+@_q(
+    "er_forget_audit",
+    f"WITH RECURSIVE {_ER_SCORED_CTE}, "
+    f"fe AS MATERIALIZED (SELECT doc_id_a AS u, doc_id_b AS v FROM er_scored WHERE {_ER_MATCH_COND}), "
+    "fs AS (SELECT u, v FROM fe UNION SELECT v, u FROM fe), "
+    "fr(a, b) AS (SELECT doc_id, doc_id FROM canon WHERE doc_text <> '' "
+    "  UNION SELECT r.a, s.v FROM fr r JOIN fs s ON r.b = s.u), "
+    "p AS MATERIALIZED (SELECT a AS doc_id, min(b) AS entity_id FROM fr GROUP BY a), "
+    f"ke AS MATERIALIZED (SELECT u, v FROM fe WHERE u % 37 <> 0 AND v % 37 <> 0), "
+    "ks AS (SELECT u, v FROM ke UNION SELECT v, u FROM ke), "
+    f"kr(a, b) AS (SELECT doc_id, doc_id FROM canon WHERE doc_text <> '' AND {_FORGET_COND} "
+    "  UNION SELECT r.a, s.v FROM kr r JOIN ks s ON r.b = s.u), "
+    "c AS MATERIALIZED (SELECT a AS doc_id, min(b) AS cluster_id FROM kr GROUP BY a), "
+    "ov AS MATERIALIZED (SELECT entity_id, cluster_id, count(*) AS overlap_n "
+    "  FROM p JOIN c USING (doc_id) GROUP BY entity_id, cluster_id), "
+    f"{_CHURN_TAIL_SQL}",
+)
+def er_forget_audit_q(spark, sf_dir):
+    from .operators import entity_ids
+    from .operators.clustering import connected_components
+
+    canon, _, _ = _er_frames(spark, sf_dir)
+    prev = er_clusters(spark, sf_dir).select(
+        "doc_id", F.col("cluster_id").alias("entity_id")
+    )
+
+    def build_cur():
+        m = er_matches(spark, sf_dir).where(
+            (F.col("doc_id_a") % 37 != 0) & (F.col("doc_id_b") % 37 != 0)
+        )
+        comp = connected_components(m)
+        return (
+            canon.where(F.col("doc_id") % 37 != 0)
+            .select("doc_id")
+            .join(comp, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            )
+        )
+
+    cur = _cached(spark, sf_dir, "er_forget_assign", build_cur)
+    return entity_ids.cluster_churn(prev, cur)

@@ -124,3 +124,41 @@ def test_cluster_split_is_leakproof_and_deterministic(spark):
         "a",
         "b",
     }
+
+
+def test_forget_bridge_splits_cluster(spark):
+    """Removing a bridge doc must SPLIT its cluster in the churn report —
+    the cascade a naive row-delete audit misses."""
+    from sneaky_data_matcher_spark.operators.clustering import (
+        connected_components,
+    )
+
+    # path 1-2-3: doc 2 is the bridge; separate pair 10-11 untouched
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_id_a long, doc_id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11)], "doc_id long"
+    )
+    def assign(e, ids, col):
+        comp = connected_components(e)
+        return (
+            ids.join(comp, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("cluster_id", F.col("doc_id")).alias(col),
+            )
+        )
+
+    prev = assign(edges, docs, "entity_id")
+    forget = {2}
+    kept_edges = edges.where(
+        ~F.col("doc_id_a").isin(forget) & ~F.col("doc_id_b").isin(forget)
+    )
+    kept_docs = docs.where(~F.col("doc_id").isin(forget))
+    cur = assign(kept_edges, kept_docs, "cluster_id")
+    rep = {r["cluster_id"]: r["status"] for r in E.cluster_churn(prev, cur).collect()}
+    # 1 and 3 are now singletons of the same former entity -> both split
+    assert rep[1] == "split" and rep[3] == "split"
+    assert rep[10] == "stable"
+    assert set(rep.values()) <= {"stable", "shrunk", "split"}
