@@ -7196,3 +7196,68 @@ def er_forget_audit_q(spark, sf_dir):
 
     cur = _cached(spark, sf_dir, "er_forget_assign", build_cur)
     return entity_ids.cluster_churn(prev, cur)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive blocking-scheme selection (operators/blocking_scheme.py):
+# budgeted greedy set cover over a 4-pass key universe (pfx, srt, first
+# token, length bucket). Target relation = the SHIPPED scheme's matches at
+# 0.8 (scheme minimization: the cheapest pass subset that retains the
+# production scheme's match coverage). Budget 4,200 comparisons excludes
+# both srt (~39k at sf0.01) and tk1 (~4.2k), so the selector must ASSEMBLE
+# coverage from cheaper passes across rounds — the decision this operator
+# exists to make at 10^12 docs. The oracle re-runs the greedy rounds.
+# ---------------------------------------------------------------------------
+
+_UNIVERSE_KEYS_CTE = (
+    _ER_SCORED_CTE
+    + ", u_keys AS MATERIALIZED (SELECT doc_id, pass, block_key FROM er_keys "
+    "UNION ALL SELECT doc_id, 'tk1', 'tk1:' || toks[1] FROM toksed "
+    "UNION ALL SELECT doc_id, 'lnb', 'lnb:' || CAST(length(doc_text) // 16 AS VARCHAR) "
+    "FROM canon WHERE doc_text <> '')"
+)
+
+# retention target: the production scheme's matches (er_scored is built
+# over the pfx+srt candidate union, so this CTE chain must replace the
+# bare keys chain inside the universe CTE — see the @_q wiring below)
+_MATCH_TRUTH_CTE = (
+    f"truth AS MATERIALIZED (SELECT doc_id_a, doc_id_b FROM er_scored WHERE {_ER_MATCH_COND})"
+)
+
+from .operators.blocking_scheme import scheme_select_sql as _scheme_sql  # noqa: E402
+
+
+def _universe_keys(spark, sf_dir):
+    def build():
+        canon, keys, _ = _er_frames(spark, sf_dir)
+        base = keys.select("doc_id", "pass", "block_key")
+        tok1 = canon.select(
+            "doc_id",
+            F.lit("tk1").alias("pass"),
+            F.concat(
+                F.lit("tk1:"), F.split(F.col("doc_text"), " ").getItem(0)
+            ).alias("block_key"),
+        )
+        lenb = canon.select(
+            "doc_id",
+            F.lit("lnb").alias("pass"),
+            F.concat(
+                F.lit("lnb:"),
+                F.expr("CAST(length(doc_text) DIV 16 AS STRING)"),
+            ).alias("block_key"),
+        )
+        return base.unionByName(tok1).unionByName(lenb)
+
+    return _cached(spark, sf_dir, "u_keys", build)
+
+
+@_q(
+    "blocking_scheme_select",
+    _scheme_sql(_UNIVERSE_KEYS_CTE, _MATCH_TRUTH_CTE, budget_pairs=4_200, n_rounds=4),
+)
+def blocking_scheme_select_q(spark, sf_dir):
+    from .operators.blocking_scheme import scheme_select
+
+    u = _universe_keys(spark, sf_dir)
+    truth = er_matches(spark, sf_dir)
+    return scheme_select(u, truth, budget_pairs=4_200)
