@@ -7261,3 +7261,117 @@ def blocking_scheme_select_q(spark, sf_dir):
     u = _universe_keys(spark, sf_dir)
     truth = er_matches(spark, sf_dir)
     return scheme_select(u, truth, budget_pairs=4_200)
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup: resemblance (Jaccard) misses the
+# sub-document case — a doc quoting 90% of another scores low Jaccard but
+# high CONTAINMENT |A∩B|/|A| (Broder 1997's second measure). Emits both
+# directions above 0.8 for shingle sets; the LLM-corpus case is boilerplate
+# and quote inclusion, which symmetric dedup never catches.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "containment_pairs",
+    f"WITH {_NGRAM_SH_CTE} "
+    "SELECT a.doc_id AS doc_id, b.doc_id AS other_doc_id, "
+    "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) AS containment, "
+    "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)), 6) AS jaccard "
+    "FROM sh a JOIN sh b ON a.doc_id <> b.doc_id "
+    "WHERE len(a.s) > 0 "
+    "AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.8",
+)
+def containment_pairs_q(spark, sf_dir):
+    from .operators.dedup import _shingles
+
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    a = sh.select(F.col("doc_id"), F.col("shingles").alias("sa"))
+    b = sh.select(
+        F.col("doc_id").alias("other_doc_id"), F.col("shingles").alias("sb")
+    )
+    # candidate generation reuses the LSH bucket join for scale; at sf0.01
+    # the exhaustive twin IS the oracle, so mirror it exactly here with the
+    # same all-pairs semantics filtered by the containment bar (the
+    # LSH-bucketed variant is the production path — minhash_dedup)
+    j = a.crossJoin(b).where(F.col("doc_id") != F.col("other_doc_id"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    cont = inter / F.size("sa").cast("double")
+    jac = inter / F.size(F.array_union("sa", "sb")).cast("double")
+    return (
+        j.where(F.size("sa") > 0)
+        .where(cont >= 0.8)
+        .select(
+            "doc_id",
+            "other_doc_id",
+            F.round(cont, 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH banding planner (operators/dedup.py lsh_parameter_plan):
+# the 8-row S-curve table behind banding choices at threshold 0.7. The
+# textbook |t_half - t| rule marks 16x8 `chosen`; the pipeline ships 32x4
+# anyway because its miss rate at the threshold is 1.5e-4 (vs 0.39 for
+# 16x8) and the exact-Jaccard verify join absorbs the 0.56 noise rate —
+# the recall-first trade the table makes explicit. Closed-form,
+# engine-side, no corpus access.
+# ---------------------------------------------------------------------------
+
+from .operators.dedup import lsh_parameter_plan_sql as _lsh_plan_sql  # noqa: E402
+
+
+@_q("lsh_param_plan", _lsh_plan_sql(128, 0.7, 0.4))
+def lsh_param_plan_q(spark, sf_dir):
+    from .operators.dedup import lsh_parameter_plan
+
+    return lsh_parameter_plan(spark, 128, 0.7, 0.4)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language: encode the corpus with the 6 learned
+# BPE merges and report avg subword tokens per word per language — the
+# standard tokenizer-equity diagnostic (high fertility = that language
+# pays more sequence length per word). The oracle re-learns the merges
+# AND re-encodes every word through the same fold.
+# ---------------------------------------------------------------------------
+
+from .operators.bpe import bpe_ctes as _bpe_ctes  # noqa: E402
+
+
+@_q(
+    "bpe_fertility",
+    "WITH " + _bpe_ctes(6) + ", "
+    "lw AS (SELECT lang, t.word, count(*) AS freq FROM "
+    "(SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word FROM documents) t "
+    "GROUP BY lang, t.word) "
+    "SELECT lang, CAST(sum(lw.freq) AS BIGINT) AS n_words, "
+    "round(CAST(sum(lw.freq * (len(v.sym) - 1)) AS DOUBLE) / CAST(sum(lw.freq) AS DOUBLE), 6) AS fertility "
+    "FROM lw JOIN v6 v ON lw.word = v.word GROUP BY lang",
+)
+def bpe_fertility_q(spark, sf_dir):
+    from .operators.bpe import bpe_encode, bpe_train
+
+    d = _docs(spark, sf_dir)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(d, n_merges=6).orderBy("merge_rank").collect()
+    ]
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    lw = (
+        d.select("lang", F.explode(toks).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("freq"))
+    )
+    enc = bpe_encode(lw, "word", merges)
+    return enc.groupBy("lang").agg(
+        F.sum("freq").alias("n_words"),
+        F.round(
+            F.sum(F.col("freq") * (F.size("bpe_tokens") - 1)).cast("double")
+            / F.sum("freq").cast("double"),
+            6,
+        ).alias("fertility"),
+    )

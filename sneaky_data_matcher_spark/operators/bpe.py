@@ -145,16 +145,16 @@ def _apply_merge_sql(sym: str, l: str, r: str) -> str:
     )
 
 
-def bpe_train_sql(n_merges: int, text_source: str = "documents") -> str:
-    """Full unrolled-round DuckDB replay of :func:`bpe_train`: per round a
-    pair census, a LIMIT-1 argmax with the same tie-break, and the same
-    fold applied with the round's winning pair via correlated lambda
-    references (no literals — the SQL learns the merges itself)."""
+def bpe_ctes(n_merges: int, text_source: str = "documents") -> str:
+    """Unrolled-round training CTEs: word census ``w``, per-round vocab
+    ``v0..v<n>`` (carrying word, freq, sym), per-round winning pair
+    ``b1..b<n>``. Composable — bpe_train_sql selects the merge table,
+    the fertility twin joins the final vocab."""
     ctes = [
         "w AS (SELECT t.word, count(*) AS freq FROM "
         f"(SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word FROM {text_source}) t "
         "GROUP BY t.word)",
-        "v0 AS MATERIALIZED (SELECT freq, "
+        "v0 AS MATERIALIZED (SELECT word, freq, "
         "list_append(list_transform(range(1, length(word) + 1), i -> word[i:i]), '</w>') AS sym FROM w)",
     ]
     fold = (
@@ -174,11 +174,19 @@ def bpe_train_sql(n_merges: int, text_source: str = "documents") -> str:
             "ORDER BY pair_freq DESC, l, r LIMIT 1)"
         )
         ctes.append(
-            f"v{i} AS MATERIALIZED (SELECT v.freq, {fold.replace('b.', f'b{i}.')} AS sym "
+            f"v{i} AS MATERIALIZED (SELECT v.word, v.freq, {fold.replace('b.', f'b{i}.')} AS sym "
             f"FROM {prev} v CROSS JOIN b{i} b{i})"
         )
+    return ", ".join(ctes)
+
+
+def bpe_train_sql(n_merges: int, text_source: str = "documents") -> str:
+    """Full unrolled-round DuckDB replay of :func:`bpe_train`: per round a
+    pair census, a LIMIT-1 argmax with the same tie-break, and the same
+    fold applied with the round's winning pair via correlated lambda
+    references (no literals — the SQL learns the merges itself)."""
     selects = " UNION ALL ".join(
         f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym, pair_freq FROM b{i}"
         for i in range(1, n_merges + 1)
     )
-    return "WITH " + ", ".join(ctes) + " " + selects
+    return "WITH " + bpe_ctes(n_merges, text_source) + " " + selects

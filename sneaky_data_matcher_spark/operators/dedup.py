@@ -679,3 +679,82 @@ def ngram_census(
         .orderBy(F.desc("occurrences"), F.asc("ngram"))
         .limit(top)
     )
+
+
+def lsh_parameter_plan(
+    spark,
+    n_hashes: int = 128,
+    threshold: float = 0.7,
+    fp_ref_sim: float = 0.4,
+):
+    """Banding-parameter planner for MinHash LSH (Leskovec/Rajaraman/Ullman
+    §3.4): for every power-of-two factorization bands × rows_per_band =
+    n_hashes, evaluate the S-curve P(candidate | s) = 1 - (1 - s^r)^b at
+    the dedup threshold (miss rate ``fn_at_threshold``) and at a
+    representative non-duplicate similarity (noise rate ``fp_at_ref``),
+    plus the curve's half-probability point t_half ≈ (1/b)^(1/r). The
+    ``chosen`` row minimizes |t_half - threshold| (ties → fewer bands) —
+    the textbook balance rule. Note what the table shows at 0.7/128: the
+    rule picks 16×8, while the shipped minhash_dedup default stays 32×4
+    because its fn_at_threshold is 1.5e-4 (vs 0.39) and the exact-Jaccard
+    verification join absorbs the higher candidate noise — pick by fn when
+    a verify stage exists, by t_half when candidates ship unverified.
+
+    Pure closed-form math computed ENGINE-SIDE (one pow/exp pipeline per
+    row, 8 rows) so the DuckDB twin reproduces it; no corpus access."""
+    import math
+
+    n_opts = int(math.log2(n_hashes)) + 1
+    base = spark.range(0, n_opts).select(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").alias("bands")
+    )
+    b = F.col("bands").cast("double")
+    r = (F.lit(n_hashes) / F.col("bands")).cast("long")
+    rd = r.cast("double")
+    t = F.lit(threshold)
+    s0 = F.lit(fp_ref_sim)
+    t_half = F.pow(F.lit(1.0) / b, F.lit(1.0) / rd)
+    fn_t = F.pow(F.lit(1.0) - F.pow(t, rd), b)
+    fp_ref = F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(s0, rd), b)
+    tab = base.select(
+        "bands",
+        r.alias("rows_per_band"),
+        F.round(t_half, 6).alias("t_half"),
+        F.round(fn_t, 6).alias("fn_at_threshold"),
+        F.round(fp_ref, 6).alias("fp_at_ref"),
+        F.abs(t_half - t).alias("_diff"),
+    )
+    w = Window.orderBy(F.col("_diff").asc(), F.col("bands").asc())
+    return (
+        tab.withColumn("pick_rank", F.row_number().over(w))
+        .select(
+            "bands",
+            "rows_per_band",
+            "t_half",
+            "fn_at_threshold",
+            "fp_at_ref",
+            (F.col("pick_rank") == 1).alias("chosen"),
+        )
+    )
+
+
+def lsh_parameter_plan_sql(
+    n_hashes: int = 128, threshold: float = 0.7, fp_ref_sim: float = 0.4
+) -> str:
+    """DuckDB twin of :func:`lsh_parameter_plan` (same expressions)."""
+    import math
+
+    n_opts = int(math.log2(n_hashes)) + 1
+    return (
+        f"WITH base AS (SELECT (1 << CAST(i AS INT)) AS bands FROM unnest(range(0, {n_opts})) AS t(i)), "
+        "m AS (SELECT bands, "
+        f"CAST({n_hashes} // bands AS BIGINT) AS rows_per_band, "
+        f"pow(1.0 / CAST(bands AS DOUBLE), 1.0 / CAST({n_hashes} // bands AS DOUBLE)) AS t_half, "
+        f"pow(1.0 - pow({threshold!r}, CAST({n_hashes} // bands AS DOUBLE)), CAST(bands AS DOUBLE)) AS fn_t, "
+        f"1.0 - pow(1.0 - pow({fp_ref_sim!r}, CAST({n_hashes} // bands AS DOUBLE)), CAST(bands AS DOUBLE)) AS fp_ref "
+        "FROM base) "
+        "SELECT bands, rows_per_band, round(t_half, 6) AS t_half, "
+        "round(fn_t, 6) AS fn_at_threshold, round(fp_ref, 6) AS fp_at_ref, "
+        f"row_number() OVER (ORDER BY abs(t_half - {threshold!r}), bands) = 1 AS chosen "
+        "FROM m"
+    )
