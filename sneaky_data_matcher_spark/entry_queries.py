@@ -7375,3 +7375,95 @@ def bpe_fertility_q(spark, sf_dir):
             6,
         ).alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity timeline (operators/entity_ids.py entity_timeline): SCD2
+# membership history across three runs — run 1 = even-doc corpus @0.8,
+# run 2 = full corpus @0.8 (ids inherited from run 1), run 3 = full
+# corpus @0.85 (ids inherited from run 2). The answer to "what entity was
+# doc X part of, when, under which id" that a governed ER deployment must
+# produce. The oracle replays all three closures, BOTH mutual-best
+# inheritance rounds, and the island windows.
+# ---------------------------------------------------------------------------
+
+
+def _inherit_sql(tag: str, prev_rel: str, cur_rel: str, out_rel: str) -> str:
+    """Mutual-best id carry-forward as SQL CTEs (the persistent_entity_ids
+    pattern, reused per run transition)."""
+    return (
+        f"ov{tag} AS (SELECT p.entity_id, c.cluster_id, count(*) AS n "
+        f"  FROM {prev_rel} p JOIN {cur_rel} c USING (doc_id) GROUP BY p.entity_id, c.cluster_id), "
+        f"nom{tag} AS (SELECT entity_id, cluster_id, n, "
+        f"  row_number() OVER (PARTITION BY entity_id ORDER BY n DESC, cluster_id) AS rk FROM ov{tag}), "
+        f"inh{tag} AS (SELECT cluster_id, entity_id FROM ("
+        f"  SELECT cluster_id, entity_id, row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, entity_id) AS rk2 "
+        f"  FROM nom{tag} WHERE rk = 1) WHERE rk2 = 1), "
+        f"{out_rel} AS MATERIALIZED (SELECT c.doc_id, coalesce(i.entity_id, c.cluster_id) AS entity_id "
+        f"FROM {cur_rel} c LEFT JOIN inh{tag} i USING (cluster_id))"
+    )
+
+
+_TIMELINE_SQL = (
+    f"WITH RECURSIVE {_ER_SCORED_CTE}, "
+    # edges at both thresholds
+    f"te8 AS MATERIALIZED (SELECT doc_id_a AS u, doc_id_b AS v FROM er_scored WHERE {_ER_MATCH_COND}), "
+    f"te85 AS MATERIALIZED (SELECT doc_id_a AS u, doc_id_b AS v FROM er_scored WHERE {_ER_STRICT_COND}), "
+    # run 1: even docs @0.8 (entity ids minted as min member)
+    "tpe AS (SELECT u, v FROM te8 WHERE u % 2 = 0 AND v % 2 = 0), "
+    "tps AS (SELECT u, v FROM tpe UNION SELECT v, u FROM tpe), "
+    "tpr(a, b) AS (SELECT doc_id, doc_id FROM canon WHERE doc_text <> '' AND doc_id % 2 = 0 "
+    "  UNION SELECT r.a, s.v FROM tpr r JOIN tps s ON r.b = s.u), "
+    "t_r1 AS MATERIALIZED (SELECT a AS doc_id, min(b) AS entity_id FROM tpr GROUP BY a), "
+    # run 2 raw: full @0.8
+    "tqs AS (SELECT u, v FROM te8 UNION SELECT v, u FROM te8), "
+    "tqr(a, b) AS (SELECT doc_id, doc_id FROM canon WHERE doc_text <> '' "
+    "  UNION SELECT r.a, s.v FROM tqr r JOIN tqs s ON r.b = s.u), "
+    "t_q AS MATERIALIZED (SELECT a AS doc_id, min(b) AS cluster_id FROM tqr GROUP BY a), "
+    # run 3 raw: full @0.85
+    "tcs AS (SELECT u, v FROM te85 UNION SELECT v, u FROM te85), "
+    "tcr(a, b) AS (SELECT doc_id, doc_id FROM canon WHERE doc_text <> '' "
+    "  UNION SELECT r.a, s.v FROM tcr r JOIN tcs s ON r.b = s.u), "
+    "t_c AS MATERIALIZED (SELECT a AS doc_id, min(b) AS cluster_id FROM tcr GROUP BY a), "
+    + _inherit_sql("A", "t_r1", "t_q", "t_r2")
+    + ", "
+    + _inherit_sql("B", "t_r2", "t_c", "t_r3")
+    + ", "
+    "hist AS (SELECT doc_id, entity_id, 1 AS run_id FROM t_r1 "
+    "  UNION ALL SELECT doc_id, entity_id, 2 FROM t_r2 "
+    "  UNION ALL SELECT doc_id, entity_id, 3 FROM t_r3), "
+    "fl AS (SELECT doc_id, entity_id, run_id, "
+    "  CASE WHEN lag(entity_id) OVER w IS NULL OR lag(entity_id) OVER w <> entity_id "
+    "    OR lag(run_id) OVER w <> run_id - 1 THEN 1 ELSE 0 END AS ni "
+    "  FROM hist WINDOW w AS (PARTITION BY doc_id ORDER BY run_id)), "
+    "il AS (SELECT doc_id, entity_id, run_id, "
+    "  CAST(sum(ni) OVER (PARTITION BY doc_id ORDER BY run_id) AS BIGINT) AS island FROM fl) "
+    "SELECT doc_id, min(entity_id) AS entity_id, min(run_id) AS run_from, "
+    "CASE WHEN max(run_id) = 3 THEN NULL ELSE max(run_id) END AS run_to "
+    "FROM il GROUP BY doc_id, island"
+)
+
+
+@_q("er_entity_timeline", _TIMELINE_SQL)
+def er_entity_timeline_q(spark, sf_dir):
+    from .operators import entity_ids
+
+    r1, a85 = _er_prev_cur(spark, sf_dir)  # even@0.8 entities, full@0.85 raw
+    a8 = er_clusters(spark, sf_dir)
+
+    def build_r2():
+        return entity_ids.persistent_entity_ids(r1, a8).select(
+            "doc_id", "entity_id"
+        )
+
+    r2 = _cached(spark, sf_dir, "er_timeline_r2", build_r2)
+
+    def build_r3():
+        return entity_ids.persistent_entity_ids(
+            r2, a85.select("doc_id", "cluster_id")
+        ).select("doc_id", "entity_id")
+
+    r3 = _cached(spark, sf_dir, "er_timeline_r3", build_r3)
+    return entity_ids.entity_timeline(
+        [(1, r1.select("doc_id", "entity_id")), (2, r2), (3, r3)]
+    )

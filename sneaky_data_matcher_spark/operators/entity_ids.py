@@ -90,6 +90,64 @@ def persistent_entity_ids(prev: DataFrame, cur: DataFrame) -> DataFrame:
     )
 
 
+def entity_timeline(assignments: list[tuple[int, DataFrame]]) -> DataFrame:
+    """SCD2 membership history over successive clustering runs:
+    (doc_id, entity_id, run_from, run_to), one row per maximal span of
+    runs in which the doc kept the same entity id. ``run_to`` is NULL for
+    spans alive at the latest run; a span closes when the doc changes
+    entity OR disappears from a run. Inputs: ordered (run_id, frame)
+    pairs with CONSECUTIVE integer run ids and frames of
+    (doc_id, entity_id) — ids already made comparable across runs by
+    :func:`persistent_entity_ids`.
+
+    The island detection is two windows over the unioned assignment
+    history — #docs × #runs rows, partitioned by doc — then one groupBy;
+    nothing corpus-shaped beyond the union itself."""
+    run_ids = [r for r, _ in assignments]
+    if run_ids != sorted(run_ids) or any(
+        b - a != 1 for a, b in zip(run_ids, run_ids[1:])
+    ):
+        raise ValueError(f"run ids must be consecutive ascending, got {run_ids}")
+    latest = run_ids[-1]
+    hist = None
+    for run_id, df in assignments:
+        part = df.select(
+            "doc_id", "entity_id", F.lit(run_id).alias("run_id")
+        )
+        hist = part if hist is None else hist.unionByName(part)
+    w = Window.partitionBy("doc_id").orderBy("run_id")
+    flagged = hist.withColumn(
+        "new_island",
+        F.when(
+            (F.lag("entity_id").over(w).isNull())
+            | (F.lag("entity_id").over(w) != F.col("entity_id"))
+            | (F.lag("run_id").over(w) != F.col("run_id") - 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("doc_id", "island")
+        .agg(
+            F.min("entity_id").alias("entity_id"),  # constant per island
+            F.min("run_id").alias("run_from"),
+            F.max("run_id").alias("_run_max"),
+        )
+        .select(
+            "doc_id",
+            "entity_id",
+            "run_from",
+            F.when(F.col("_run_max") == latest, F.lit(None).cast("int"))
+            .otherwise(F.col("_run_max"))
+            .alias("run_to"),
+        )
+    )
+
+
 def cluster_churn(prev: DataFrame, cur: DataFrame) -> DataFrame:
     """Per-current-cluster transition report vs the previous run:
     (cluster_id, n_members, n_prev_entities, n_new_docs, status) where

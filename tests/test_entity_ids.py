@@ -162,3 +162,29 @@ def test_forget_bridge_splits_cluster(spark):
     assert rep[1] == "split" and rep[3] == "split"
     assert rep[10] == "stable"
     assert set(rep.values()) <= {"stable", "shrunk", "split"}
+
+
+def test_entity_timeline_islands(spark):
+    r1 = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "doc_id long, entity_id long")
+    r2 = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, entity_id long")
+    r3 = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 30)], "doc_id long, entity_id long"
+    )
+    out = E.entity_timeline([(1, r1), (2, r2), (3, r3)])
+    rows = {(r["doc_id"], r["run_from"]): (r["entity_id"], r["run_to"]) for r in out.collect()}
+    # doc 1: same entity all three runs -> one open span
+    assert rows[(1, 1)] == (10, None) and len([k for k in rows if k[0] == 1]) == 1
+    # doc 2: entity changes at run 3 -> closed span (1..2) + open (3..)
+    assert rows[(2, 1)] == (20, 2)
+    assert rows[(2, 3)] == (99, None)
+    # doc 3: absent in run 2 -> closed span (1..1) + open (3..)
+    assert rows[(3, 1)] == (30, 1)
+    assert rows[(3, 3)] == (30, None)
+
+
+def test_entity_timeline_rejects_gappy_runs(spark):
+    r = spark.createDataFrame([(1, 10)], "doc_id long, entity_id long")
+    import pytest
+
+    with pytest.raises(ValueError):
+        E.entity_timeline([(1, r), (3, r)])
