@@ -28,6 +28,7 @@ from ..sources.io import TableIO
 METRICS_TABLE = "_metrics"
 JOBS_TABLE = "_jobs"
 STATUS_TABLE = "_status"
+ENTITY_REGISTRY_TABLE = "_entity_registry"
 
 PROCESSING = "PROCESSING"
 FINISHED = "FINISHED"
@@ -172,10 +173,19 @@ def run_pipeline(
     run_id: str,
     cfg=None,
     force: bool = False,
+    stable_ids: bool = False,
 ) -> dict[str, DataFrame]:
     """Persisted, resumable variant of plans.pipeline.run: every stage is a
     committed table; a re-run after a crash resumes from the last committed
-    stage (tests kill between stages and assert identical clusters)."""
+    stage (tests kill between stages and assert identical clusters).
+
+    ``stable_ids=True`` adds an ``entity_ids`` stage: raw cluster ids are
+    carried forward from the LAST EXECUTED pipeline at this ``base_dir``
+    via the shared ``_entity_registry`` table (mutual-best overlap,
+    operators/entity_ids.py), so downstream consumers can key on
+    ``entity_id`` across re-runs and corpus growth. The registry always
+    reflects the most recently executed run — resuming an older run
+    re-commits that run's (identical) assignment."""
     from . import pipeline as P
 
     cfg = cfg or P.PipelineConfig()
@@ -198,6 +208,31 @@ def run_pipeline(
                 "scored", lambda: P.score_candidates(pairs, canon, cfg), force=force
             )
         clusters = run.stage("clusters", lambda: P.assign_clusters(scored, canon, cfg), force=force)
+        entity_ids = None
+        if stable_ids:
+            registry = TableIO(spark, base_dir)
+
+            def build_ids():
+                from ..operators.entity_ids import persistent_entity_ids
+
+                if registry.exists(ENTITY_REGISTRY_TABLE):
+                    prev = registry.load(ENTITY_REGISTRY_TABLE).select(
+                        "doc_id", "entity_id"
+                    )
+                    return persistent_entity_ids(prev, clusters)
+                return clusters.select(
+                    "doc_id",
+                    "cluster_id",
+                    F.col("cluster_id").alias("entity_id"),
+                    F.lit("minted").alias("id_source"),
+                )
+
+            entity_ids = run.stage("entity_ids", build_ids, force=force)
+            # entity_ids is re-loaded from the per-run stage table, so this
+            # overwrite never reads the table it replaces
+            registry.save(
+                entity_ids.select("doc_id", "entity_id"), ENTITY_REGISTRY_TABLE
+            )
     except RunForceCompleted:
         raise
     except Exception:
@@ -211,10 +246,13 @@ def run_pipeline(
     # don't clear an operator's force-complete flag on a pure resume
     if run.status() != FORCE_COMPLETED:
         run.mark_finished()
-    return {
+    out = {
         "canon": canon,
         "pairs": pairs,
         "scored": scored,
         "clusters": clusters,
         "run": run,
     }
+    if stable_ids:
+        out["entity_ids"] = entity_ids
+    return out

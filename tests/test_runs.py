@@ -105,3 +105,48 @@ def test_run_name_collision_and_force_complete(spark, synth_corpus, base_dir):
 
     run.mark_finished()
     assert run.status() == FINISHED
+
+
+def test_stable_entity_ids_across_runs(spark, synth_corpus, base_dir):
+    """Run the persisted pipeline twice at one base_dir — second run over a
+    GROWN corpus — with stable_ids: continuing entities keep their run-1
+    entity_id, genuinely new entities mint fresh ones, and the shared
+    registry always holds the latest assignment."""
+    from sneaky_data_matcher_spark.plans.runs import (
+        ENTITY_REGISTRY_TABLE,
+    )
+    from sneaky_data_matcher_spark.sources.io import TableIO
+
+    docs, _ = synth_corpus
+    cfg = P.PipelineConfig()
+    # synth doc_ids are strings ('doc_000400') — subset on the last digit
+    half = docs.where(F.substring("doc_id", -1, 1).isin("0", "2", "4", "6", "8"))
+    r1 = run_pipeline(spark, half, base_dir, "ids_run1", cfg, stable_ids=True)
+    ids1 = {r["doc_id"]: r["entity_id"] for r in r1["entity_ids"].collect()}
+    assert set(
+        r["id_source"] for r in r1["entity_ids"].select("id_source").distinct().collect()
+    ) == {"minted"}
+
+    r2 = run_pipeline(spark, docs, base_dir, "ids_run2", cfg, stable_ids=True)
+    out2 = r2["entity_ids"].collect()
+    ids2 = {r["doc_id"]: r["entity_id"] for r in out2}
+    # every run-1 entity that persists keeps its id on its best continuation:
+    # docs whose run-2 cluster inherited must carry a run-1 entity id
+    inherited = [r for r in out2 if r["id_source"] == "inherited"]
+    assert inherited, "grown corpus must inherit at least some ids"
+    assert set(r["entity_id"] for r in inherited) <= set(ids1.values())
+    # a doc that was a singleton in run 1 and stays a singleton in run 2
+    # keeps its exact id
+    from collections import Counter
+
+    c1 = Counter(ids1.values())
+    singles1 = {d for d, e in ids1.items() if c1[e] == 1 and d == e}
+    kept = [d for d in singles1 if ids2.get(d) == ids1[d]]
+    assert len(kept) > 0
+    # registry reflects run 2
+    reg = TableIO(spark, base_dir).load(ENTITY_REGISTRY_TABLE)
+    assert reg.count() == len(ids2)
+    # uniqueness: no two run-2 clusters share an entity id
+    pairs = {(r["cluster_id"], r["entity_id"]) for r in out2}
+    ents = [e for _, e in pairs]
+    assert len(ents) == len(set(ents))
