@@ -7467,3 +7467,73 @@ def er_entity_timeline_q(spark, sf_dir):
     return entity_ids.entity_timeline(
         [(1, r1.select("doc_id", "entity_id")), (2, r2), (3, r3)]
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (operators/ann.py hard_negative_topk): per query
+# vector, the top-5 most-similar vectors with a DIFFERENT label — the
+# contrastive-training negatives a retrieval-model pipeline mines from its
+# corpus. Exact baseline here; at scale the same filter composes with the
+# LSH/IVF candidate paths.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "hard_negatives",
+    "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS query_label "
+    "  FROM embeddings WHERE vec_id % 50 = 0), "
+    "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+    "  round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS cos, "
+    "  q.query_label, e.label AS neighbor_label "
+    "  FROM q CROSS JOIN embeddings e WHERE e.label <> q.query_label), "
+    "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s) "
+    "SELECT query_id, neighbor_id, cos, query_label, neighbor_label FROM r WHERE rn <= 5",
+)
+def hard_negatives_q(spark, sf_dir):
+    from .operators.ann import hard_negative_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") % 50 == 0)
+    return hard_negative_topk(qs, emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Entity-centric export: one row per resolved entity with member roster and
+# the elected representative text — the nested "switchover" export a
+# consumer of the reference's flat CSV matchAndExport would read from this
+# engine instead (SURVEY.md S6/J1 generalized from row-centric to
+# entity-centric). Roster is a sorted joined string so the value-hash is
+# order-insensitive by construction.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "export_entities",
+    f"WITH RECURSIVE {_ER_CLUSTERS_CTE}, "
+    "j AS (SELECT cl.cluster_id AS entity_id, cl.doc_id, c.doc_text "
+    "  FROM clusters cl JOIN canon c USING (doc_id)), "
+    "rk AS (SELECT *, row_number() OVER (PARTITION BY entity_id "
+    "  ORDER BY length(doc_text) DESC, doc_id ASC) AS rn FROM j) "
+    "SELECT j.entity_id, count(*) AS n_members, "
+    "array_to_string(list_sort(list(CAST(j.doc_id AS VARCHAR))), '|') AS member_ids, "
+    "min(CASE WHEN rk.rn = 1 THEN rk.doc_text END) AS rep_text "
+    "FROM j JOIN rk ON j.entity_id = rk.entity_id AND j.doc_id = rk.doc_id "
+    "GROUP BY j.entity_id",
+)
+def export_entities_q(spark, sf_dir):
+    canon, _, _ = _er_frames(spark, sf_dir)
+    cl = er_clusters(spark, sf_dir).select(
+        F.col("cluster_id").alias("entity_id"), "doc_id"
+    )
+    j = cl.join(canon.select("doc_id", "doc_text"), "doc_id")
+    w = Window.partitionBy("entity_id").orderBy(
+        F.length("doc_text").desc(), F.col("doc_id").asc()
+    )
+    rk = j.withColumn("rn", F.row_number().over(w))
+    return rk.groupBy("entity_id").agg(
+        F.count("*").alias("n_members"),
+        F.array_join(
+            F.sort_array(F.collect_list(F.col("doc_id").cast("string"))), "|"
+        ).alias("member_ids"),
+        F.min(F.when(F.col("rn") == 1, F.col("doc_text"))).alias("rep_text"),
+    )

@@ -400,3 +400,57 @@ def pq_topk(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "adist")
     )
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    margin: float | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for each
+    query vector, the top-k most similar corpus vectors with a DIFFERENT
+    label — the near-miss negatives that actually move an embedding model
+    (random negatives are trivially separable; same-label hits are
+    positives, not negatives). Optional ``margin`` keeps only negatives
+    with cos >= margin (discard easy ones entirely).
+
+    Output: (query_id, neighbor_id, cos, query_label, neighbor_label).
+    Deterministic (cos desc, neighbor_id) ranking, same conventions as
+    brute_force_topk. This is the exact/oracle-matched baseline — at
+    10^12 scale run the same label-exclusion filter on lsh_topk/ivf_topk
+    candidates (over-fetch k', filter, re-rank), which composes because
+    the filter commutes with the rank."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        F.col(label_col).alias("query_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    j = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_label") != F.col("neighbor_label"))
+    )
+    scored = j.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        "query_label",
+        "neighbor_label",
+    )
+    if margin is not None:
+        scored = scored.where(F.col("cos") >= margin)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "query_label", "neighbor_label")
+    )
