@@ -188,3 +188,101 @@ def test_entity_timeline_rejects_gappy_runs(spark):
 
     with pytest.raises(ValueError):
         E.entity_timeline([(1, r), (3, r)])
+
+
+# --- property tests (pure-Python reference vs the Spark operator) -----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ref_persistent(prev_rows, cur_rows):
+    """Brute-force reference of the mutual-best inheritance."""
+    from collections import Counter
+
+    cur_by_doc = dict(cur_rows)
+    ov = Counter(
+        (e, cur_by_doc[d]) for d, e in prev_rows if d in cur_by_doc
+    )
+    # entity nominates its best cluster
+    nom = {}
+    for (e, c), n in ov.items():
+        best = nom.get(e)
+        if best is None or n > best[1] or (n == best[1] and c < best[0]):
+            nom[e] = (c, n)
+    # cluster accepts its best nominator
+    inh = {}
+    for e, (c, n) in nom.items():
+        best = inh.get(c)
+        if best is None or n > best[1] or (n == best[1] and e < best[0]):
+            inh[c] = (e, n)
+    return {
+        d: (inh[c][0] if c in inh else c, "inherited" if c in inh else "minted")
+        for d, c in cur_rows
+    }
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.data())
+def test_persistent_ids_property(spark, data):
+    n_docs = data.draw(st.integers(4, 30))
+    prev_rows = [
+        (d, data.draw(st.integers(100, 106), label=f"pe{d}"))
+        for d in range(n_docs)
+        if data.draw(st.booleans(), label=f"pin{d}")
+    ]
+    cur_rows = [
+        (d, data.draw(st.integers(200, 206), label=f"cc{d}"))
+        for d in range(n_docs + 4)
+        if data.draw(st.booleans(), label=f"cin{d}")
+    ]
+    if not cur_rows:
+        return
+    prev = spark.createDataFrame(
+        prev_rows or [(-1, -1)], "doc_id long, entity_id long"
+    )
+    cur = spark.createDataFrame(cur_rows, "doc_id long, cluster_id long")
+    out = E.persistent_entity_ids(prev, cur).collect()
+    ref = _ref_persistent(prev_rows, cur_rows)
+    got = {r["doc_id"]: (r["entity_id"], r["id_source"]) for r in out}
+    # reference comparison (prev fallback row -1 never overlaps cur)
+    assert got == ref
+    # invariant: assigned (cluster -> entity) mapping is injective
+    m = {(r["cluster_id"], r["entity_id"]) for r in out}
+    ents = [e for _, e in m]
+    assert len(ents) == len(set(ents))
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.data())
+def test_cluster_churn_counts_reconcile(spark, data):
+    n_docs = data.draw(st.integers(4, 25))
+    prev_rows = [
+        (d, data.draw(st.integers(100, 104), label=f"pe{d}"))
+        for d in range(n_docs)
+        if data.draw(st.booleans(), label=f"pin{d}")
+    ]
+    cur_rows = [
+        (d, data.draw(st.integers(200, 204), label=f"cc{d}"))
+        for d in range(n_docs + 3)
+        if data.draw(st.booleans(), label=f"cin{d}")
+    ]
+    if not prev_rows or not cur_rows:
+        return
+    prev = spark.createDataFrame(prev_rows, "doc_id long, entity_id long")
+    cur = spark.createDataFrame(cur_rows, "doc_id long, cluster_id long")
+    rep = E.cluster_churn(prev, cur).collect()
+    # every current cluster appears exactly once with a legal status
+    from collections import Counter
+
+    cur_clusters = {c for _, c in cur_rows}
+    assert Counter(r["cluster_id"] for r in rep) == Counter(cur_clusters)
+    legal = {"new", "merged", "split", "stable", "grown", "shrunk", "changed"}
+    assert all(r["status"] in legal for r in rep)
+    # n_members sums to |cur|; carried + new == members per row
+    assert sum(r["n_members"] for r in rep) == len(cur_rows)
+    prev_docs = {d for d, _ in prev_rows}
+    for r in rep:
+        members = [d for d, c in cur_rows if c == r["cluster_id"]]
+        carried = sum(1 for d in members if d in prev_docs)
+        assert r["n_new_docs"] == len(members) - carried
