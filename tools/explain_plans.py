@@ -314,6 +314,72 @@ def main() -> int:
           or "ShuffledHashJoin" in plan)],
     ))
 
+    # r3 continuation 2 — entity-id continuity: the two mutual-best windows
+    # run over the OVERLAP frame (keyed by entity/cluster), never the
+    # corpus; the only corpus-sized operation is the doc_id join.
+    from sneaky_data_matcher_spark.operators.entity_ids import (
+        persistent_entity_ids,
+    )
+
+    pv = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") / 4).cast("long").alias("entity_id")
+    )
+    cu = spark.range(0, 1200).select(
+        F.col("id").alias("doc_id"), (F.col("id") / 4).cast("long").alias("cluster_id")
+    )
+    plan = _fmt(persistent_entity_ids(pv, cu))
+    sections.append((
+        "persistent_entity_ids (mutual-best over the overlap frame)", plan,
+        [("exactly two windows (nomination + acceptance)",
+          len(set(_re.findall(r"Window \(\d+\)", plan))) == 2),
+         ("map-side partial count before the overlap shuffle",
+          "partial_count" in plan),
+         ("no Python/Arrow boundary",
+          "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan)],
+    ))
+
+    # r3 continuation 2 — cluster_split must stay a pure projection.
+    from sneaky_data_matcher_spark.operators.sampling import cluster_split
+
+    plan = _fmt(cluster_split(cu.withColumnRenamed("cluster_id", "cluster_id")))
+    sections.append((
+        "cluster_split (leakage-safe split, pure projection)", plan,
+        [("no shuffle", "Exchange" not in plan),
+         ("no window", len(set(_re.findall(r"Window \(\d+\)", plan))) == 0),
+         ("no Python/Arrow boundary",
+          "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan)],
+    ))
+
+    # r3 continuation 2 — hard negatives: query side broadcast, single
+    # top-k window; the label filter rides the broadcast join.
+    plan = _fmt(E.queries()["hard_negatives"](spark, SF))
+    sections.append((
+        "hard_negatives (broadcast queries, one top-k window)", plan,
+        [("query side broadcast", "BroadcastExchange" in plan
+          or "BroadcastNestedLoopJoin" in plan),
+         ("one window for final top-k",
+          len(set(_re.findall(r"Window \(\d+\)", plan))) == 1),
+         ("no Python/Arrow boundary",
+          "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan)],
+    ))
+
+    # r3 continuation 2 — standardize_values: one corpus-sized census
+    # shuffle with map-side combine; election window reads the census only.
+    from sneaky_data_matcher_spark.operators.standardize import (
+        standardize_values,
+    )
+
+    vals = spark.range(0, 1000).select(F.concat(F.lit("v"), (F.col("id") % 100).cast("string")).alias("value"))
+    plan = _fmt(standardize_values(vals, "value"))
+    sections.append((
+        "standardize_values (census -> distinct-value election)", plan,
+        [("map-side partial count before the census shuffle",
+          "partial_count" in plan),
+         ("one election window", len(set(_re.findall(r"Window \(\d+\)", plan))) == 1),
+         ("no Python/Arrow boundary",
+          "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan)],
+    ))
+
     out_lines = ["# Physical plans (generated by tools/explain_plans.py)\n"]
     ok_all = True
     for title, plan, checks in sections:
