@@ -7537,3 +7537,120 @@ def export_entities_q(spark, sf_dir):
         ).alias("member_ids"),
         F.min(F.when(F.col("rn") == 1, F.col("doc_text"))).alias("rep_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus funnel — the end-to-end training-data pipeline as ONE auditable
+# report: raw -> exact dedup (bag-of-words fingerprint, keep min id) ->
+# near dedup (trigram-Jaccard clusters, keep min surviving id) -> quality
+# filter (>=20 tokens, distinct-token ratio >= 0.4) -> benchmark
+# decontamination (drop the %37 benchmark docs and anything sharing a
+# trigram with them) -> leakage-safe train/val/test split by near-dup
+# cluster key. Per-stage surviving-doc counts: the one table a data lead
+# reads before a training run. Spark composes the shipped operators
+# (fingerprint, minhash_dedup+CC, decontaminate flag_only, cluster_split);
+# the oracle recomputes every stage in SQL (near-dup via the exhaustive
+# closure — equality holds because LSH recall is 1.0 here, same contract
+# as ngram_dup_pairs).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = (
+    f"WITH RECURSIVE {_NGRAM_SH_CTE}, "
+    f"fp AS (SELECT doc_id, {_FPRINT_SQL} AS f FROM documents), "
+    "s2 AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f), "
+    "fe AS MATERIALIZED (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.7), "
+    "fsym AS (SELECT u, v FROM fe UNION SELECT v, u FROM fe), "
+    "freach(a, b) AS (SELECT DISTINCT u, u FROM fsym "
+    "  UNION SELECT r.a, s.v FROM freach r JOIN fsym s ON r.b = s.u), "
+    "clx AS (SELECT a AS doc_id, min(b) AS cid FROM freach GROUP BY a), "
+    "cl AS MATERIALIZED (SELECT d.doc_id, coalesce(clx.cid, d.doc_id) AS cluster_id "
+    "  FROM documents d LEFT JOIN clx USING (doc_id)), "
+    "s3 AS MATERIALIZED (SELECT min(s2.doc_id) AS doc_id, cl.cluster_id "
+    "  FROM s2 JOIN cl USING (doc_id) GROUP BY cl.cluster_id), "
+    "q AS (SELECT doc_id FROM t WHERE len(toks) >= 20 "
+    "  AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.4), "
+    "s4 AS MATERIALIZED (SELECT s3.doc_id, s3.cluster_id FROM s3 JOIN q USING (doc_id)), "
+    "bg AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 37 = 0), "
+    "cont AS (SELECT DISTINCT c.doc_id FROM "
+    "  (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 37 <> 0) c "
+    "  JOIN bg USING (gram)), "
+    "s5 AS MATERIALIZED (SELECT s4.doc_id, s4.cluster_id FROM s4 "
+    "  WHERE s4.doc_id % 37 <> 0 AND s4.doc_id NOT IN (SELECT doc_id FROM cont)), "
+    "spl AS (SELECT doc_id, CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' "
+    "  ELSE 'test' END AS split FROM "
+    f"  (SELECT doc_id, {_lehmer_sql('cluster_id')} AS u FROM s5)) "
+    "SELECT 1 AS stage_no, 'raw' AS stage, count(*) AS n_docs FROM documents "
+    "UNION ALL SELECT 2, 'exact_dedup', count(*) FROM s2 "
+    "UNION ALL SELECT 3, 'near_dedup', count(*) FROM s3 "
+    "UNION ALL SELECT 4, 'quality', count(*) FROM s4 "
+    "UNION ALL SELECT 5, 'decontam', count(*) FROM s5 "
+    "UNION ALL SELECT 6, 'train', count(*) FROM spl WHERE split = 'train' "
+    "UNION ALL SELECT 7, 'val', count(*) FROM spl WHERE split = 'val' "
+    "UNION ALL SELECT 8, 'test', count(*) FROM spl WHERE split = 'test'"
+)
+
+
+@_q("corpus_funnel", _FUNNEL_SQL)
+def corpus_funnel_q(spark, sf_dir):
+    from .operators import decontam, dedup
+    from .operators.clustering import connected_components
+    from .operators.sampling import cluster_split
+
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    fp = d.select("doc_id", TS.fingerprint(F.col("text")).alias("f"))
+    s2 = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    pairs = dedup.minhash_dedup(d, "doc_id", "text", threshold=0.7)
+    comp = connected_components(pairs.select("doc_id_a", "doc_id_b"))
+    cl = (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    s3 = (
+        s2.join(cl, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "cluster_id")
+    )
+    q = (
+        d.select("doc_id", toks.alias("tk"))
+        .where(
+            (F.size("tk") >= 20)
+            & (
+                F.size(F.array_distinct("tk")).cast("double")
+                / F.size("tk").cast("double")
+                >= 0.4
+            )
+        )
+        .select("doc_id")
+    )
+    s4 = s3.join(q, "doc_id").select("doc_id", "cluster_id")
+    bench = d.where(F.col("doc_id") % 37 == 0)
+    cont = decontam.decontaminate(
+        d.where(F.col("doc_id") % 37 != 0), bench, n=3, flag_only=True
+    )
+    s5 = (
+        s4.where(F.col("doc_id") % 37 != 0)
+        .join(cont, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    spl = cluster_split(s5)
+    split_counts = {
+        r["split"]: r["n"]
+        for r in spl.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    rows = [
+        (1, "raw", d.count()),
+        (2, "exact_dedup", s2.count()),
+        (3, "near_dedup", s3.count()),
+        (4, "quality", s4.count()),
+        (5, "decontam", s5.count()),
+        (6, "train", split_counts.get("train", 0)),
+        (7, "val", split_counts.get("val", 0)),
+        (8, "test", split_counts.get("test", 0)),
+    ]
+    return spark.createDataFrame(rows, "stage_no int, stage string, n_docs long")
