@@ -70,3 +70,16 @@ def test_html_extract_entities_and_tags(spark):
     # wrapping produced 2 <p> paragraphs: html,body,h1,/h1,p,/p,p,/p,/body,/html
     assert got["n_tags"] == 10
     assert got["roundtrip"] is True
+
+
+def test_corpus_funnel_invariants(spark):
+    """The funnel must be monotone non-increasing through stage 5 and the
+    splits must partition the decontaminated survivors."""
+    from sneaky_data_matcher_spark.entry_queries import corpus_funnel_q
+
+    rows = {r["stage"]: r["n_docs"] for r in corpus_funnel_q(spark, SF_DIR).collect()}
+    order = ["raw", "exact_dedup", "near_dedup", "quality", "decontam"]
+    for a, b in zip(order, order[1:]):
+        assert rows[a] >= rows[b], (a, b, rows)
+    assert rows["train"] + rows["val"] + rows["test"] == rows["decontam"]
+    assert rows["decontam"] > 0
