@@ -7654,3 +7654,51 @@ def corpus_funnel_q(spark, sf_dir):
         (8, "test", split_counts.get("test", 0)),
     ]
     return spark.createDataFrame(rows, "stage_no int, stage string, n_docs long")
+
+
+# ---------------------------------------------------------------------------
+# Unlinkables analysis (Splink's unlinkables chart as data): per document,
+# the best candidate-pair score it participates in; histogram by 5-pct
+# band with band -5 = docs with NO candidate pair at all. The population
+# that can never link at the current blocking+threshold — the first thing
+# to check when recall looks low.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "er_unlinkables",
+    f"WITH {_ER_SCORED_CTE}, "
+    "both_sides AS (SELECT doc_id_a AS doc_id, 0.4*jw + 0.2*lev_ratio + 0.4*tok_jaccard AS score FROM er_scored "
+    "  UNION ALL SELECT doc_id_b, 0.4*jw + 0.2*lev_ratio + 0.4*tok_jaccard FROM er_scored), "
+    "best AS (SELECT doc_id, max(score) AS best_score FROM both_sides GROUP BY doc_id), "
+    "per_doc AS (SELECT c.doc_id, "
+    "  CASE WHEN b.best_score IS NULL THEN -5 "
+    "  ELSE CAST(floor(b.best_score * 20.0) * 5 AS INT) END AS band_pct, "
+    "  CASE WHEN b.best_score IS NULL OR b.best_score < 0.8 THEN 1 ELSE 0 END AS unl "
+    "  FROM canon c LEFT JOIN best b USING (doc_id) WHERE c.doc_text <> '') "
+    "SELECT band_pct, count(*) AS n_docs, CAST(sum(unl) AS BIGINT) AS n_unlinkable "
+    "FROM per_doc GROUP BY band_pct",
+)
+def er_unlinkables_q(spark, sf_dir):
+    canon, _, _ = _er_frames(spark, sf_dir)
+    s = _er_scored_frame(spark, sf_dir)
+    score = (
+        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+    ).alias("score")
+    both = s.select(F.col("doc_id_a").alias("doc_id"), score).unionByName(
+        s.select(F.col("doc_id_b").alias("doc_id"), score)
+    )
+    best = both.groupBy("doc_id").agg(F.max("score").alias("best_score"))
+    per_doc = canon.select("doc_id").join(best, "doc_id", "left").select(
+        F.when(F.col("best_score").isNull(), F.lit(-5))
+        .otherwise((F.floor(F.col("best_score") * 20.0) * 5).cast("int"))
+        .alias("band_pct"),
+        F.when(
+            F.col("best_score").isNull() | (F.col("best_score") < 0.8), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("unl"),
+    )
+    return per_doc.groupBy("band_pct").agg(
+        F.count("*").alias("n_docs"), F.sum("unl").alias("n_unlinkable")
+    )
