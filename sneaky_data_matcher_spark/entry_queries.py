@@ -7702,3 +7702,35 @@ def er_unlinkables_q(spark, sf_dir):
     return per_doc.groupBy("band_pct").agg(
         F.count("*").alias("n_docs"), F.sum("unl").alias("n_unlinkable")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hash (operators/multimodal.py image_ahash): 8x8
+# average-hash over REAL decoded BMP pixels — image near-dup dedup joins
+# the text near-dup stack (bucket on hash pieces at scale, exactly like
+# simhash). The oracle recomputes every bit from the generative pixel
+# formula without touching bytes, so a match certifies the decoder AND the
+# downsample/threshold math.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "image_phash",
+    f"WITH {_MEDIA_REFS_CTE}, "
+    f"sd AS (SELECT media_ref, {_WAV_SEED} AS seed "
+    "  FROM (SELECT media_ref, sha256(media_ref) AS hh FROM refs WHERE kind = 'image')), "
+    "pr AS (SELECT media_ref, seed, 4 + seed % 12 AS w, 4 + (seed // 16) % 12 AS h FROM sd), "
+    "lm AS (SELECT media_ref, w, h, list_transform(range(0, w * h), "
+    "  p -> (((seed // 11 + 7 * p) % 256) * 299 + ((seed // 7 + 5 * p) % 256) * 587 "
+    "      + ((seed + 3 * p) % 256) * 114) // 1000) AS lum FROM pr), "
+    "sm AS (SELECT media_ref, list_transform(range(0, 64), "
+    "  k -> lum[CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1 AS INT)]) AS s FROM lm) "
+    "SELECT media_ref, array_to_string(list_transform(s, "
+    "  x -> CASE WHEN 64 * x >= list_sum(s) THEN '1' ELSE '0' END), '') AS ahash "
+    "FROM sm",
+)
+def image_phash_q(spark, sf_dir):
+    from .operators.multimodal import image_ahash
+
+    m = _real_media(spark, sf_dir).where(F.col("kind") == "image")
+    return image_ahash(m, strict=True)

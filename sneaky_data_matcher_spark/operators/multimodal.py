@@ -354,10 +354,11 @@ def _q6(f: float) -> float:
     return math.floor(f * 1e6) / 1e6
 
 
-def _decode_bmp(payload: bytes) -> list[float]:
-    """Parse 24-bit uncompressed BMP (bottom-up) and featurize: dims,
-    channel means, luminance mean/extremes, 8-bin luminance histogram.
-    lum = (r*299 + g*587 + b*114) // 1000 — integer, SQL-reproducible."""
+def _bmp_rgb_lums(payload: bytes) -> tuple[int, int, int, int, int, list[int]]:
+    """Parse 24-bit uncompressed BMP (bottom-up or top-down) into
+    (w, h, r_sum, g_sum, b_sum, lums) with lums in top-down pixel order
+    p = y*w + x; lum = (r*299 + g*587 + b*114) // 1000 — integer,
+    SQL-reproducible. Shared by the featurizer and the perceptual hash."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_off = struct.unpack_from("<I", payload, 10)[0]
@@ -375,6 +376,13 @@ def _decode_bmp(payload: bytes) -> list[float]:
             b, g, r = payload[base + 3 * x : base + 3 * x + 3]
             rs, gs, bs = rs + r, gs + g, bs + b
             lums.append((r * 299 + g * 587 + b * 114) // 1000)
+    return w, h, rs, gs, bs, lums
+
+
+def _decode_bmp(payload: bytes) -> list[float]:
+    """Parse 24-bit uncompressed BMP (bottom-up) and featurize: dims,
+    channel means, luminance mean/extremes, 8-bin luminance histogram."""
+    w, h, rs, gs, bs, lums = _bmp_rgb_lums(payload)
     npx = w * h
     hist = [0] * 8
     for lum in lums:
@@ -839,3 +847,82 @@ def synth_compressed_media_table(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (average hash): the image-modality twin of the
+# text near-dup stack. aHash is the standard cheap perceptual signature
+# (downsample to 8x8 luminance, threshold at the mean); near-duplicate
+# images — recompressions, minor edits — land within a small Hamming
+# radius, so image dedup becomes the same bucket-join shape as SimHash.
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = "media_ref string, ahash string"
+
+
+def ahash_bits(lums: list[int], w: int, h: int) -> str:
+    """64-char '0'/'1' average-hash of a top-down luminance raster.
+    Nearest-neighbor 8x8 downsample (integer index math, engine-portable)
+    thresholded at the sample mean via the integer-exact comparison
+    64*s >= sum(samples). A bitstring rather than an int64 keeps the
+    cross-engine contract free of signed-shift overflow games."""
+    samples = [
+        lums[(i * h // 8) * w + (j * w // 8)] for i in range(8) for j in range(8)
+    ]
+    total = sum(samples)
+    return "".join("1" if 64 * s >= total else "0" for s in samples)
+
+
+def image_ahash(media: DataFrame, strict: bool = False) -> DataFrame:
+    """mapInPandas: 24-bit BMP payloads -> (media_ref, ahash). Non-BMP
+    kinds are skipped (PNG arrives as pixels via _decode_png's path in
+    extract_features; wire it here when needed). strict=True raises on
+    malformed payloads instead of dropping them."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs: list[str] = []
+            hashes: list[str] = []
+            for ref, payload, kind in zip(
+                pdf["media_ref"], pdf["payload"], pdf["kind"]
+            ):
+                if kind != "image":
+                    continue
+                try:
+                    w, h, _, _, _, lums = _bmp_rgb_lums(bytes(payload))
+                except ValueError:
+                    if strict:
+                        raise
+                    continue
+                refs.append(ref)
+                hashes.append(ahash_bits(lums, w, h))
+            yield pd.DataFrame({"media_ref": refs, "ahash": hashes})
+
+    return media.mapInPandas(op, schema=AHASH_SCHEMA)
+
+
+def ahash_dup_pairs(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """(media_ref_a, media_ref_b, hamming) for hash pairs within the
+    radius. Exact all-pairs verify — correct for per-bucket candidate
+    sets; at corpus scale block first on hash PIECES exactly like
+    simhash_pairs (pigeonhole: hamming <= k means some piece of k+1
+    matches exactly) and verify within buckets with this join."""
+    a = hashes.select(
+        F.col("media_ref").alias("media_ref_a"), F.col("ahash").alias("ha")
+    )
+    b = hashes.select(
+        F.col("media_ref").alias("media_ref_b"), F.col("ahash").alias("hb")
+    )
+    ham = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.substring(F.col("ha"), 1, 64).substr(i, F.lit(1))
+            != F.col("hb").substr(i, F.lit(1)),
+        )
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("media_ref_a") < F.col("media_ref_b"))
+        .select("media_ref_a", "media_ref_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

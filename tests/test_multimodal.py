@@ -244,3 +244,60 @@ def test_mixed_image_table_decodes_both_containers(spark, media):
         want = [float(f) for f in M._decode_bmp(M._bmp_bytes(ref))]
         got = [float(f) for f in feats[ref]]
         assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_image_ahash_near_dup_detection(spark):
+    """A lightly-perturbed copy of an image stays within a small Hamming
+    radius of the original; unrelated images do not."""
+    import struct as _struct
+
+    from sneaky_data_matcher_spark.operators.multimodal import (
+        _bmp_bytes,
+        ahash_dup_pairs,
+        image_ahash,
+    )
+
+    orig = _bmp_bytes("m:test-a")
+    # perturb ONE pixel's blue channel by +8 (post-header byte 54)
+    near = bytearray(orig)
+    near[54] = (near[54] + 8) % 256
+    other = _bmp_bytes("m:unrelated-z")
+    rows = [
+        ("a", "image", bytes(orig), None),
+        ("a2", "image", bytes(near), None),
+        ("z", "image", other, None),
+        ("aud", "audio", b"RIFFxxxx", None),  # skipped: not an image
+    ]
+    m = spark.createDataFrame(
+        rows,
+        "media_ref string, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:int>",
+    )
+    hashes = image_ahash(m)
+    got = {r["media_ref"]: r["ahash"] for r in hashes.collect()}
+    assert set(got) == {"a", "a2", "z"}
+    assert all(len(h) == 64 and set(h) <= {"0", "1"} for h in got.values())
+    ham = lambda x, y: sum(c != d for c, d in zip(x, y))
+    assert ham(got["a"], got["a2"]) <= 2
+    assert ham(got["a"], got["z"]) > 10
+    pairs = {
+        (r["media_ref_a"], r["media_ref_b"]): r["hamming"]
+        for r in ahash_dup_pairs(hashes, max_hamming=10).collect()
+    }
+    assert ("a", "a2") in pairs and pairs[("a", "a2")] <= 2
+    assert ("a", "z") not in pairs and ("a2", "z") not in pairs
+
+
+def test_image_ahash_strict_raises_on_garbage(spark):
+    import pytest as _pytest
+
+    from sneaky_data_matcher_spark.operators.multimodal import image_ahash
+
+    m = spark.createDataFrame(
+        [("bad", "image", b"NOTABMP", None)],
+        "media_ref string, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:int>",
+    )
+    with _pytest.raises(Exception):
+        image_ahash(m, strict=True).collect()
+    assert image_ahash(m, strict=False).count() == 0
