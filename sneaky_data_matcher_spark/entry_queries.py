@@ -7734,3 +7734,33 @@ def image_phash_q(spark, sf_dir):
 
     m = _real_media(spark, sf_dir).where(F.col("kind") == "image")
     return image_ahash(m, strict=True)
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint (operators/multimodal.py audio_fingerprint): 32-band
+# energy-envelope signature over REAL decoded PCM — the audio member of
+# the near-dup signature family (text simhash / image ahash / audio fp).
+# Oracle recomputes every bit from the generative sample formula.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "audio_fingerprint",
+    f"WITH {_MEDIA_REFS_CTE}, "
+    f"sd AS (SELECT media_ref, {_WAV_SEED} AS seed "
+    "  FROM (SELECT media_ref, sha256(media_ref) AS hh FROM refs WHERE kind = 'audio')), "
+    "pr AS (SELECT media_ref, seed, 64 + seed % 192 AS n FROM sd), "
+    "sm AS (SELECT media_ref, n, list_transform(range(0, n), "
+    "  i -> ((seed + i * 48271) % 65536) - 32768) AS s FROM pr), "
+    "en AS (SELECT media_ref, list_transform(range(0, 32), "
+    "  k -> list_sum(list_transform(range(k * n // 32, (k + 1) * n // 32), "
+    "    i -> CAST(s[CAST(i + 1 AS INT)] AS BIGINT) * s[CAST(i + 1 AS INT)]))) AS e FROM sm) "
+    "SELECT media_ref, array_to_string(list_transform(e, "
+    "  x -> CASE WHEN 32 * x >= list_sum(e) THEN '1' ELSE '0' END), '') AS audio_fp "
+    "FROM en",
+)
+def audio_fingerprint_q(spark, sf_dir):
+    from .operators.multimodal import audio_fingerprint
+
+    m = _real_media(spark, sf_dir).where(F.col("kind") == "audio")
+    return audio_fingerprint(m, strict=True)

@@ -297,11 +297,9 @@ def _decode_avi(payload: bytes) -> list[float]:
     return [_q6(f) for f in feats]
 
 
-def _decode_wav(payload: bytes) -> list[float]:
-    """Parse RIFF/WAVE (PCM mono 16-bit) and featurize: rate, length,
-    duration, mean, RMS, zero-crossing rate, min, max, and 8 segment RMS
-    energies. Integer sums + IEEE sqrt/div, rounded to 6 — exactly
-    reproducible by the SQL twin from the sample values."""
+def _wav_samples(payload: bytes) -> tuple[int, list[int]]:
+    """Parse RIFF/WAVE (PCM mono 16-bit) into (rate, samples). Shared by
+    the featurizer and the audio fingerprint."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, rate, samples = 12, None, None
@@ -317,6 +315,15 @@ def _decode_wav(payload: bytes) -> list[float]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or samples is None:
         raise ValueError("WAV missing fmt/data chunk")
+    return rate, samples
+
+
+def _decode_wav(payload: bytes) -> list[float]:
+    """Featurize a PCM WAV: rate, length, duration, mean, RMS,
+    zero-crossing rate, min, max, and 8 segment RMS energies. Integer
+    sums + IEEE sqrt/div, rounded to 6 — exactly reproducible by the SQL
+    twin from the sample values."""
+    rate, samples = _wav_samples(payload)
     n = len(samples)
     if n == 0:
         return [0.0] * _FEAT_DIM
@@ -901,28 +908,83 @@ def image_ahash(media: DataFrame, strict: bool = False) -> DataFrame:
     return media.mapInPandas(op, schema=AHASH_SCHEMA)
 
 
-def ahash_dup_pairs(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
-    """(media_ref_a, media_ref_b, hamming) for hash pairs within the
+def bitstring_dup_pairs(
+    hashes: DataFrame,
+    n_bits: int,
+    max_hamming: int = 10,
+    id_col: str = "media_ref",
+    hash_col: str = "ahash",
+) -> DataFrame:
+    """(<id>_a, <id>_b, hamming) for bitstring-signature pairs within the
     radius. Exact all-pairs verify — correct for per-bucket candidate
     sets; at corpus scale block first on hash PIECES exactly like
     simhash_pairs (pigeonhole: hamming <= k means some piece of k+1
     matches exactly) and verify within buckets with this join."""
     a = hashes.select(
-        F.col("media_ref").alias("media_ref_a"), F.col("ahash").alias("ha")
+        F.col(id_col).alias(f"{id_col}_a"), F.col(hash_col).alias("ha")
     )
     b = hashes.select(
-        F.col("media_ref").alias("media_ref_b"), F.col("ahash").alias("hb")
+        F.col(id_col).alias(f"{id_col}_b"), F.col(hash_col).alias("hb")
     )
     ham = F.size(
         F.filter(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda i: F.substring(F.col("ha"), 1, 64).substr(i, F.lit(1))
+            F.sequence(F.lit(1), F.lit(n_bits)),
+            lambda i: F.col("ha").substr(i, F.lit(1))
             != F.col("hb").substr(i, F.lit(1)),
         )
     )
     return (
         a.crossJoin(b)
-        .where(F.col("media_ref_a") < F.col("media_ref_b"))
-        .select("media_ref_a", "media_ref_b", ham.alias("hamming"))
+        .where(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .select(f"{id_col}_a", f"{id_col}_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def ahash_dup_pairs(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """Image near-dup pairs over 64-bit aHash signatures."""
+    return bitstring_dup_pairs(hashes, 64, max_hamming)
+
+
+AUDIO_FP_SCHEMA = "media_ref string, audio_fp string"
+
+
+def audio_fingerprint(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Energy-band audio fingerprint over REAL decoded PCM samples: split
+    the signal into 32 equal segments (integer boundaries k*n//32), bit k
+    = 1 iff 32 * energy_k >= total_energy (integer-exact — energies are
+    int64 sums of s², no float thresholding). A chromaprint-lite: coarse
+    energy envelope, robust to small sample perturbations, so near-dup
+    audio lands within a small Hamming radius (same bucket-join scale
+    path as the image/text signatures)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs: list[str] = []
+            fps: list[str] = []
+            for ref, payload, kind in zip(
+                pdf["media_ref"], pdf["payload"], pdf["kind"]
+            ):
+                if kind != "audio":
+                    continue
+                try:
+                    _rate, samples = _wav_samples(bytes(payload))
+                except ValueError:
+                    if strict:
+                        raise
+                    continue
+                n = len(samples)
+                if n == 0:
+                    continue
+                energies = []
+                for k in range(32):
+                    lo, hi = k * n // 32, (k + 1) * n // 32
+                    energies.append(sum(s * s for s in samples[lo:hi]))
+                total = sum(energies)
+                refs.append(ref)
+                fps.append(
+                    "".join("1" if 32 * e >= total else "0" for e in energies)
+                )
+            yield pd.DataFrame({"media_ref": refs, "audio_fp": fps})
+
+    return media.mapInPandas(op, schema=AUDIO_FP_SCHEMA)

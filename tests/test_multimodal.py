@@ -301,3 +301,51 @@ def test_image_ahash_strict_raises_on_garbage(spark):
     with _pytest.raises(Exception):
         image_ahash(m, strict=True).collect()
     assert image_ahash(m, strict=False).count() == 0
+
+
+def test_audio_fingerprint_near_dup(spark):
+    """A slightly amplitude-perturbed copy stays within a small Hamming
+    radius; unrelated audio does not; refactored featurizer still green."""
+    import struct as _struct
+
+    from sneaky_data_matcher_spark.operators.multimodal import (
+        _wav_bytes,
+        _wav_samples,
+        audio_fingerprint,
+        bitstring_dup_pairs,
+    )
+
+    orig = _wav_bytes("m:aud-a")
+    rate, samples = _wav_samples(orig)
+    # perturb a handful of samples by ~1% of full scale
+    pert = list(samples)
+    for i in range(0, len(pert), 37):
+        pert[i] = max(-32768, min(32767, pert[i] + 300))
+    n = len(pert)
+    near = (
+        orig[: len(orig) - 2 * n] + _struct.pack(f"<{n}h", *pert)
+    )
+    rows = [
+        ("a", "audio", orig, None),
+        ("a2", "audio", near, None),
+        ("z", "audio", _wav_bytes("m:aud-zzz"), None),
+        ("img", "image", b"BMxxxx", None),  # skipped: not audio
+    ]
+    m = spark.createDataFrame(
+        rows,
+        "media_ref string, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:int>",
+    )
+    fps = audio_fingerprint(m)
+    got = {r["media_ref"]: r["audio_fp"] for r in fps.collect()}
+    assert set(got) == {"a", "a2", "z"}
+    assert all(len(h) == 32 and set(h) <= {"0", "1"} for h in got.values())
+    ham = lambda x, y: sum(c != d for c, d in zip(x, y))
+    assert ham(got["a"], got["a2"]) <= 4
+    pairs = {
+        (r["media_ref_a"], r["media_ref_b"]): r["hamming"]
+        for r in bitstring_dup_pairs(
+            fps, 32, max_hamming=4, hash_col="audio_fp"
+        ).collect()
+    }
+    assert ("a", "a2") in pairs
