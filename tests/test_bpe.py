@@ -90,3 +90,26 @@ def test_bpe_early_stop_when_no_pairs(spark):
     # no pairs remain -> early stop before 50 merges
     m = B.bpe_train(docs, n_merges=50)
     assert m.count() <= 3
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=6), min_size=3, max_size=25
+    )
+)
+def test_bpe_train_fuzz_matches_reference(spark, words):
+    corpus = " ".join(words)
+    docs = spark.createDataFrame([(corpus,)], "text string")
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_freq"])
+        for r in B.bpe_train(docs, n_merges=5).orderBy("merge_rank").collect()
+    ]
+    from collections import Counter
+
+    freq = Counter(words)
+    assert got == _ref_bpe(dict(freq), 5)
