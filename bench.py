@@ -39,9 +39,16 @@ def _run_pipeline(spark, sf_dir: str, threshold: float = 0.85) -> dict:
     timings: dict[str, float] = {}
     # SPARK_GRAFT_FUSED=1 measures the optional fused block+score path for
     # A/B comparison; default is the (faster, measured) join path
+    # Banded scoring default ON (SPARK_GRAFT_BANDED=0 for the full-eval
+    # A/B): provably identical matches/clusters (tests), 89% of pairs
+    # decide from cheap terms at this threshold so the edit-distance
+    # kernels run on the surviving 11% only (BENCH.md "scoring-stage
+    # anatomy"). bench's consumers are matches + clusters, the contract
+    # banding requires.
     cfg = P.PipelineConfig(
         threshold=threshold,
         fused_scoring=os.environ.get("SPARK_GRAFT_FUSED", "0") == "1",
+        banded_scoring=os.environ.get("SPARK_GRAFT_BANDED", "1") == "1",
     )
 
     # Warm the Python/Arrow worker pool (one tiny pandas-UDF job) so the
@@ -101,6 +108,7 @@ def _run_pipeline(spark, sf_dir: str, threshold: float = 0.85) -> dict:
         "wall_sec": wall,
         "pairs_per_sec_scoring": scoring_rate,
         "pairs_per_sec_e2e": e2e_rate,
+        "scoring_mode": "banded" if cfg.banded_scoring else "full",
     }
 
 
@@ -188,6 +196,7 @@ def main() -> None:
         "n_clusters": r["n_clusters"],
         "wall_sec": round(r["wall_sec"], 3),
         "cpus": cpus,
+        "scoring_mode": r["scoring_mode"],
     }
     print(json.dumps(out))
 

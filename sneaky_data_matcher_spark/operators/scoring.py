@@ -98,35 +98,89 @@ def scoring_payload(canon: DataFrame, prefix_len: int = DEFAULT_PREFIX_LEN) -> D
 
 
 def score_pairs_fused(
-    deduped_pairs: DataFrame, weights: dict[str, float] | None = None
+    deduped_pairs: DataFrame,
+    weights: dict[str, float] | None = None,
+    band_threshold: float | None = None,
 ) -> DataFrame:
     """Map-side scorer over a payload-carrying pair frame (doc_id_a,
     doc_id_b, pfx_a, pfx_b, toks_a, toks_b, media_refs_a, media_refs_b) —
     the output shape of BOTH attach_payload (join path) and
     candidate_pairs_with_payload (fused path), so the two physical plans
     share one scoring formula and yield identical matches and clusters
-    (asserted in tests)."""
+    (asserted in tests).
+
+    ``band_threshold`` turns on BANDED evaluation — the anatomy
+    measurement (BENCH.md "scoring-stage anatomy") showed the stage is
+    dominated by the native levenshtein term (17.4s of a 20.3s stage at
+    1M pairs), not the Arrow jw kernel (1.5s) or the attach joins (1.5s).
+    The cheap terms (token jaccard + media agreement) bound the full
+    score from above by cheap + w_jw + w_lev; any pair whose bound is
+    below the threshold (minus a 1e-9 ulp guard) cannot match, so the
+    edit-distance kernels are skipped for it via a short-circuiting CASE.
+    89% of candidate pairs prune at threshold 0.85 -> the stage runs 3.7x
+    faster with a PROVABLY identical match set and identical clusters
+    (pytest-asserted).
+
+    Contract under banding: rows at score >= band_threshold carry the
+    exact full score and exact jw/lev_ratio; PRUNED rows carry the cheap
+    partial score (< band_threshold by construction) and NULL jw/
+    lev_ratio. Consumers that read below-threshold scores (review queues,
+    histograms) must score with band_threshold at their own floor — or
+    None for the classic full evaluation (the default)."""
     w = weights or DEFAULT_WEIGHTS
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     un = F.size(F.array_union("toks_a", "toks_b"))
     tok_jac = F.when(un == 0, F.lit(1.0)).otherwise(
         inter.cast("double") / un.cast("double")
     )
-    return deduped_pairs.select(
+    med = media_agreement(F.col("media_refs_a"), F.col("media_refs_b"))
+    jw_c = jaro_winkler(F.col("pfx_a"), F.col("pfx_b"))
+    lev_c = levenshtein_ratio(F.col("pfx_a"), F.col("pfx_b"))
+    base = deduped_pairs.withColumn("tok_jaccard", tok_jac).withColumn(
+        "media_agree", med
+    )
+    if band_threshold is None:
+        return base.select(
+            "doc_id_a",
+            "doc_id_b",
+            jw_c.alias("jw"),
+            lev_c.alias("lev_ratio"),
+            "tok_jaccard",
+            "media_agree",
+        ).withColumn(
+            "score",
+            w["jw"] * F.col("jw")
+            + w["lev"] * F.col("lev_ratio")
+            + w["tok"] * F.col("tok_jaccard")
+            + w["med"] * F.col("media_agree"),
+        )
+    cheap = w["tok"] * F.col("tok_jaccard") + w["med"] * F.col("media_agree")
+    # sound upper bound: jw <= 1 and lev_ratio <= 1; the 1e-9 margin makes
+    # pruning strictly conservative against float-order ulp noise, so the
+    # match set is bit-identical to full evaluation
+    prunable = cheap + F.lit(w["jw"] + w["lev"]) < F.lit(band_threshold - 1e-9)
+    # ONE CASE branch evaluating both kernels only on survivors (codegen
+    # short-circuits per row); splitting jw/lev into separate whens would
+    # re-evaluate the prune predicate but not the kernels — keep it fused
+    return base.withColumn(
+        "jw", F.when(~prunable, jw_c)
+    ).withColumn(
+        "lev_ratio", F.when(~prunable, lev_c)
+    ).select(
         "doc_id_a",
         "doc_id_b",
-        jaro_winkler(F.col("pfx_a"), F.col("pfx_b")).alias("jw"),
-        levenshtein_ratio(F.col("pfx_a"), F.col("pfx_b")).alias("lev_ratio"),
-        tok_jac.alias("tok_jaccard"),
-        media_agreement(F.col("media_refs_a"), F.col("media_refs_b")).alias(
-            "media_agree"
-        ),
-    ).withColumn(
-        "score",
-        w["jw"] * F.col("jw")
-        + w["lev"] * F.col("lev_ratio")
-        + w["tok"] * F.col("tok_jaccard")
-        + w["med"] * F.col("media_agree"),
+        "jw",
+        "lev_ratio",
+        "tok_jaccard",
+        "media_agree",
+        F.when(
+            F.col("jw").isNull(), cheap
+        ).otherwise(
+            w["jw"] * F.col("jw")
+            + w["lev"] * F.col("lev_ratio")
+            + w["tok"] * F.col("tok_jaccard")
+            + w["med"] * F.col("media_agree")
+        ).alias("score"),
     )
 
 

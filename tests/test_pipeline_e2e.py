@@ -187,3 +187,37 @@ def test_fused_equals_unfused(synth_corpus):
     cl_f = {r["doc_id"]: r["cluster_id"] for r in res_f["clusters"].collect()}
     cl_u = {r["doc_id"]: r["cluster_id"] for r in res_u["clusters"].collect()}
     assert cl_f == cl_u
+
+
+def test_banded_scoring_identical_matches_and_clusters(synth_corpus):
+    """Banded scoring (skip edit-distance kernels for pairs whose cheap-
+    term bound cannot reach the threshold) must yield the IDENTICAL match
+    set, identical clusters, and exact full scores on every surviving
+    (>= threshold-capable) pair — at a high threshold where pruning bites
+    hard AND at the default threshold where it barely fires."""
+    from pyspark.sql import functions as F
+
+    from sneaky_data_matcher_spark.operators import scoring
+
+    docs, _ = synth_corpus
+    for thr in (0.85, scoring.DEFAULT_THRESHOLD):
+        full = P.run(docs, P.PipelineConfig(threshold=thr, banded_scoring=False))
+        band = P.run(docs, P.PipelineConfig(threshold=thr, banded_scoring=True))
+        m_full = {
+            (r["doc_id_a"], r["doc_id_b"], round(r["score"], 9))
+            for r in scoring.matches(full["scored"], thr).collect()
+        }
+        m_band = {
+            (r["doc_id_a"], r["doc_id_b"], round(r["score"], 9))
+            for r in scoring.matches(band["scored"], thr).collect()
+        }
+        assert m_full == m_band, thr
+        cl_f = {r["doc_id"]: r["cluster_id"] for r in full["clusters"].collect()}
+        cl_b = {r["doc_id"]: r["cluster_id"] for r in band["clusters"].collect()}
+        assert cl_f == cl_b, thr
+        # pruned rows are sound: their cheap partial stays under thr and
+        # their kernels were genuinely skipped (NULL markers)
+        pruned = band["scored"].where(F.col("jw").isNull())
+        assert pruned.where(F.col("score") >= thr).count() == 0
+        if thr == 0.85:
+            assert pruned.count() > 0  # pruning actually fired
