@@ -268,7 +268,9 @@ def salt_keyed_stream(
 SCORED_PAIR_SCHEMA = "doc_id_a string, doc_id_b string, score double"
 
 
-def _score_pair_stream(pairs: DataFrame, weights) -> DataFrame:
+def _score_pair_stream(
+    pairs: DataFrame, weights, band_threshold: float | None = None
+) -> DataFrame:
     """pairs(doc_id_a, doc_id_b, text_a, text_b) where text_* is the JSON
     SCORING payload {pfx, toks, media_refs} (r3: trimmed per-doc upstream
     by scoring.scoring_payload — the full doc_text no longer rides the
@@ -284,22 +286,52 @@ def _score_pair_stream(pairs: DataFrame, weights) -> DataFrame:
     payload's `toks` column). Batch equivalence is asserted in
     tests/test_streaming.py::test_streaming_er_topology_matches_batch."""
     w = dict(weights)
-    sql = (
-        "SELECT doc_id_a, doc_id_b, "
-        f"{w['jw']!r} * jw + {w['lev']!r} * lev_ratio + {w['tok']!r} * tok_jaccard "
-        f"+ {w['med']!r} * media_agree AS score FROM ("
-        "SELECT doc_id_a, doc_id_b, "
-        "jaro_winkler_similarity(pfx_a, pfx_b) AS jw, "
-        "CASE WHEN greatest(length(pfx_a), length(pfx_b)) = 0 THEN 1.0 "
-        "  ELSE 1.0 - CAST(levenshtein(pfx_a, pfx_b) AS DOUBLE) "
-        "    / CAST(greatest(length(pfx_a), length(pfx_b)) AS DOUBLE) END AS lev_ratio, "
+    cheap_cols = (
         "CASE WHEN len(list_distinct(ta || tb)) = 0 THEN 1.0 "
         "  ELSE CAST(len(list_intersect(ta, tb)) AS DOUBLE) "
         "    / CAST(len(list_distinct(ta || tb)) AS DOUBLE) END AS tok_jaccard, "
         "CASE WHEN len(list_intersect(ma, mb)) > 0 THEN 1.0 "
-        "  WHEN len(ma) = 0 AND len(mb) = 0 THEN 0.5 ELSE 0.0 END AS media_agree "
-        "FROM b)"
+        "  WHEN len(ma) = 0 AND len(mb) = 0 THEN 0.5 ELSE 0.0 END AS media_agree"
     )
+    kernels = (
+        "jaro_winkler_similarity(pfx_a, pfx_b) AS jw, "
+        "CASE WHEN greatest(length(pfx_a), length(pfx_b)) = 0 THEN 1.0 "
+        "  ELSE 1.0 - CAST(levenshtein(pfx_a, pfx_b) AS DOUBLE) "
+        "    / CAST(greatest(length(pfx_a), length(pfx_b)) AS DOUBLE) END AS lev_ratio"
+    )
+    full_score = (
+        f"{w['jw']!r} * jw + {w['lev']!r} * lev_ratio + {w['tok']!r} * tok_jaccard "
+        f"+ {w['med']!r} * media_agree"
+    )
+    if band_threshold is None:
+        sql = (
+            "SELECT doc_id_a, doc_id_b, "
+            f"{full_score} AS score FROM ("
+            f"SELECT doc_id_a, doc_id_b, {kernels}, {cheap_cols} FROM b)"
+        )
+    else:
+        # the same sound bound as batch banded scoring (scoring.py): pairs
+        # whose cheap terms + max possible jw/lev miss the threshold skip
+        # both edit-distance kernels (DuckDB CASE evaluates branches only
+        # for qualifying rows); their cheap partial stays sub-threshold so
+        # the downstream match filter sees an identical set
+        cheap_expr = f"{w['tok']!r} * tok_jaccard + {w['med']!r} * media_agree"
+        jw_inline = "jaro_winkler_similarity(pfx_a, pfx_b)"
+        lev_inline = (
+            "CASE WHEN greatest(length(pfx_a), length(pfx_b)) = 0 THEN 1.0 "
+            "  ELSE 1.0 - CAST(levenshtein(pfx_a, pfx_b) AS DOUBLE) "
+            "    / CAST(greatest(length(pfx_a), length(pfx_b)) AS DOUBLE) END"
+        )
+        sql = (
+            "SELECT doc_id_a, doc_id_b, "
+            f"CASE WHEN {cheap_expr} + {w['jw'] + w['lev']!r} < {band_threshold!r} - 1e-9 "
+            f"  THEN {cheap_expr} "
+            # same left-assoc term order as the full path — a different
+            # association could ulp-shift a boundary score vs the batch twin
+            f"  ELSE {w['jw']!r} * {jw_inline} + {w['lev']!r} * ({lev_inline}) "
+            f"    + {w['tok']!r} * tok_jaccard + {w['med']!r} * media_agree END AS score "
+            f"FROM (SELECT doc_id_a, doc_id_b, pfx_a, pfx_b, {cheap_cols} FROM b)"
+        )
 
     def op(batches):  # pragma: no cover (runs on executors)
         import json
@@ -514,10 +546,11 @@ def streaming_er_topology(
         # then runs inside foreachBatch on the deduped frame (same DuckDB
         # kernel, identical formula). Measured in BENCH.md.
         weights, threshold = cfg.weights, cfg.threshold
+        band = cfg.threshold if cfg.banded_scoring else None
 
         def fb(batch_df, _batch_id):
             deduped = batch_df.dropDuplicates(["doc_id_a", "doc_id_b"])
-            scored = _score_pair_stream(deduped, weights)
+            scored = _score_pair_stream(deduped, weights, band_threshold=band)
             m = scored.where(F.col("score") >= threshold).select(
                 "doc_id_a", "doc_id_b"
             )
@@ -538,7 +571,11 @@ def streaming_er_topology(
     # kernel reuses the SAME DuckDB jaro_winkler/levenshtein as batch and
     # mirrors score_pairs_fused's formula term by term and fold order —
     # batch equivalence is asserted in tests.
-    scored = _score_pair_stream(pairs, cfg.weights)
+    scored = _score_pair_stream(
+        pairs,
+        cfg.weights,
+        band_threshold=cfg.threshold if cfg.banded_scoring else None,
+    )
     matches = scored.where(F.col("score") >= cfg.threshold).select(
         "doc_id_a", "doc_id_b"
     )

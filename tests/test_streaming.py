@@ -592,3 +592,47 @@ def test_streaming_token_counts_equals_batch(spark, tmp_path):
         for r in out.groupBy("token").agg(F.max("n").alias("n")).collect()
     }
     assert final == {"a": 3, "b": 3, "c": 3, "d": 1}
+
+
+def test_streaming_er_topology_banded_matches_batch(spark):
+    """Banded scoring in the STREAMING topology (cheap-term bound skips
+    the DuckDB edit-distance kernels per micro-batch) must still produce
+    exactly the batch pipeline's non-singleton clusters."""
+    from sneaky_data_matcher_spark.plans import pipeline as P
+    from sneaky_data_matcher_spark.sources.io import TableIO
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    spans = derive_spans(docs).localCheckpoint(eager=True)
+    cfg = P.PipelineConfig(
+        threshold=0.85, salting_enabled=False, banded_scoring=True
+    )
+    batch = P.run(spans, P.PipelineConfig(threshold=0.85, salting_enabled=False))
+    sizes = batch["clusters"].groupBy("cluster_id").count()
+    multi = (
+        batch["clusters"]
+        .join(sizes.where(F.col("count") > 1), "cluster_id")
+        .select("doc_id", "cluster_id")
+    )
+    want = {(r["doc_id"], r["cluster_id"]) for r in multi.collect()}
+
+    d = tempfile.mkdtemp()
+    try:
+        half = F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0
+        spans.where(half).write.mode("overwrite").parquet(f"{d}/in/b0")
+        spans.where(~half).write.mode("overwrite").parquet(f"{d}/in/b1")
+        schema = spark.read.parquet(f"{d}/in/b0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/in/*")
+        )
+        io = TableIO(spark, f"{d}/state")
+        q = S.streaming_er_topology(stream, io, cfg, checkpoint_dir=f"{d}/ckpt")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {(r["doc_id"], r["cluster_id"]) for r in io.load("clusters").collect()}
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
