@@ -7764,3 +7764,109 @@ def audio_fingerprint_q(spark, sf_dir):
 
     m = _real_media(spark, sf_dir).where(F.col("kind") == "audio")
     return audio_fingerprint(m, strict=True)
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (Xie et al., NeurIPS 2023; operators/dsir.py): score
+# every raw document by the hashed-n-gram likelihood ratio against a target
+# corpus (here: the 'en' slice), then draw a deterministic Gumbel top-k
+# resample. The raw-side scan is broadcast-joined against two <= B-row
+# models — the 100 TB shape. Oracle replays the Horner bucket hashing, the
+# exact int64 probability ratios, and the Lehmer-Gumbel keys end to end.
+# ---------------------------------------------------------------------------
+
+from .operators import dsir as _dsir
+
+_DSIR_CTES = _dsir.dsir_sql_ctes(
+    "documents", "(SELECT * FROM documents WHERE lang = 'en')", buckets=4096
+)
+
+
+@_q(
+    "dsir_weights",
+    f"WITH {_DSIR_CTES} SELECT doc_id, n_features, log_weight FROM dsir_w",
+)
+def dsir_weights_q(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return _dsir.dsir_log_weights(d, d.where(F.col("lang") == "en"), buckets=4096)
+
+
+@_q(
+    "dsir_topk",
+    f"WITH {_DSIR_CTES} " + _dsir.gumbel_topk_sql("dsir_w", 100),
+)
+def dsir_topk_q(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    w = _dsir.dsir_log_weights(d, d.where(F.col("lang") == "en"), buckets=4096)
+    return _dsir.gumbel_topk(w, 100)
+
+
+# ---------------------------------------------------------------------------
+# Score calibration (operators/calibration.py): reliability bins of the ER
+# pair score against the independent n-gram-Jaccard truth, plus the EXACT
+# weighted isotonic fit (minimax segment formula — pure joins over the
+# <= 20-row bin frame, no driver-side PAV scan). The downstream consumer
+# is threshold picking / review-queue sizing with calibrated
+# P(match | score) instead of raw similarity.
+# ---------------------------------------------------------------------------
+
+from .operators import calibration as _calib
+
+_CAL_LAB_CTES = (
+    f"{_ER_SCORED_CTE}, {_NGRAM_SH_CTE}, "
+    "cal_scored AS (SELECT doc_id_a, doc_id_b, "
+    "  0.4*jw + 0.2*lev_ratio + 0.4*tok_jaccard AS score FROM er_scored), "
+    "cal_truth AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
+    "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.7), "
+    "cal_lab AS (SELECT s.score, CASE WHEN t.doc_id_a IS NOT NULL THEN 1 ELSE 0 END AS is_match "
+    "  FROM cal_scored s LEFT JOIN cal_truth t "
+    "  ON s.doc_id_a = t.doc_id_a AND s.doc_id_b = t.doc_id_b)"
+)
+
+
+def _er_calibration_pairs(spark, sf_dir):
+    s = _er_scored_frame(spark, sf_dir)
+    scored = s.select(
+        "doc_id_a",
+        "doc_id_b",
+        (
+            0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+        ).alias("score"),
+    )
+    truth = ngram_dup_pairs(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b", F.lit(1).alias("_t")
+    )
+    return scored.join(truth, ["doc_id_a", "doc_id_b"], "left").select(
+        "score", F.when(F.col("_t").isNotNull(), 1).otherwise(0).alias("is_match")
+    )
+
+
+@_q(
+    "er_calibration",
+    f"WITH {_CAL_LAB_CTES}, "
+    + _calib.calibration_sql_ctes("cal_lab", "score", "is_match", 20)
+    + " SELECT * FROM cal_out",
+)
+def er_calibration_q(spark, sf_dir):
+    return _calib.isotonic_calibration(
+        _er_calibration_pairs(spark, sf_dir), n_bins=20
+    )
+
+
+@_q(
+    "er_calibration_brier",
+    f"WITH {_CAL_LAB_CTES}, "
+    + _calib.calibration_sql_ctes("cal_lab", "score", "is_match", 20)
+    + ", cal_j AS (SELECT l.score, CAST(l.is_match AS DOUBLE) AS y, f.iso_precision "
+    "  FROM (SELECT score, is_match, least(CAST(floor(score * 20) AS INT), 19) AS bin "
+    "        FROM cal_lab) l JOIN cal_out f USING (bin)) "
+    "SELECT count(*) AS n_pairs, "
+    "round(avg((score - y) * (score - y)), 6) AS brier_raw, "
+    "round(avg((iso_precision - y) * (iso_precision - y)), 6) AS brier_iso "
+    "FROM cal_j",
+)
+def er_calibration_brier_q(spark, sf_dir):
+    pairs = _er_calibration_pairs(spark, sf_dir)
+    cal = _calib.isotonic_calibration(pairs, n_bins=20)
+    return _calib.brier_scores(pairs, cal, n_bins=20)
