@@ -7870,3 +7870,56 @@ def er_calibration_brier_q(spark, sf_dir):
     pairs = _er_calibration_pairs(spark, sf_dir)
     cal = _calib.isotonic_calibration(pairs, n_bins=20)
     return _calib.brier_scores(pairs, cal, n_bins=20)
+
+
+# ---------------------------------------------------------------------------
+# Span-sequence alignment (operators/span_align.py): matched ER pairs
+# explained at span granularity over the interleaved text+media payload —
+# multiset span overlap, ordered prefix agreement, media-subsequence
+# equality. The oracle re-derives each doc's ordered span-key sequence
+# from the flat text (chunking + content-keyed media spans, the
+# derive_spans twin) and replays the array folds.
+# ---------------------------------------------------------------------------
+
+_SA_SEQ_CTE = (
+    "sa_t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents), "
+    "sa_k AS (SELECT doc_id, toks, sha256(list_aggregate(list_sort(list_distinct(list_transform(toks, x -> lower(x)))), 'string_agg', ' ')) AS key FROM sa_t), "
+    "sa_seq AS (SELECT doc_id, list_concat("
+    "  list_transform(range(0, greatest(CAST(ceil(len(toks) / 8.0) AS BIGINT), 1)), "
+    "    i -> 'text:' || coalesce(list_aggregate(toks[CAST(i * 8 + 1 AS INT):CAST(i * 8 + 8 AS INT)], 'string_agg', ' '), '')), "
+    f"  CASE WHEN {_hexv_sql('substr(key, 1, 1)')} % 3 > 0 THEN "
+    f"    list_transform(range({_hexv_sql('substr(key, 1, 1)')} % 3), "
+    f"      j -> (CASE ({_hexv_sql('substr(key, CAST(j + 2 AS INT), 1)')} % 3) "
+    "        WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END) "
+    "        || ':m:' || substr(key, 1, 16) || '-' || CAST(j AS VARCHAR)) "
+    "  ELSE [] END) AS k FROM sa_k)"
+)
+
+
+@_q(
+    "er_span_alignment",
+    f"WITH {_ER_SCORED_CTE}, {_SA_SEQ_CTE}, "
+    f"sa_m AS (SELECT doc_id_a, doc_id_b FROM er_scored WHERE {_ER_MATCH_COND}), "
+    "sa_j AS (SELECT m.doc_id_a, m.doc_id_b, a.k AS ka, b.k AS kb "
+    "  FROM sa_m m JOIN sa_seq a ON m.doc_id_a = a.doc_id "
+    "  JOIN sa_seq b ON m.doc_id_b = b.doc_id), "
+    "sa_ov AS (SELECT doc_id_a, doc_id_b, ka, kb, "
+    "  coalesce(list_sum(list_transform(list_distinct(ka), "
+    "    kk -> least(len(list_filter(ka, x -> x = kk)), len(list_filter(kb, x -> x = kk))))), 0) AS n_common "
+    "  FROM sa_j) "
+    "SELECT doc_id_a, doc_id_b, len(ka) AS n_spans_a, len(kb) AS n_spans_b, n_common, "
+    "round(CAST(n_common AS DOUBLE) / (len(ka) + len(kb) - n_common), 6) AS span_jaccard, "
+    "coalesce(list_sum(list_transform(range(1, least(len(ka), len(kb)) + 1), "
+    "  i -> CASE WHEN ka[1:CAST(i AS INT)] = kb[1:CAST(i AS INT)] THEN 1 ELSE 0 END)), 0) AS prefix_len, "
+    "list_filter(ka, x -> x NOT LIKE 'text:%') = list_filter(kb, x -> x NOT LIKE 'text:%') AS media_seq_equal "
+    "FROM sa_ov",
+)
+def er_span_alignment_q(spark, sf_dir):
+    from .operators import span_align as _sa
+    from .sources.spans import derive_spans as _derive
+
+    pairs = er_matches(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    spans = _derive(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "spans"
+    )
+    return _sa.pair_span_alignment(pairs, spans)
