@@ -486,6 +486,18 @@ _ER_SCORED_CTE = (
 _ER_MATCH_COND = "0.4*jw + 0.2*lev_ratio + 0.4*tok_jaccard >= 0.8"
 
 
+def _er_score():
+    """The composite ER pair score as a Column — the single Python-side
+    definition of the twin of the SQL _ER_SCORE expression (same weights,
+    same left-to-right fold order). Every query that scores er_scored
+    must use this; a per-site copy that drifts would silently diverge
+    from the others."""
+    return (
+        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+    )
+
+
+
 def _er_frames(spark, sf_dir):
     """Spark side of the same CTE chain (pfx+srt passes, no salting).
     All three frames are cached per (session, sf_dir): four er_* queries
@@ -600,7 +612,7 @@ def _er_scored_frame(spark, sf_dir):
 def er_matches(spark, sf_dir):
     s = _er_scored_frame(spark, sf_dir)
     score = (
-        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+        _er_score()
     )
     return s.where(score >= 0.8).select("doc_id_a", "doc_id_b")
 
@@ -2130,7 +2142,7 @@ def er_threshold_sweep_q(spark, sf_dir):
         "doc_id_a",
         "doc_id_b",
         (
-            0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+            _er_score()
         ).alias("score"),
     )
     truth = ngram_dup_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
@@ -2968,7 +2980,7 @@ def er_refined_clusters_q(spark, sf_dir):
     assign = er_clusters(spark, sf_dir)
     scored = _er_scored_frame(spark, sf_dir)
     score = (
-        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+        _er_score()
     )
     return refine_clusters(
         assign, scored, score, max_size=_REFINE_MAX, strict_threshold=_REFINE_THR
@@ -2994,7 +3006,7 @@ def er_cluster_cohesion_q(spark, sf_dir):
     assign = er_clusters(spark, sf_dir)
     scored = _er_scored_frame(spark, sf_dir)
     score = (
-        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+        _er_score()
     )
     medges = scored.where(score >= 0.8).select(
         "doc_id_a", "doc_id_b", F.round(score, 6).alias("score")
@@ -3536,7 +3548,7 @@ def er_review_queue_q(spark, sf_dir):
 
     s = _er_scored_frame(spark, sf_dir)
     score = (
-        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+        _er_score()
     )
     band = s.where((score >= _REVIEW_LO) & (score < _REVIEW_HI)).select(
         "doc_id_a", "doc_id_b", F.round(score, 6).alias("score"),
@@ -4166,7 +4178,7 @@ def _graph_edges(spark, sf_dir):
     def build():
         s = _er_scored_frame(spark, sf_dir)
         score = (
-            0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+            _er_score()
         )
         return s.where(score >= _GRAPH_THR).select(
             F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v")
@@ -4728,7 +4740,7 @@ def er_threshold_stability_q(spark, sf_dir):
 
     s = _er_scored_frame(spark, sf_dir)
     score = (
-        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+        _er_score()
     )
     canon, _, _ = _er_frames(spark, sf_dir)
     ids = canon.select("doc_id")
@@ -4885,7 +4897,8 @@ def suffix_blocks_q(spark, sf_dir):
     "  row_number() OVER (PARTITION BY cluster_id "
     "  ORDER BY length(doc_text) DESC, doc_id) AS rn FROM j), "
     "r2 AS (SELECT cluster_id, source, row_number() OVER (PARTITION BY cluster_id "
-    "  ORDER BY CAST(source[4:] AS INT), source) AS rn FROM j), "
+    "  ORDER BY coalesce(TRY_CAST(regexp_extract(source, '^src(\\d{1,18})$', 1) AS BIGINT), "
+    "    4611686018427387904), source) AS rn FROM j), "
     "lc AS (SELECT cluster_id, lang, count(*) AS n FROM j GROUP BY cluster_id, lang), "
     "r3 AS (SELECT cluster_id, lang, row_number() OVER (PARTITION BY cluster_id "
     "  ORDER BY n DESC, lang) AS rn FROM lc) "
@@ -5473,7 +5486,7 @@ def er_one_to_one_q(spark, sf_dir):
 
     s = _er_scored_frame(spark, sf_dir)
     score = F.round(
-        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard"), 6
+        _er_score(), 6
     )
     pairs = s.select("doc_id_a", "doc_id_b", score.alias("score"))
     return mutual_best_match(pairs)
@@ -5605,12 +5618,12 @@ _REPAIR_STRICT = 0.85
 def _er_match_edges_scored(spark, sf_dir):
     s = _er_scored_frame(spark, sf_dir)
     score = F.round(
-        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard"), 6
+        _er_score(), 6
     )
     return (
         s.withColumn("score", score)
         .where(
-            0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+            _er_score()
             >= 0.8
         )
         .select(F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v"), "score")
@@ -6386,7 +6399,7 @@ def er_threshold_valley_q(spark, sf_dir):
 
     s = _er_scored_frame(spark, sf_dir)
     score = F.round(
-        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard"), 6
+        _er_score(), 6
     )
     return threshold_valley(s.select(score.alias("score")))
 
@@ -6469,7 +6482,7 @@ def er_cascade_matches_q(spark, sf_dir):
         "doc_id_a",
         "doc_id_b",
         F.round(
-            0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard"),
+            _er_score(),
             6,
         ).alias("cheap"),
     )
@@ -6656,7 +6669,7 @@ def er_merge_review_q(spark, sf_dir):
     assign = er_clusters(spark, sf_dir)
     s = _er_scored_frame(spark, sf_dir)
     score = (
-        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+        _er_score()
     )
     near = s.where((score >= 0.7) & ~(score >= 0.8)).select(
         "doc_id_a", "doc_id_b", F.round(score, 6).alias("score")
@@ -6723,7 +6736,7 @@ def _er_prev_cur(spark, sf_dir):
 
     s = _er_scored_frame(spark, sf_dir)
     score = (
-        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+        _er_score()
     )
     canon, _, _ = _er_frames(spark, sf_dir)
 
@@ -6977,7 +6990,7 @@ def er_precision_estimate_q(spark, sf_dir):
 
     s = _er_scored_frame(spark, sf_dir)
     score = (
-        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+        _er_score()
     )
     matches = s.where(score >= 0.8).select(
         "doc_id_a", "doc_id_b", score.alias("score")
@@ -7683,7 +7696,7 @@ def er_unlinkables_q(spark, sf_dir):
     canon, _, _ = _er_frames(spark, sf_dir)
     s = _er_scored_frame(spark, sf_dir)
     score = (
-        0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+        _er_score()
     ).alias("score")
     both = s.select(F.col("doc_id_a").alias("doc_id"), score).unionByName(
         s.select(F.col("doc_id_b").alias("doc_id"), score)
@@ -7831,7 +7844,7 @@ def _er_calibration_pairs(spark, sf_dir):
         "doc_id_a",
         "doc_id_b",
         (
-            0.4 * F.col("jw") + 0.2 * F.col("lev_ratio") + 0.4 * F.col("tok_jaccard")
+            _er_score()
         ).alias("score"),
     )
     truth = ngram_dup_pairs(spark, sf_dir).select(

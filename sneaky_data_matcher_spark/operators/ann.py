@@ -275,6 +275,22 @@ def _sq_l2(a, b):
     )
 
 
+def _pq_width(v, m: int):
+    """Integer subspace width size(v)/m, raising per row when the vector
+    dimension is not divisible by m (a fractional width would int-truncate
+    each slice independently and silently skip dimensions)."""
+    sz = F.size(v)
+    return F.when(sz % m == 0, (sz / m).cast("int")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("pq: vector dim "),
+                sz.cast("string"),
+                F.lit(f" not divisible by m={m}"),
+            )
+        ).cast("int")
+    )
+
+
 def pq_encode(
     vecs: DataFrame,
     codebook: DataFrame,
@@ -312,7 +328,10 @@ def pq_encode(
     withcb = vecs.select(
         F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias("v")
     ).crossJoin(cb_arr)
-    d = F.size(F.col("v")) / m  # subspace width (int division guarded below)
+    # subspace width; the dimension must split evenly into m subspaces —
+    # a fractional width would silently truncate slice starts/lengths and
+    # skip dimensions, so fail loudly per offending row instead
+    d = _pq_width(F.col("v"), m)
 
     def code_for(s: int):
         sub = lambda col: F.slice(col, (F.lit(s) * d + 1).cast("int"), d.cast("int"))
@@ -367,7 +386,7 @@ def pq_topk(
     qv = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("v")
     ).crossJoin(cb_arr)
-    d = F.size(F.col("v")) / m
+    d = _pq_width(F.col("v"), m)
 
     def dtab_row(s: int):
         sub = lambda col: F.slice(col, (F.lit(s) * d + 1).cast("int"), d.cast("int"))

@@ -62,7 +62,11 @@ def asof_join(
         F.col(tiebreak).alias("_tb"),
         pay_struct.alias("_pay"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-    )
+        # NULL-ts right rows can never be "at or before" anything, but the
+        # window sort is asc_nulls_first, so unfiltered they'd sit at the
+        # partition start and fabricate a match for every left row that
+        # precedes all real right rows. ASOF semantics: drop them.
+    ).where(F.col("_t").isNotNull())
     l_side = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).cast("timestamp").alias("_t"),

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import threading
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # The fixpoint loop temporarily retunes session conf (AQE off, loop-sized
@@ -293,6 +293,19 @@ def golden_records(
     )
 
 
+def _source_priority(source: Column) -> Column:
+    """Numeric priority of a 'src<digits>' id: the digits as int64, or a
+    large sentinel for any other shape (so unparseable sources lose to
+    every parseable one, ties broken by the source string). Bounded to 18
+    digits so the cast can never overflow — the previous fixed
+    substring(4,10)+cast parse silently mis-ranked long or non-numeric
+    suffixes and diverged from the SQL twin."""
+    digits = F.regexp_extract(source, r"^src(\d{1,18})$", 1)
+    return F.when(digits != "", digits.cast("long")).otherwise(
+        F.lit(4611686018427387904)
+    )
+
+
 def golden_fields(clusters: DataFrame, docs: DataFrame) -> DataFrame:
     """Field-level survivorship: compose the golden record from DIFFERENT
     members per attribute, each by its own rule — longest text for the
@@ -317,7 +330,7 @@ def golden_fields(clusters: DataFrame, docs: DataFrame) -> DataFrame:
         ).alias("r"),
         F.min(
             F.struct(
-                F.substring("source", 4, 10).cast("int").alias("pri"),
+                _source_priority(F.col("source")).alias("pri"),
                 F.col("source").alias("s"),
             )
         ).alias("src"),

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import portable_hash
 from ..functions.textstats import tokens
 
 
@@ -228,12 +229,8 @@ SIMHASH_B2 = 263
 
 def _horner_hash(t: Column, base: int) -> Column:
     """Per-character Horner polynomial hash of one (lambda-var) token —
-    character code points, same as the SQL twin's ord()."""
-    return F.aggregate(
-        F.sequence(F.lit(1), F.length(t)),
-        F.lit(0).cast("long"),
-        lambda acc, i: (acc * base + F.ascii(F.substring(t, i, 1))) % SIMHASH_M,
-    )
+    the shared portable fold bound to the simhash constants."""
+    return portable_hash.horner(t, base, SIMHASH_M)
 
 
 def _token_hash(t: Column) -> Column:
@@ -450,8 +447,13 @@ def repeated_kgram_spans(
         .orderBy("start")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # break when this window starts PAST prev coverage end + 1: a window
+    # starting exactly at prev_end+1 touches the previous span's coverage,
+    # so the duplicated text region is contiguous and must merge (the
+    # documented maximal-span contract; sentinel -2 keeps the first row a
+    # break)
     brk = F.when(
-        F.col("start") > F.coalesce(F.max("end").over(w_prev), F.lit(-1)), 1
+        F.col("start") > F.coalesce(F.max("end").over(w_prev), F.lit(-2)) + 1, 1
     ).otherwise(0)
     islands = dup.withColumn("island", F.sum(brk).over(w_cum))
     return (
@@ -518,7 +520,7 @@ def repeated_kgram_spans_sql(
         "FROM kgrams g JOIN kgcensus c ON g.gram = c.gram), "
         "kgbrk AS (SELECT doc_id, start, end_, CASE WHEN start > "
         "coalesce(max(end_) OVER (PARTITION BY doc_id ORDER BY start "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS brk "
         "FROM kgdup), "
         "kgisl AS (SELECT doc_id, start, end_, sum(brk) "
         "OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS island "

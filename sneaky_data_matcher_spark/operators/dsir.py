@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import portable_hash
 from ..functions.textstats import tokens
 from .sampling import LEHMER_A, LEHMER_M
 
@@ -53,11 +54,7 @@ DSIR_M = (1 << 31) - 1
 
 def _horner(t: Column) -> Column:
     """Portable per-character Horner hash of one (lambda-var) token."""
-    return F.aggregate(
-        F.sequence(F.lit(1), F.length(t)),
-        F.lit(0).cast("long"),
-        lambda acc, i: (acc * DSIR_B + F.ascii(F.substring(t, i, 1))) % DSIR_M,
-    )
+    return portable_hash.horner(t, DSIR_B, DSIR_M)
 
 
 def doc_bucket_counts(
@@ -176,12 +173,7 @@ def dsir_sql_ctes(
     toks = (
         f"list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> '')"
     )
-    horner = (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        "list_transform(range(1, length(g) + 1), "
-        "i -> CAST(ord(substr(g, i, 1)) AS BIGINT))), "
-        f"(acc, ch) -> (acc * {DSIR_B} + ch) % {DSIR_M}) % {buckets}"
-    )
+    horner = portable_hash.horner_sql("g", DSIR_B, DSIR_M) + f" % {buckets}"
 
     def grams(rel: str, out: str) -> str:
         return (

@@ -46,6 +46,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import portable_hash
+
 # Distinct bases from simhash's 257/263 so CLK bits don't correlate with
 # simhash bits on the same corpus; same Mersenne modulus.
 PPRL_M = (1 << 31) - 1
@@ -57,12 +59,8 @@ CLK_K = 3
 
 def _horner(t: Column, base: int) -> Column:
     """Horner polynomial hash of one (lambda-var) token over code
-    points — mirrors dedup._horner_hash / the winnowing SQL twin."""
-    return F.aggregate(
-        F.sequence(F.lit(1), F.length(t)),
-        F.lit(0).cast("long"),
-        lambda acc, i: (acc * base + F.ascii(F.substring(t, i, 1))) % PPRL_M,
-    )
+    points — the shared portable fold bound to PPRL constants."""
+    return portable_hash.horner(t, base, PPRL_M)
 
 
 def _qgram_tokens(s: Column, q: int) -> Column:
@@ -281,12 +279,7 @@ def hlsh_dice_pairs(
 # ---------------------------------------------------------------------------
 
 def _horner_sql(tok: str, base: int) -> str:
-    return (
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(range(1, length({tok}) + 1), j -> "
-        f"CAST(ord(substr({tok}, j, 1)) AS BIGINT))), "
-        f"(acc, c) -> (acc * {base} + c) % {PPRL_M})"
-    )
+    return portable_hash.horner_sql(tok, base, PPRL_M)
 
 
 def clk_cte_sql(

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import portable_hash
 from .dedup import SIMHASH_B1, SIMHASH_B2, SIMHASH_M, _horner_hash
 
 CMS_W = 1024
@@ -76,12 +77,7 @@ def count_min_estimate(sketch: DataFrame, probes: DataFrame) -> DataFrame:
 # --- DuckDB twin builders -------------------------------------------------
 
 def _horner_sql(var: str, base: int) -> str:
-    return (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(range(1, length({var}) + 1), "
-        f"i -> CAST(ord(substr({var}, CAST(i AS INT), 1)) AS BIGINT))), "
-        f"(acc, c) -> (acc * {base} + c) % {SIMHASH_M})"
-    )
+    return portable_hash.horner_sql(var, base, SIMHASH_M)
 
 
 def cms_sql(probe_tokens: list[str], docs_rel: str = "documents") -> str:

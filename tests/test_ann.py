@@ -204,3 +204,17 @@ def test_pq_identical_vector_is_nearest(spark, emb):
     top = ann.pq_topk(q, aug, cb, k=1, m=8).collect()
     assert len(top) == 1 and top[0]["neighbor_id"] == 7
     assert top[0]["adist"] >= 0.0
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    """dim % m != 0 must raise, not silently skip dimensions."""
+    from sneaky_data_matcher_spark.operators.ann import pq_encode
+
+    vecs = spark.createDataFrame(
+        [(1, [float(i) for i in range(20)])], "vec_id long, embedding array<float>"
+    )
+    cb = spark.createDataFrame(
+        [(0, [0.0] * 20), (1, [1.0] * 20)], "cb_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="not divisible"):
+        pq_encode(vecs, cb, m=8).collect()

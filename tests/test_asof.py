@@ -78,3 +78,22 @@ def test_asof_matches_bruteforce_on_fixture(spark):
                 best = ok  # sorted: last qualifying (date, key) wins
         want[r["event_id"]] = best
     assert got == want
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    """A NULL-timestamp right row must match nothing (it would otherwise
+    sort nulls-first and become the 'most recent' row for early left
+    rows), and a NULL-timestamp left row matches nothing."""
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", 1), ("k", None, 2)],
+        "k string, lts string, lid int",
+    ).select("k", F.col("lts").cast("timestamp").alias("lts"), "lid")
+    right = spark.createDataFrame(
+        [("k", None, "poison"), ("k", "2024-06-01 00:00:00", "late")],
+        "k string, rts string, v string",
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"), "v")
+    out = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(left, right, "k", "lts", "rts").collect()
+    }
+    assert out == {1: None, 2: None}

@@ -272,3 +272,25 @@ def test_bcubed_hand_case(spark):
     # symmetric direction: merging halves precision instead
     r2 = bcubed(truth, pred).collect()[0]
     assert (r2.bcubed_precision, r2.bcubed_recall) == (0.5, 1.0)
+
+
+def test_golden_fields_odd_source_shapes(spark):
+    """Source ids outside the 'src<short digits>' fixture shape must rank
+    deterministically and identically to the SQL twin's rule: numeric
+    suffix as int64, unparseable shapes lose to every parseable one."""
+    from sneaky_data_matcher_spark.operators.clustering import golden_fields
+
+    clusters = spark.createDataFrame(
+        [(i, 1) for i in range(1, 5)], "doc_id long, cluster_id long"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa", "en", "feedA"),          # non-numeric: sentinel
+            (2, "bbb", "en", "src12345678901"),  # > int32: must not overflow
+            (3, "cc", "en", "src9"),
+            (4, "d", "fr", "src10"),
+        ],
+        "doc_id long, doc_text string, lang string, source string",
+    )
+    r = golden_fields(clusters, docs).collect()[0]
+    assert r["best_source"] == "src9"  # 9 < 10 < 12345678901 < sentinel

@@ -340,9 +340,8 @@ def _brute_dup_spans(docs, k=5, min_count=2):
         for j, g in enumerate(gs):
             if census[g] < min_count:
                 continue
-            if cur is not None and j <= cur[1] + 1 and j <= cur[1] - k + 2 + k - 1:
-                pass
-            if cur is not None and j <= cur[1]:  # overlaps/abuts current span
+            if cur is not None and j <= cur[1] + 1:  # overlapping OR
+                # coverage-adjacent window -> same maximal span
                 cur = (cur[0], max(cur[1], j + k - 1))
                 n += 1
             else:
@@ -437,3 +436,24 @@ def test_ngram_census_counts(spark):
     assert "short doc" not in rows  # below n tokens -> no grams
     # every count is (occurrences >= n_docs)
     assert all(occ >= nd for occ, nd in rows.values())
+
+
+def test_repeated_kgram_spans_adjacent_windows_merge(spark):
+    """Two duplicated windows whose coverage is back-to-back (second
+    starts exactly at prev_end + 1, bridging grams unique) are ONE
+    contiguous duplicated region and must merge into a single maximal
+    span — the documented contract."""
+    from sneaky_data_matcher_spark.operators.dedup import repeated_kgram_spans
+
+    docs = [
+        (1, "w1 w2 w3 w4 w5 w6"),          # A@0 and B@3 duplicated, bridge unique
+        (2, "z0 w1 w2 w3 z1 z2"),          # second occurrence of A
+        (3, "y0 w4 w5 w6 y1 y2"),          # second occurrence of B
+    ]
+    canon = spark.createDataFrame(docs, "doc_id long, doc_text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+        for r in repeated_kgram_spans(canon, k=3, min_count=2).collect()
+    )
+    assert got == [(1, 0, 5, 2), (2, 1, 3, 1), (3, 1, 3, 1)]
+    assert got == sorted(_brute_dup_spans(docs, k=3, min_count=2))
