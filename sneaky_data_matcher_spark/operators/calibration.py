@@ -77,7 +77,13 @@ def isotonic_calibration(
     (one tiny ordered window), a j<=k self-join for segment means, then a
     bin-in-segment join and two aggregations. All O(n_bins^3) rows of
     driver-free arithmetic."""
-    bins = reliability_bins(pairs, score_col, label_col, n_bins)
+    # the bin frame is referenced five times below (lo, hi, lattice, fit,
+    # final join); without a checkpoint Catalyst re-derives the corpus-
+    # bound binning aggregation once per reference (plan-audited: 5
+    # rescans of the pair frame). Lazy localCheckpoint computes it once.
+    bins = reliability_bins(pairs, score_col, label_col, n_bins).localCheckpoint(
+        eager=False
+    )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     pre = bins.select(
         "bin",

@@ -105,9 +105,19 @@ def dsir_log_weights(
     (n_t+1)·(N_r+B) / ((n_r+1)·(N_t+B)), so both engines take ln() of
     identical doubles; per-bucket terms c·ln(·) round to 9 decimals and
     sum as DECIMAL (order-independent)."""
-    dc = doc_bucket_counts(raw, id_col, text_col, buckets)
-    t_model = bucket_model(doc_bucket_counts(target, id_col, text_col, buckets))
-    r_model = bucket_model(dc)
+    # dc feeds both the raw model and the scoring join, and each model
+    # feeds both its broadcast and the totals row — without checkpoints
+    # Catalyst re-derives the raw-corpus explode 3x and each model twice
+    # (plan-audited). Lazy localCheckpoints compute each once; dc is
+    # shuffle-sized (one row per distinct doc-gram), the models <= B rows.
+    dc = doc_bucket_counts(raw, id_col, text_col, buckets).localCheckpoint(
+        eager=False
+    )
+    t_model = (
+        bucket_model(doc_bucket_counts(target, id_col, text_col, buckets))
+        .localCheckpoint(eager=False)
+    )
+    r_model = bucket_model(dc).localCheckpoint(eager=False)
     totals = F.broadcast(
         t_model.agg(F.sum("n").alias("tot_t"))
         .crossJoin(r_model.agg(F.sum("n").alias("tot_r")))
