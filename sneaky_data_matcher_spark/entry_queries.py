@@ -7936,3 +7936,66 @@ def er_span_alignment_q(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"), "spans"
     )
     return _sa.pair_span_alignment(pairs, spans)
+
+
+# ---------------------------------------------------------------------------
+# Null-aware Fellegi–Sunter (operators/fellegi_sunter.py NULL_LEVEL): a
+# deterministic subset of pairs has its jw feature MISSING; the null level
+# is excluded from m/u normalization (missing != disagree — the Splink
+# convention), so the estimates normalize over observed comparisons only.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "fs_null_aware_mu",
+    f"WITH RECURSIVE {_ER_CLUSTERS_CTE}, "
+    "nlab AS (SELECT s.doc_id_a, s.doc_id_b, "
+    "  CASE WHEN (s.doc_id_a + s.doc_id_b) % 7 = 0 THEN NULL ELSE s.jw END AS jw, "
+    "  (ca.cluster_id = cb.cluster_id) AS is_match "
+    "  FROM er_scored s JOIN clusters ca ON s.doc_id_a = ca.doc_id "
+    "  JOIN clusters cb ON s.doc_id_b = cb.doc_id), "
+    "nlvl AS (SELECT is_match, CASE WHEN jw IS NULL THEN -1 "
+    "  WHEN jw >= 0.95 THEN 2 WHEN jw >= 0.85 THEN 1 ELSE 0 END AS level FROM nlab), "
+    "nmelt AS (SELECT is_match, 'jw' AS feature, level FROM nlvl WHERE level <> -1), "
+    "ncounts AS (SELECT feature, level, "
+    "  count(CASE WHEN is_match THEN 1 END) AS c_m, "
+    "  count(CASE WHEN NOT is_match THEN 1 END) AS c_u FROM nmelt GROUP BY feature, level), "
+    "ntotals AS (SELECT feature, sum(c_m) AS n_m, sum(c_u) AS n_u FROM ncounts GROUP BY feature), "
+    "ngrid AS (SELECT t.feature, g.level, t.n_m, t.n_u, "
+    "  coalesce(c.c_m, 0) AS c_m, coalesce(c.c_u, 0) AS c_u "
+    "  FROM ntotals t CROSS JOIN (SELECT unnest(range(3)) AS level) g "
+    "  LEFT JOIN ncounts c ON c.feature = t.feature AND c.level = g.level) "
+    "SELECT feature, CAST(level AS INT) AS level, "
+    "CAST(c_m + 1 AS DOUBLE) / CAST(n_m + 3 AS DOUBLE) AS m_prob, "
+    "CAST(c_u + 1 AS DOUBLE) / CAST(n_u + 3 AS DOUBLE) AS u_prob, "
+    "floor(log2((CAST(c_m + 1 AS DOUBLE) / CAST(n_m + 3 AS DOUBLE)) "
+    "  / (CAST(c_u + 1 AS DOUBLE) / CAST(n_u + 3 AS DOUBLE))) * 1000000) / 1000000 AS weight "
+    "FROM ngrid",
+)
+def fs_null_aware_mu_q(spark, sf_dir):
+    from .operators import fellegi_sunter as FS
+
+    scored = _er_scored_frame(spark, sf_dir)
+    jwn = F.when(
+        (F.col("doc_id_a") + F.col("doc_id_b")) % 7 == 0, F.lit(None)
+    ).otherwise(F.col("jw"))
+    s2 = scored.select("doc_id_a", "doc_id_b", jwn.alias("jw"))
+    levels = FS.agreement_levels(
+        s2, {"jw": FS.DEFAULT_BINS["jw"]}, null_level=FS.NULL_LEVEL
+    )
+    cl = er_clusters(spark, sf_dir)
+    ca = cl.select(F.col("doc_id").alias("doc_id_a"), F.col("cluster_id").alias("cl_a"))
+    cb = cl.select(F.col("doc_id").alias("doc_id_b"), F.col("cluster_id").alias("cl_b"))
+    labels = (
+        s2.select("doc_id_a", "doc_id_b")
+        .join(ca, "doc_id_a")
+        .join(cb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (F.col("cl_a") == F.col("cl_b")).alias("is_match"),
+        )
+    )
+    return FS.estimate_mu_supervised(
+        levels, labels, ["jw"], n_levels=3, exclude_level=FS.NULL_LEVEL
+    )

@@ -48,26 +48,39 @@ DEFAULT_BINS: dict[str, list[tuple[float, int]]] = {
 N_LEVELS = 3
 
 
-def level_expr(col: str, bins: list[tuple[float, int]]) -> F.Column:
+# Dedicated level for comparisons where the feature value is missing on
+# either side (Splink's null-level convention): NULL must NOT collapse
+# into "disagree" (that biases m downward and u upward for the feature);
+# instead it is its own level, EXCLUDED from m/u estimation and worth
+# weight 0 at scoring time ("no evidence either way").
+NULL_LEVEL = -1
+
+
+def level_expr(
+    col: str, bins: list[tuple[float, int]], null_level: int | None = None
+) -> F.Column:
     e = None
+    if null_level is not None:
+        e = F.when(F.col(col).isNull(), F.lit(null_level))
     for thr, lvl in bins:
-        e = (
-            F.when(F.col(col) >= thr, F.lit(lvl))
-            if e is None
-            else e.when(F.col(col) >= thr, F.lit(lvl))
-        )
+        cond = F.col(col) >= thr
+        e = F.when(cond, F.lit(lvl)) if e is None else e.when(cond, F.lit(lvl))
     return e.otherwise(F.lit(0))
 
 
 def agreement_levels(
-    scored: DataFrame, bins: dict[str, list[tuple[float, int]]] | None = None
+    scored: DataFrame,
+    bins: dict[str, list[tuple[float, int]]] | None = None,
+    null_level: int | None = None,
 ) -> DataFrame:
     """Add one `<feature>_lvl` int column per binned feature. Pure
-    projection — no shuffle."""
+    projection — no shuffle. Pass ``null_level=NULL_LEVEL`` when features
+    can be missing (default None keeps the historical NULL->level-0
+    mapping for never-null features)."""
     bins = bins or DEFAULT_BINS
     out = scored
     for feat, cuts in bins.items():
-        out = out.withColumn(f"{feat}_lvl", level_expr(feat, cuts))
+        out = out.withColumn(f"{feat}_lvl", level_expr(feat, cuts, null_level))
     return out
 
 
@@ -76,6 +89,7 @@ def estimate_mu_supervised(
     labels: DataFrame,
     features: list[str] | None = None,
     n_levels: int = N_LEVELS,
+    exclude_level: int | None = None,
 ) -> DataFrame:
     """Supervised m/u from labeled candidate pairs.
 
@@ -85,6 +99,12 @@ def estimate_mu_supervised(
     u. Output long-format: (feature, level, m_prob, u_prob, weight) with
     weight = floor6(log2(m/u)). One melt-explode + one groupBy; output
     size = |features| x n_levels.
+
+    ``exclude_level`` (typically NULL_LEVEL) drops that level's rows
+    from the melt BEFORE counting, so a feature's m/u normalize over its
+    OBSERVED comparisons only — a missing field then neither supports
+    nor opposes a match (per-feature totals differ when missingness
+    differs per feature; that is the point).
     """
     features = features or [c[: -len("_lvl")] for c in levels.columns if c.endswith("_lvl")]
     lab = levels.join(labels, ["doc_id_a", "doc_id_b"])
@@ -102,6 +122,8 @@ def estimate_mu_supervised(
             )
         ).alias("fl"),
     ).select("is_match", "fl.feature", "fl.level")
+    if exclude_level is not None:
+        melted = melted.where(F.col("level") != exclude_level)
     counts = melted.groupBy("feature", "level").agg(
         F.count(F.when(F.col("is_match"), 1)).alias("c_m"),
         F.count(F.when(~F.col("is_match"), 1)).alias("c_u"),
@@ -139,16 +161,22 @@ def match_weights(
 ) -> DataFrame:
     """Per-pair Fellegi–Sunter weight: sum of the per-feature quantized
     weights, added in DECLARED feature order (bit-deterministic). The
-    weights table is tiny (features x levels) and broadcast per feature."""
+    weights table is tiny (features x levels) and broadcast per feature.
+
+    Levels absent from the weights table (the NULL_LEVEL convention —
+    missing field values) contribute weight 0 via the left join +
+    coalesce, instead of silently DROPPING the pair as the old inner
+    join would."""
     out = levels
     for f in features:
         wf = weights.where(F.col("feature") == f).select(
             F.col("level").alias(f"{f}_lvl"), F.col("weight").alias(f"w_{f}")
         )
-        out = out.join(F.broadcast(wf), f"{f}_lvl")
+        out = out.join(F.broadcast(wf), f"{f}_lvl", "left")
     total = None
     for f in features:
-        total = F.col(f"w_{f}") if total is None else total + F.col(f"w_{f}")
+        t = F.coalesce(F.col(f"w_{f}"), F.lit(0.0))
+        total = t if total is None else total + t
     return out.select(
         "doc_id_a", "doc_id_b", *[f"{f}_lvl" for f in features], total.alias("fs_weight")
     )

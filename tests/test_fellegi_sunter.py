@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -202,3 +204,56 @@ def test_tf_adjusted_weights(spark):
     assert out["zwicky"] == (2, exp_zwicky)
     assert out["zwicky"][1] > out["smith"][1]  # rare beats common
     assert out["smith"][1] < 0 < out["zwicky"][1]
+
+
+def test_null_aware_levels_estimation_and_weights(spark):
+    """Missing feature values get NULL_LEVEL (not 'disagree'), are
+    excluded from m/u normalization, and score weight 0 — the pair is
+    never dropped."""
+    import math
+
+    from sneaky_data_matcher_spark.operators.fellegi_sunter import (
+        NULL_LEVEL,
+        agreement_levels,
+        estimate_mu_supervised,
+        match_weights,
+    )
+
+    bins = {"sim": [(0.9, 1)]}  # 2 real levels: 0, 1
+    rows = [
+        # (a, b, sim, is_match)
+        (1, 2, 0.95, True),
+        (3, 4, 0.95, True),
+        (5, 6, None, True),   # missing: must NOT count as disagree
+        (7, 8, 0.10, False),
+        (9, 10, 0.95, False),
+        (11, 12, None, False),
+    ]
+    scored = spark.createDataFrame(
+        [(a, b, s) for a, b, s, _ in rows],
+        "doc_id_a int, doc_id_b int, sim double",
+    )
+    labels = spark.createDataFrame(
+        [(a, b, m) for a, b, _, m in rows],
+        "doc_id_a int, doc_id_b int, is_match boolean",
+    )
+    levels = agreement_levels(scored, bins, null_level=NULL_LEVEL)
+    got_lvls = {r["doc_id_a"]: r["sim_lvl"] for r in levels.collect()}
+    assert got_lvls[5] == NULL_LEVEL and got_lvls[11] == NULL_LEVEL
+    assert got_lvls[1] == 1 and got_lvls[7] == 0
+
+    mu = estimate_mu_supervised(
+        levels, labels, ["sim"], n_levels=2, exclude_level=NULL_LEVEL
+    )
+    by_lvl = {r["level"]: r for r in mu.collect()}
+    # observed matches: 2 (both level 1); observed non-matches: 2 (one each)
+    assert by_lvl[1]["m_prob"] == pytest.approx((2 + 1) / (2 + 2))
+    assert by_lvl[1]["u_prob"] == pytest.approx((1 + 1) / (2 + 2))
+    assert by_lvl[0]["m_prob"] == pytest.approx((0 + 1) / (2 + 2))
+
+    w = match_weights(levels, mu, ["sim"])
+    got_w = {r["doc_id_a"]: r["fs_weight"] for r in w.collect()}
+    assert set(got_w) == {1, 3, 5, 7, 9, 11}  # null pairs NOT dropped
+    assert got_w[5] == 0.0 and got_w[11] == 0.0  # null evidence = 0
+    exp_l1 = math.floor(math.log2((3 / 4) / (2 / 4)) * 1e6) / 1e6
+    assert got_w[1] == pytest.approx(exp_l1)
