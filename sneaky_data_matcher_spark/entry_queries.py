@@ -7999,3 +7999,58 @@ def fs_null_aware_mu_q(spark, sf_dir):
     return FS.estimate_mu_supervised(
         levels, labels, ["jw"], n_levels=3, exclude_level=FS.NULL_LEVEL
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023; operators/semdedup.py): semantic dedup in
+# embedding space — deterministic centroids (every 50th vector, the IVF
+# stand-in), map-side cell assignment, within-cell cosine pairs, duplicate
+# groups via connected components, survivor = farthest-from-centroid.
+# Near-dups planted as x1.001-rescaled copies (the embedding_near_dup
+# fixture trick). Oracle replays assignment, pairs, the recursive
+# closure, and the survivor window.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "semdedup_keep",
+    "WITH RECURSIVE "
+    "sdraw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+    "  UNION ALL SELECT vec_id + 1000000, "
+    "    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001) "
+    "  FROM embeddings WHERE vec_id % 10 = 0), "
+    "sdc AS (SELECT vec_id AS centroid_id, v AS cv FROM sdraw WHERE vec_id % 50 = 1), "
+    "sda AS MATERIALIZED (SELECT vec_id, v, cell, cos_c FROM ("
+    "  SELECT vec_id, v, centroid_id AS cell, cs AS cos_c, "
+    "    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) rn "
+    "  FROM (SELECT s.vec_id, s.v, c.centroid_id, "
+    "    round(list_cosine_similarity(s.v, c.cv), 6) AS cs FROM sdraw s CROSS JOIN sdc c)) "
+    "  WHERE rn = 1), "
+    "sde AS MATERIALIZED (SELECT a.vec_id AS u, b.vec_id AS v FROM sda a "
+    "  JOIN sda b ON a.cell = b.cell AND a.vec_id < b.vec_id "
+    "  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95), "
+    "sdsym AS MATERIALIZED (SELECT u, v FROM sde UNION SELECT v, u FROM sde), "
+    "sdreach(a, b) AS (SELECT vec_id, vec_id FROM sda "
+    "  UNION SELECT r.a, s.v FROM sdreach r JOIN sdsym s ON r.b = s.u), "
+    "sdgrp AS (SELECT a AS vec_id, min(b) AS group_id FROM sdreach GROUP BY a) "
+    "SELECT d.vec_id, d.cell, d.cos_c, g.group_id, "
+    "ROW_NUMBER() OVER (PARTITION BY g.group_id ORDER BY d.cos_c ASC, d.vec_id ASC) = 1 AS keep "
+    "FROM sda d JOIN sdgrp g USING (vec_id)",
+)
+def semdedup_keep_q(spark, sf_dir):
+    from .operators import semdedup as _sd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    aug = emb.unionByName(
+        emb.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+        )
+    )
+    cents = aug.where(F.col("vec_id") % 50 == 1).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return _sd.semdedup(aug, cents, eps=0.95)
