@@ -655,6 +655,31 @@ def er_clusters(spark, sf_dir):
     return _cached(spark, sf_dir, "er_clusters", build)
 
 
+# Same clusters through the partition-local union-find pre-contraction
+# path (clustering._contract_partitions): a pure optimization for dense
+# block-generated pair sets, so its oracle is IDENTICAL to er_clusters —
+# the driver proves output-equivalence of the optimized physical plan
+# end-to-end, not just in pytest.
+@_q(
+    "er_clusters_contracted",
+    f"WITH RECURSIVE {_ER_CLUSTERS_CTE} SELECT doc_id, cluster_id FROM clusters",
+)
+def er_clusters_contracted(spark, sf_dir):
+    from .operators.clustering import connected_components
+
+    canon, _, _ = _er_frames(spark, sf_dir)
+    m = er_matches(spark, sf_dir)
+    comp = connected_components(m, pre_contract=True)
+    return (
+        canon.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
 # MinHash-LSH near-dup pairs: the LSH path is hash-family specific (Spark
 # xxhash64) so the DuckDB twin verifies the SAME SEMANTICS exhaustively —
 # exact n-gram Jaccard over all pairs. Equality holds iff LSH recall is 1.0
@@ -3285,6 +3310,35 @@ def jsonl_roundtrip_q(spark, sf_dir):
         "doc_id", "text", "lang", "source", "n_chars"
     ).write.mode("overwrite").json(path)
     return jsonio.docs_from_jsonl(spark, path)
+
+
+# ORC sink/source with Hive-style partition layout: write documents
+# partitioned by lang, read back ONE partition. DuckDB cannot read ORC,
+# so the oracle recomputes the same selection from the parquet view — a
+# hash match certifies the ORC write+read round-trips values exactly. The
+# filter on the partition column prunes at the DIRECTORY level (the scan
+# lists only lang=<pick>/ — partition pruning, not data skipping), which
+# is the layout a 100 TB corpus store would use for per-language reads.
+@_q(
+    "orc_partitioned_roundtrip",
+    "SELECT doc_id, text, source, n_chars FROM documents "
+    "WHERE lang = (SELECT min(lang) FROM documents)",
+)
+def orc_partitioned_roundtrip_q(spark, sf_dir):
+    import re as _re
+
+    tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    path = f"/tmp/smsp_orc{tag}"
+    d = _docs(spark, sf_dir)
+    d.select("doc_id", "text", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).partitionBy("lang").orc(path)
+    pick = d.agg(F.min("lang")).collect()[0][0]
+    return (
+        spark.read.orc(path)
+        .where(F.col("lang") == pick)
+        .select("doc_id", "text", "source", "n_chars")
+    )
 
 
 # ---------------------------------------------------------------------------

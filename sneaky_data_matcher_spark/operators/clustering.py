@@ -72,6 +72,79 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.where(F.col("u") != F.col("v")).distinct()
 
 
+def _contract_partitions(edges: DataFrame) -> DataFrame:
+    """Partition-local union-find contraction: within each partition,
+    replace its edge multiset by the star (node -> local component
+    minimum). Connectivity is exactly preserved — two nodes connected
+    through edges of one partition become connected through its star, and
+    nodes shared across partitions glue the local stars back together in
+    the global loop — while the per-partition edge count drops from |E_p|
+    to at most |V_p| - 1.
+
+    Why this matters at 100 TB: candidate pairs are GENERATED per block
+    inside one partition, so a dense block of k members contributes
+    k(k-1)/2 pair rows that all sit in the same map partition. Contracting
+    BEFORE the first shuffle collapses that to k-1 rows — the initial
+    distinct() and every large/small-star round then shuffle the
+    contracted edge set. This is the standard local-aggregation phase of
+    two-phase MapReduce CC (cf. Kiveris et al. §5 "CC-MR style"
+    pre-processing); it is a pure optimization with identical output
+    (asserted in tests/test_clustering.py on path/random/pipeline graphs).
+
+    Kernel shape: Arrow-batched mapInPandas; per partition the string ids
+    are factorized once (pandas, C speed) and the union-find itself runs
+    over a compact int array with path halving — the only Python-level
+    loop is O(E_p α(V_p)) on small ints, and it runs once per partition,
+    off the row-at-a-time path. Local roots are chosen as the MINIMUM id
+    in the local component so the emitted edge set is a deterministic
+    function of the partition's content."""
+    # id dtype (string or integral) rides through untouched: factorize
+    # codes drive the union-find, uniques keep the original values.
+    schema = edges.select("u", "v").schema
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        us, vs = [], []
+        for b in batches:
+            us.append(b["u"])
+            vs.append(b["v"])
+        if not us:
+            return
+        u = pd.concat(us, ignore_index=True)
+        v = pd.concat(vs, ignore_index=True)
+        codes, uniques = pd.factorize(pd.concat([u, v], ignore_index=True))
+        n = len(uniques)
+        cu, cv = codes[: len(u)], codes[len(u):]
+        parent = np.arange(n, dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for a, b in zip(cu.tolist(), cv.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id keeps labels deterministic without a
+                # second relabel pass: uniques order is first-seen, so
+                # compare the actual strings
+                if uniques[rb] < uniques[ra]:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        roots = np.array([find(i) for i in range(n)], dtype=np.int64)
+        mask = roots != np.arange(n)
+        out = pd.DataFrame(
+            {"u": uniques[np.arange(n)[mask]], "v": uniques[roots[mask]]}
+        )
+        if len(out):
+            yield out
+
+    return edges.mapInPandas(fn, schema)
+
+
 def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
     row = edges.agg(
         F.count("*").alias("n"),
@@ -86,6 +159,7 @@ def connected_components(
     max_iterations: int = 25,
     checkpoint: bool = True,
     optimized_runs: bool = True,
+    pre_contract: bool = False,
     _stats: dict | None = None,
 ) -> DataFrame:
     """matches(doc_id_a, doc_id_b, ...) -> (doc_id, cluster_id).
@@ -103,12 +177,27 @@ def connected_components(
     small dense clusters) it is 1.4-1.7x faster too, because skipping
     half the small-stars saves more than the extra inner checksum jobs
     cost. Identical assignments on both shapes (asserted per trial).
+    pre_contract=True runs a partition-local union-find contraction
+    (see _contract_partitions) on the raw match pairs BEFORE the first
+    distinct() shuffle — identical output, and on block-generated pair
+    sets (k members -> k(k-1)/2 co-located pairs) it shrinks both the
+    initial shuffle and every star round to ~node-count volume. Measured
+    faster on all three A/B graph shapes (tools/bench_cc_schedule.py /
+    BENCH.md: path 2.3x — it also collapses diameter, 17 large-stars ->
+    5 — matcher 1.1x, dense 1.3x). Default False at the operator level so
+    generic callers keep the minimal plan and both paths stay
+    driver-proven (er_clusters vs er_clusters_contracted); the pipeline
+    turns it on via PipelineConfig.cc_pre_contract.
+
     `_stats`, if passed, receives {"rounds", "large_stars",
     "small_stars"} for benchmarking.
     """
     edges = matches.select(
         F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v")
-    ).distinct()
+    )
+    if pre_contract:
+        edges = _contract_partitions(edges)
+    edges = edges.distinct()
     if checkpoint:
         edges = edges.localCheckpoint(eager=True)
     prev = _edge_checksum(edges)

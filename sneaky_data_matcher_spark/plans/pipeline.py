@@ -55,6 +55,13 @@ class PipelineConfig:
     # threshold sweeps/histograms). Turn on when the run's consumers are
     # matches + clusters only (bench does).
     banded_scoring: bool = False
+    # Partition-local union-find pre-contraction before the star rounds
+    # (clustering._contract_partitions). ON in the pipeline: matcher pairs
+    # are generated per block inside one partition, exactly the co-located
+    # quadratic shape contraction collapses before the first CC shuffle.
+    # Identical clusters (pytest + driver er_clusters_contracted); A/B in
+    # BENCH.md "CC schedule" — faster on all three tested graph shapes.
+    cc_pre_contract: bool = True
     # Streaming topology state bounds (r3 — VERDICT r2 "what's wrong" #1:
     # the defaults used to be the unbounded path). Per-(pass, block_key)
     # GroupState retains at most this many scoring payloads — a hot block's
@@ -157,7 +164,9 @@ def fused_block_and_score(canon: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def assign_clusters(scored: DataFrame, canon: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """(scored, canon) -> (doc_id, cluster_id); singletons get their own id."""
     m = scoring.matches(scored, cfg.threshold)
-    comp = clustering.connected_components(m, cfg.cc_max_iterations)
+    comp = clustering.connected_components(
+        m, cfg.cc_max_iterations, pre_contract=cfg.cc_pre_contract
+    )
     return (
         canon.select("doc_id")
         .join(comp, "doc_id", "left")

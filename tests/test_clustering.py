@@ -86,6 +86,67 @@ def test_optimized_runs_schedule_same_output(spark):
     assert stats["large_stars"] >= stats["small_stars"] > 0
 
 
+def test_pre_contract_same_output_dense_blocks(spark):
+    """Partition-local union-find contraction must not change assignments
+    on the shape it targets: dense per-block cliques (k members ->
+    k(k-1)/2 co-located pairs) plus a high-diameter path plus random
+    noise, with duplicate and reversed edges thrown in."""
+    rng = random.Random(13)
+    edges = []
+    # three dense cliques (the blocking-generated shape)
+    for c, k in (("A", 12), ("B", 8), ("C", 5)):
+        members = [f"{c}{i:02d}" for i in range(k)]
+        edges += [(a, b) for a in members for b in members if a < b]
+    edges += [(f"p{i:03d}", f"p{i+1:03d}") for i in range(49)]
+    nodes = [f"n{i:03d}" for i in range(80)]
+    edges += [tuple(sorted(rng.sample(nodes, 2))) for _ in range(60)]
+    edges += [("A00", "A01"), ("A01", "A00")]  # dup + reversed
+    df = spark.createDataFrame(edges, "doc_id_a string, doc_id_b string")
+    plain = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+    contracted = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df, pre_contract=True).collect()
+    }
+    assert contracted == plain == _oracle(edges)
+
+
+def test_pre_contract_shrinks_partition_edges(spark):
+    """The contraction itself: a clique of 40 members generated into few
+    partitions must contract to <= 39 edges per partition containing it,
+    and the contracted edge set must have the same transitive closure."""
+    from sneaky_data_matcher_spark.operators.clustering import (
+        _contract_partitions,
+    )
+
+    members = [f"m{i:02d}" for i in range(40)]
+    pairs = [(a, b) for a in members for b in members if a < b]  # 780
+    df = spark.createDataFrame(pairs, "u string, v string").repartition(4)
+    out = _contract_partitions(df)
+    rows = [(r["u"], r["v"]) for r in out.collect()]
+    # each of the 4 partitions emits at most |V_p|-1 <= 39 edges
+    assert len(rows) <= 4 * 39 < len(pairs)
+    assert _oracle(rows) == _oracle(pairs)
+
+
+def test_pre_contract_long_ids(spark):
+    """Integral doc_ids (the ER pipeline's id dtype) must ride through
+    contraction with their type intact — the output schema is inherited
+    from the input, not assumed string."""
+    edges = [(i, i + 1) for i in range(30)] + [(100, 200), (200, 300)]
+    df = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+    plain = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+    contracted = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df, pre_contract=True).collect()
+    }
+    assert contracted == plain
+    assert all(isinstance(k, int) for k in contracted)
+
+
 # ---------------------------------------------------------------------------
 # golden_records — survivorship after clustering
 # ---------------------------------------------------------------------------

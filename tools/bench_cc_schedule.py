@@ -33,7 +33,12 @@ def _graphs(path_n: int) -> dict[str, list[tuple[str, str]]]:
         size = rng.randint(2, 6)
         ids = [f"c{c:05d}x{j}" for j in range(size)]
         matcher += [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-    return {"path": path, "matcher": matcher}
+    dense = []  # hot blocks: few clusters, quadratic pair counts
+    for c in range(path_n // 200):
+        size = rng.randint(30, 60)
+        ids = [f"d{c:04d}x{j:02d}" for j in range(size)]
+        dense += [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+    return {"path": path, "matcher": matcher, "dense": dense}
 
 
 def main() -> None:
@@ -52,13 +57,17 @@ def main() -> None:
             res: dict[str, dict] = {}
             assigns = {}
             for _ in range(trials):
-                for name, opt in (("alternating", False), ("optimized_runs", True)):
+                for name, opt, pre in (
+                    ("alternating", False, False),
+                    ("optimized_runs", True, False),
+                    ("optimized_pre_contract", True, True),
+                ):
                     stats: dict = {}
                     t0 = time.perf_counter()
                     a = {
                         (r["doc_id"], r["cluster_id"])
                         for r in connected_components(
-                            df, optimized_runs=opt, _stats=stats
+                            df, optimized_runs=opt, pre_contract=pre, _stats=stats
                         ).collect()
                     }
                     wall = round(time.perf_counter() - t0, 2)
@@ -67,17 +76,13 @@ def main() -> None:
                     assigns.setdefault(name, a)
                     assert assigns[name] == a
             assert assigns["alternating"] == assigns["optimized_runs"], shape
-            out[shape] = {
-                "n_edges": len(edges),
-                "alternating": {
-                    "best_sec": min(res["alternating"]["walls"]),
-                    **res["alternating"]["stats"],
-                },
-                "optimized_runs": {
-                    "best_sec": min(res["optimized_runs"]["walls"]),
-                    **res["optimized_runs"]["stats"],
-                },
-            }
+            assert assigns["alternating"] == assigns["optimized_pre_contract"], shape
+            out[shape] = {"n_edges": len(edges)}
+            for name in res:
+                out[shape][name] = {
+                    "best_sec": min(res[name]["walls"]),
+                    **res[name]["stats"],
+                }
     finally:
         spark.stop()
     print(json.dumps(out, indent=2))
