@@ -2233,6 +2233,67 @@ def meta_blocking_wep_q(spark, sf_dir):
     return metablocking.wep_prune(metablocking.block_graph_edges(keys))
 
 
+# Block Filtering (record-local comparison trimming): each record keeps
+# its ceil(1/2 * |blocks|) smallest blocks. Rank and bound are exact
+# integers ((rn-1)*den < nb*num), so both engines cut identically.
+@_q(
+    "block_filter_keys",
+    f"WITH {_ER_KEYS_CTE}, "
+    "bf_census AS (SELECT pass, block_key, count(*) AS sz FROM er_keys GROUP BY pass, block_key), "
+    "bf_k AS (SELECT e.doc_id, e.pass, e.block_key, c.sz FROM er_keys e "
+    "  JOIN bf_census c ON e.pass = c.pass AND e.block_key = c.block_key), "
+    "bf_r AS (SELECT doc_id, pass, block_key, "
+    "  row_number() OVER (PARTITION BY doc_id ORDER BY sz, pass, block_key) AS rn, "
+    "  count(*) OVER (PARTITION BY doc_id) AS nb FROM bf_k) "
+    "SELECT doc_id, pass, block_key FROM bf_r WHERE (rn - 1) * 2 < nb * 1",
+)
+def block_filter_keys_q(spark, sf_dir):
+    from .operators import metablocking
+
+    _, keys, _ = _er_frames(spark, sf_dir)
+    return metablocking.block_filter(keys, num=1, den=2)
+
+
+# Progressive ER (pay-as-you-go): comparisons scheduled best-evidence-
+# first (block-set jaccard desc), reported as a 10-slice cumulative
+# recall curve against the full run's accepted matches. The jaccard
+# weight is one division of exact ints (correctly-rounded IEEE on both
+# engines) so the global order — and therefore every slice — agrees.
+@_q(
+    "progressive_recall_curve",
+    f"WITH {_ER_SCORED_CTE}, "
+    "pg_edges AS MATERIALIZED (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS cbs "
+    "  FROM er_keys a JOIN er_keys b ON a.pass = b.pass AND a.block_key = b.block_key "
+    "  AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), "
+    "pg_nbc AS (SELECT doc_id, count(*) AS nb FROM er_keys GROUP BY doc_id), "
+    "pg_we AS (SELECT e.doc_id_a, e.doc_id_b, "
+    "  CAST(e.cbs AS DOUBLE) / CAST(na.nb + nbb.nb - e.cbs AS DOUBLE) AS jaccard "
+    "  FROM pg_edges e JOIN pg_nbc na ON e.doc_id_a = na.doc_id "
+    "  JOIN pg_nbc nbb ON e.doc_id_b = nbb.doc_id), "
+    "pg_rk AS (SELECT doc_id_a, doc_id_b, "
+    "  row_number() OVER (ORDER BY jaccard DESC, doc_id_a, doc_id_b) AS g FROM pg_we), "
+    "pg_tot AS (SELECT count(*) AS n FROM pg_rk), "
+    f"pg_mt AS (SELECT doc_id_a, doc_id_b FROM er_scored WHERE {_ER_MATCH_COND}), "
+    "pg_nm AS (SELECT count(*) AS m FROM pg_mt), "
+    "pg_tg AS (SELECT ((r.g * 10 + t.n - 1) // t.n) AS bucket, "
+    "  CASE WHEN mt.doc_id_a IS NOT NULL THEN 1 ELSE 0 END AS is_match "
+    "  FROM pg_rk r CROSS JOIN pg_tot t LEFT JOIN pg_mt mt "
+    "  ON r.doc_id_a = mt.doc_id_a AND r.doc_id_b = mt.doc_id_b), "
+    "pg_per AS (SELECT bucket, count(*) AS pairs, sum(is_match) AS m FROM pg_tg GROUP BY bucket) "
+    "SELECT bucket, CAST(sum(pairs) OVER w AS BIGINT) AS cum_pairs, "
+    "CAST(sum(m) OVER w AS BIGINT) AS cum_matches, "
+    "round(CAST(sum(m) OVER w AS DOUBLE) / (SELECT m FROM pg_nm), 6) AS recall "
+    "FROM pg_per WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+)
+def progressive_recall_curve_q(spark, sf_dir):
+    from .operators import metablocking
+
+    _, keys, _ = _er_frames(spark, sf_dir)
+    edges = metablocking.block_graph_edges(keys)
+    m = er_matches(spark, sf_dir)
+    return metablocking.progressive_decile_recall(edges, m, n_buckets=10)
+
+
 # Fellegi–Sunter m/u estimation over candidate pairs, labeled by the
 # transitive clusters (same-cluster = match). Keep the CASE thresholds in
 # lock-step with fellegi_sunter.DEFAULT_BINS.

@@ -35,7 +35,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -52,6 +52,116 @@ def block_purge(
     if hot.count() <= hot_broadcast_limit:
         hot = F.broadcast(hot)
     return keys.join(hot, ["pass", "block_key"], "left_anti")
+
+
+def block_filter(keys: DataFrame, num: int = 1, den: int = 2) -> DataFrame:
+    """Block Filtering (Papadakis et al., "Comparison-Based Blocking"
+    line of work, VLDB 2016): each record keeps only its
+    ceil(num/den * |blocks(record)|) SMALLEST blocks — small blocks are
+    the highest-precision evidence, and dropping a record from a huge
+    block removes a full row of that block's quadratic comparison mass
+    while the record stays reachable through its small blocks.
+
+    Complements block_purge: purging drops stop-word blocks outright
+    (global decision), filtering trims each RECORD's participation
+    (local decision) and keeps partial evidence from mid-size blocks.
+
+    Determinism/parity: blocks rank per record by (size asc, pass,
+    block_key) — a total order — and the keep bound is the exact integer
+    ceil via cross-multiplication ((rank-1)*den < nb*num), so no float
+    threshold can disagree between engines.
+
+    Scale shape: one block census (map-side combinable), one join of the
+    census onto keys (shuffle on (pass, block_key)), one per-record
+    window (shuffle on doc_id; a record holds only a handful of keys, so
+    partitions stay balanced)."""
+    census = keys.groupBy("pass", "block_key").agg(F.count("*").alias("sz"))
+    k = keys.join(census, ["pass", "block_key"])
+    w = Window.partitionBy("doc_id").orderBy("sz", "pass", "block_key")
+    wc = Window.partitionBy("doc_id")
+    return (
+        k.withColumn("rn", F.row_number().over(w))
+        .withColumn("nb", F.count("*").over(wc))
+        .where((F.col("rn") - 1) * den < F.col("nb") * num)
+        .select("doc_id", "pass", "block_key")
+    )
+
+
+def _global_rank(df: DataFrame, sort_cols) -> tuple[DataFrame, int]:
+    """Total-order global rank WITHOUT a single-partition window: range-
+    repartition on the sort key, rank within each partition, then add
+    driver-side cumulative offsets (one tiny row per partition — the
+    same pattern as blocking.sorted_neighborhood_pairs). Returns the
+    frame with a `grank` column plus the total row count."""
+    base = df.repartitionByRange(*sort_cols)
+    ranked = base.withColumn("pid", F.spark_partition_id()).withColumn(
+        "lrank", F.row_number().over(Window.partitionBy("pid").orderBy(*sort_cols))
+    )
+    # pinned: pid/lrank must be identical across the offsets read and the
+    # final projection
+    ranked = ranked.localCheckpoint(eager=True)
+    counts = sorted(
+        (r["pid"], r["n"])
+        for r in ranked.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    off_df = ranked.sparkSession.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "pid int, off long"
+    )
+    out = (
+        ranked.join(F.broadcast(off_df), "pid")
+        .withColumn("grank", F.col("lrank") + F.col("off"))
+        .drop("pid", "lrank", "off")
+    )
+    return out, acc
+
+
+def progressive_decile_recall(
+    edges: DataFrame, matches: DataFrame, n_buckets: int = 10
+) -> DataFrame:
+    """Progressive ER (pay-as-you-go resolution, Whang et al. 2013):
+    schedule comparisons best-evidence-first and report how much of the
+    eventual match set each slice of the comparison budget recovers.
+
+    Edges (from block_graph_edges) are ranked by blocking-evidence weight
+    (jaccard desc, ids as tie-break) into `n_buckets` equal rank slices;
+    output one row per bucket with cumulative pairs, cumulative true
+    matches (pairs that the full scoring run accepts), and cumulative
+    recall. A steep curve certifies the weight function: most matches
+    surface in the first slices, so a budget-bound run can stop early.
+
+    Scale shape: the global rank uses the range-partition + offset
+    pattern (no single-partition window); bucket ids are exact integer
+    ceil(grank*k/n); the per-bucket rollup is k rows, and the final
+    cumulative window runs on those k rows only."""
+    ranked, n = _global_rank(
+        edges.select("doc_id_a", "doc_id_b", "jaccard"),
+        [F.col("jaccard").desc(), F.col("doc_id_a"), F.col("doc_id_b")],
+    )
+    total_matches = matches.count()
+    tagged = ranked.join(
+        matches.select("doc_id_a", "doc_id_b").withColumn("_m", F.lit(1)),
+        ["doc_id_a", "doc_id_b"],
+        "left",
+    ).select(
+        F.expr(f"(grank * {n_buckets} + {n} - 1) div {n}").alias("bucket"),
+        F.coalesce("_m", F.lit(0)).alias("is_match"),
+    )
+    per = tagged.groupBy("bucket").agg(
+        F.count("*").alias("pairs"), F.sum("is_match").alias("m")
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "bucket",
+        F.sum("pairs").over(wcum).alias("cum_pairs"),
+        F.sum("m").over(wcum).alias("cum_matches"),
+        F.round(
+            F.sum("m").over(wcum).cast("double") / F.lit(float(total_matches)), 6
+        ).alias("recall"),
+    )
 
 
 def block_graph_edges(keys: DataFrame) -> DataFrame:
