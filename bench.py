@@ -49,6 +49,9 @@ def _run_pipeline(spark, sf_dir: str, threshold: float = 0.85) -> dict:
         threshold=threshold,
         fused_scoring=os.environ.get("SPARK_GRAFT_FUSED", "0") == "1",
         banded_scoring=os.environ.get("SPARK_GRAFT_BANDED", "1") == "1",
+        # SPARK_GRAFT_CCPRE=0 disables the CC partition-local union-find
+        # pre-contraction for A/B runs (BENCH.md "CC pre-contraction")
+        cc_pre_contract=os.environ.get("SPARK_GRAFT_CCPRE", "1") == "1",
     )
 
     # Warm the Python/Arrow worker pool (one tiny pandas-UDF job) so the
