@@ -5091,6 +5091,35 @@ def snm_pairs_q(spark, sf_dir):
     return sorted_neighborhood_pairs(canon, window=5)
 
 
+# Adaptive sorted neighborhood (boundary-cut segments instead of a fixed
+# window): adjacent sort keys with normalized edit distance >= 1/2 start
+# a new segment; all within-segment pairs (sub-split every 50 rows) are
+# candidates. The boundary rule is integer cross-multiplied so both
+# engines cut the sorted sequence at identical rows.
+@_q(
+    "adaptive_snm_pairs",
+    f"WITH {flatdocs.CANON_CTE}, "
+    "ar AS (SELECT doc_id, doc_text AS snk, "
+    "  row_number() OVER (ORDER BY doc_text, doc_id) AS g "
+    "  FROM canon WHERE doc_text <> ''), "
+    "af AS (SELECT b.doc_id, b.g, CASE WHEN a.g IS NULL THEN 0 "
+    "  WHEN levenshtein(a.snk, b.snk) * 2 >= greatest(length(a.snk), length(b.snk)) * 1 "
+    "  THEN 1 ELSE 0 END AS flag FROM ar b LEFT JOIN ar a ON a.g = b.g - 1), "
+    "aseg AS (SELECT doc_id, g, "
+    "  sum(flag) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM af), "
+    "asub AS (SELECT doc_id, g, seg, "
+    "  (row_number() OVER (PARTITION BY seg ORDER BY g) - 1) // 50 AS sub FROM aseg) "
+    "SELECT least(a.doc_id, b.doc_id) AS doc_id_a, "
+    "greatest(a.doc_id, b.doc_id) AS doc_id_b "
+    "FROM asub a JOIN asub b ON a.seg = b.seg AND a.sub = b.sub AND b.g > a.g",
+)
+def adaptive_snm_pairs_q(spark, sf_dir):
+    from .operators.blocking import adaptive_snm_pairs
+
+    canon, _, _ = _er_frames(spark, sf_dir)
+    return adaptive_snm_pairs(canon, num=1, den=2, max_segment=50)
+
+
 # ---------------------------------------------------------------------------
 # Portable minhash estimator certification (r3 continuation): the LSH
 # dedup path estimates Jaccard from signature agreement; this query

@@ -180,6 +180,112 @@ def sorted_neighborhood_pairs(
     return pairs.distinct()
 
 
+def adaptive_snm_pairs(
+    canon: DataFrame,
+    num: int = 1,
+    den: int = 2,
+    max_segment: int = 50,
+    sort_key=None,
+) -> DataFrame:
+    """Adaptive sorted neighborhood (Yan et al., "Adaptive Sorted
+    Neighborhood Methods", 2007 — boundary-detection variant): instead of
+    a FIXED window over the sort order, cut the sorted sequence wherever
+    two ADJACENT sort keys are dissimilar, and emit all pairs within each
+    resulting segment. Dense duplicate runs become one segment regardless
+    of length (a fixed window would miss their far pairs); sparse regions
+    collapse to singleton segments (a fixed window would compare them
+    anyway).
+
+    Boundary rule, exact in integers on both engines: a new segment
+    starts at row b (sort-adjacent after a) iff
+    ``levenshtein(key_a, key_b) * den >= greatest(len_a, len_b) * num``
+    — normalized edit distance >= num/den. Oversized segments are
+    sub-split every ``max_segment`` rows (deterministic: row order within
+    a segment is the global sort order), bounding the quadratic pair mass
+    of any one segment exactly like max_block_size bounds hash blocks.
+
+    Scale shape: one global rank (range-partition + per-partition
+    row_number + tiny driver offsets — the sorted_neighborhood_pairs
+    machinery), one rank-adjacent equi-join for the boundary flags, one
+    ordered cumulative sum for segment ids (same range-partition trick:
+    per-partition cumsum + driver-side partition-total offsets; flags are
+    0/1 longs, nothing wide crosses a shuffle), one window by segment for
+    the sub-split, one (segment, sub) self-join for pairs. No
+    single-partition window anywhere."""
+    from pyspark.sql import Window as W
+
+    from .metablocking import _global_rank
+
+    key = sort_key if sort_key is not None else F.col("doc_text")
+    base = canon.select("doc_id", key.alias("snk")).where(
+        F.col("snk").isNotNull() & (F.col("snk") != "")
+    )
+    ranked, _n = _global_rank(base, [F.col("snk"), F.col("doc_id")])
+
+    prev = ranked.select(
+        (F.col("grank") + 1).alias("grank"),
+        F.col("snk").alias("snk_prev"),
+    )
+    flagged = ranked.join(prev, "grank", "left").select(
+        "doc_id",
+        "grank",
+        F.when(F.col("snk_prev").isNull(), F.lit(0))
+        .when(
+            F.levenshtein("snk_prev", "snk") * den
+            >= F.greatest(F.length("snk_prev"), F.length("snk")) * num,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("flag"),
+    )
+
+    # ordered cumulative sum of boundary flags -> segment id, without a
+    # single-partition window: range-partition on grank (keeps order),
+    # local cumsum per partition, then add the driver-side prefix totals
+    fr = flagged.repartitionByRange("grank").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    fr = fr.withColumn(
+        "lcum",
+        F.sum("flag").over(
+            W.partitionBy("pid").orderBy("grank").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    ).localCheckpoint(eager=True)  # pid/lcum pinned across the two reads
+    totals = sorted(
+        (r["pid"], r["s"])
+        for r in fr.groupBy("pid").agg(F.coalesce(F.sum("flag"), F.lit(0)).alias("s")).collect()
+    )
+    offs, acc = {}, 0
+    for pid, s in totals:
+        offs[pid] = acc
+        acc += s
+    off_df = fr.sparkSession.createDataFrame(
+        [(p, o) for p, o in offs.items()], "pid int, soff long"
+    )
+    seg = fr.join(F.broadcast(off_df), "pid").select(
+        "doc_id", "grank", (F.col("lcum") + F.col("soff")).alias("seg")
+    )
+
+    sub = seg.withColumn(
+        "sub",
+        F.expr(f"(row_number() OVER (PARTITION BY seg ORDER BY grank) - 1) div {max_segment}"),
+    )
+    a = sub.select(
+        F.col("doc_id").alias("ia"), "seg", "sub", F.col("grank").alias("ga")
+    )
+    b = sub.select(
+        F.col("doc_id").alias("ib"), "seg", "sub", F.col("grank").alias("gb")
+    )
+    return (
+        a.join(b, ["seg", "sub"])
+        .where(F.col("gb") > F.col("ga"))
+        .select(
+            F.least("ia", "ib").alias("doc_id_a"),
+            F.greatest("ia", "ib").alias("doc_id_b"),
+        )
+    )
+
+
 def salt_keys(
     keys: DataFrame,
     max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,

@@ -100,3 +100,88 @@ def test_suffix_blocking_frequency_cap(spark):
     keys = {r["block_key"] for r in keyed.collect()}
     assert "aaaa" not in keys  # 60 docs > cap
     assert "bbbb" in keys
+
+
+def _adaptive_oracle(rows, num=1, den=2, max_segment=50):
+    """Single-node reference for adaptive_snm_pairs: sort, cut at
+    dissimilar adjacent keys, sub-split, all within-segment pairs."""
+    try:
+        from rapidfuzz.distance import Levenshtein  # pragma: no cover
+
+        lev = Levenshtein.distance
+    except ImportError:
+        def lev(a, b):
+            m, n = len(a), len(b)
+            prev = list(range(n + 1))
+            for i in range(1, m + 1):
+                cur = [i] + [0] * n
+                for j in range(1, n + 1):
+                    cur[j] = min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (a[i - 1] != b[j - 1]),
+                    )
+                prev = cur
+            return prev[n]
+
+    rows = sorted(rows)  # (snk, doc_id)
+    segs, cur = [], []
+    for i, (k, d) in enumerate(rows):
+        if i == 0:
+            cur = [(k, d)]
+            continue
+        pk = rows[i - 1][0]
+        if lev(pk, k) * den >= max(len(pk), len(k)) * num:
+            segs.append(cur)
+            cur = [(k, d)]
+        else:
+            cur.append((k, d))
+    if cur:
+        segs.append(cur)
+    want = set()
+    for s in segs:
+        for start in range(0, len(s), max_segment):
+            chunk = s[start:start + max_segment]
+            for i in range(len(chunk)):
+                for j in range(i + 1, len(chunk)):
+                    a, b = sorted((chunk[i][1], chunk[j][1]))
+                    want.add((a, b))
+    return want
+
+
+def test_adaptive_snm_matches_single_node_oracle(spark, synth_corpus):
+    """Adaptive SNM vs a single-node boundary-cut oracle, including a
+    sub-split stress (max_segment=3 forces splits inside duplicate runs)
+    and a multi-partition run to cross partition seams in both the
+    global rank and the ordered cumulative sum."""
+    canon = _canon(synth_corpus)
+    rows = [
+        (r["doc_text"], r["doc_id"]) for r in canon.collect() if r["doc_text"]
+    ]
+    for max_seg in (50, 3):
+        want = _adaptive_oracle(rows, max_segment=max_seg)
+        got = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in blocking.adaptive_snm_pairs(
+                canon, max_segment=max_seg
+            ).collect()
+        }
+        assert got == want, f"max_segment={max_seg}"
+
+
+def test_adaptive_snm_dense_run_beats_fixed_window(spark):
+    """A run of 8 near-identical keys must form ONE segment (all 28
+    pairs), where window=5 SNM would miss the far pairs."""
+    docs = [(f"d{i}", f"acme corp {i % 2}", []) for i in range(8)]
+    docs += [("x1", "zzz totally different", []), ("x2", "qqq unrelated", [])]
+    canon = spark.createDataFrame(
+        docs, "doc_id string, doc_text string, media_refs array<string>"
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in blocking.adaptive_snm_pairs(canon).collect()
+    }
+    dense = {d for p in got for d in p if d.startswith("d")}
+    assert dense == {f"d{i}" for i in range(8)}
+    assert len([p for p in got if p[0].startswith("d")]) == 28
+    assert not any("x1" in p or "x2" in p for p in got)
