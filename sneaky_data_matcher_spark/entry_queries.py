@@ -160,6 +160,48 @@ def email_validate(spark, sf_dir):
     return df.select("c_custkey", "email", C.email_is_valid(F.col("email")).alias("is_valid"))
 
 
+# P4b — email rule with the DomainValidator TLD check (r4, VERDICT r3 #8):
+# EmailValidator.getInstance(true, true) validates the final domain label
+# against the compiled-in IANA TLD arrays; this query exercises the frozen
+# public snapshot (functions/tld.py) on: known gTLD, known ccTLD (incl.
+# uppercase — matching is case-insensitive), UNKNOWN TLD (rejected),
+# single-label hostname (allowLocal passes without a TLD), [IP] literal
+# (exempt), and a multi-label ccTLD chain (.co.uk).
+_EMAIL_TLD_EXPR_SQL = (
+    "CASE WHEN c_custkey % 6 = 0 THEN lower(replace(c_name, ' ', '.')) || '@example.com' "
+    "WHEN c_custkey % 6 = 1 THEN lower(replace(c_name, ' ', '.')) || '@example.zzzznotatld' "
+    "WHEN c_custkey % 6 = 2 THEN lower(replace(c_name, ' ', '.')) || '@example.co.uk' "
+    "WHEN c_custkey % 6 = 3 THEN lower(replace(c_name, ' ', '.')) || '@localhost' "
+    "WHEN c_custkey % 6 = 4 THEN lower(replace(c_name, ' ', '.')) || '@EXAMPLE.DE' "
+    "ELSE lower(replace(c_name, ' ', '.')) || '@[10.0.0.' || CAST(c_custkey % 256 AS VARCHAR) || ']' END"
+)
+
+
+@_q(
+    "email_validate_tld",
+    f"SELECT c_custkey, email, {C.email_is_valid_sql('email', check_tld=True)} AS is_valid "
+    f"FROM (SELECT c_custkey, {_EMAIL_TLD_EXPR_SQL} AS email FROM customer)",
+)
+def email_validate_tld(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    base = F.lower(F.regexp_replace("c_name", " ", "."))
+    k = F.col("c_custkey") % 6
+    email = (
+        F.when(k == 0, F.concat(base, F.lit("@example.com")))
+        .when(k == 1, F.concat(base, F.lit("@example.zzzznotatld")))
+        .when(k == 2, F.concat(base, F.lit("@example.co.uk")))
+        .when(k == 3, F.concat(base, F.lit("@localhost")))
+        .when(k == 4, F.concat(base, F.lit("@EXAMPLE.DE")))
+        .otherwise(F.concat(base, F.lit("@[10.0.0."),
+                            (F.col("c_custkey") % 256).cast("string"), F.lit("]")))
+    )
+    df = cust.select("c_custkey", email.alias("email"))
+    return df.select(
+        "c_custkey", "email",
+        C.email_is_valid(F.col("email"), check_tld=True).alias("is_valid"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # F1-F9 + L1 — the query mini-language over the long keys frame
 # ---------------------------------------------------------------------------
@@ -999,7 +1041,7 @@ def pack_chunks_q(spark, sf_dir):
     "x AS (SELECT doc_id, chunk_id, "
     "  least((chunk_id + 1) * 512, s + n) - greatest(chunk_id * 512, s) AS toks_in_chunk FROM e) "
     "SELECT chunk_id, COUNT(*) AS n_docs, SUM(toks_in_chunk) AS fill_tokens, "
-    "  round(CAST(SUM(toks_in_chunk) AS DOUBLE) / 512, 6) AS fill_ratio "
+    "  CAST(SUM(toks_in_chunk) AS DOUBLE) / 512 AS fill_ratio "
     "FROM x GROUP BY chunk_id",
 )
 def packing_stats_q(spark, sf_dir):
@@ -1062,7 +1104,7 @@ def chunk_overlapping_q(spark, sf_dir):
     "terms AS (SELECT d.doc_id, d.c, CAST(round(d.c * ln((cn.n + 1) / CAST(t.N + t.V AS DOUBLE)), 9) "
     "  AS DECIMAL(28,10)) AS term FROM dt d JOIN cnt cn USING (tok) CROSS JOIN tot t) "
     "SELECT doc_id, SUM(c) AS n_tokens, "
-    "  round(CAST(SUM(term) AS DOUBLE) / SUM(c), 6) AS mean_logprob "
+    "  CAST(SUM(term) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS mean_logprob "
     "FROM terms GROUP BY doc_id",
 )
 def lm_logprob_q(spark, sf_dir):
@@ -2282,7 +2324,9 @@ def block_filter_keys_q(spark, sf_dir):
     "pg_per AS (SELECT bucket, count(*) AS pairs, sum(is_match) AS m FROM pg_tg GROUP BY bucket) "
     "SELECT bucket, CAST(sum(pairs) OVER w AS BIGINT) AS cum_pairs, "
     "CAST(sum(m) OVER w AS BIGINT) AS cum_matches, "
-    "round(CAST(sum(m) OVER w AS DOUBLE) / (SELECT m FROM pg_nm), 6) AS recall "
+    "CASE WHEN (SELECT m FROM pg_nm) = 0 THEN 0.0 "
+    "  ELSE CAST(sum(m) OVER w AS DOUBLE) / CAST((SELECT m FROM pg_nm) AS DOUBLE) "
+    "END AS recall "
     "FROM pg_per WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
 )
 def progressive_recall_curve_q(spark, sf_dir):
@@ -3386,20 +3430,30 @@ def jsonl_roundtrip_q(spark, sf_dir):
     "WHERE lang = (SELECT min(lang) FROM documents)",
 )
 def orc_partitioned_roundtrip_q(spark, sf_dir):
-    import re as _re
+    # per-run unique dir (ADVICE r3): a fixed /tmp name derived from
+    # sf_dir races concurrent driver runs (mode=overwrite deletes files
+    # another run is mid-read on) and is squat-able on shared hosts.
+    import tempfile
 
-    tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
-    path = f"/tmp/smsp_orc{tag}"
+    path = tempfile.mkdtemp(prefix="smsp_orc_")
     d = _docs(spark, sf_dir)
     d.select("doc_id", "text", "lang", "source", "n_chars").write.mode(
         "overwrite"
     ).partitionBy("lang").orc(path)
     pick = d.agg(F.min("lang")).collect()[0][0]
-    return (
+    out = (
         spark.read.orc(path)
         .where(F.col("lang") == pick)
         .select("doc_id", "text", "source", "n_chars")
     )
+    # The scan (with directory-level partition pruning on lang=<pick>/)
+    # runs NOW; the eager checkpoint pins the result so the temp dir can
+    # be removed before the caller's later collect().
+    out = out.localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -92,7 +92,13 @@ from .pyoracle import (  # noqa: E402  (pattern constants, not functions)
 )
 
 
-def email_is_valid(col: Column) -> Column:
+def email_is_valid(col: Column, check_tld: bool = False) -> Column:
+    """``check_tld=True`` adds DomainValidator's final-label check against
+    the frozen public IANA snapshot (functions/tld.py), matching
+    ``EmailValidator.getInstance(true, true)`` semantics: multi-label
+    domains need a known TLD; single-label hostnames pass via allowLocal;
+    [IP] literals are exempt. Default stays structural (no TLD list),
+    the oracle-certified mode since r1."""
     # Greedy ^(.+)@ captures up to the LAST '@' (commons EMAIL_REGEX split).
     user = F.regexp_extract(col, r"^(.+)@", 1)
     domain = F.substring_index(col, "@", -1)
@@ -101,9 +107,18 @@ def email_is_valid(col: Column) -> Column:
     no_terminators = ~col.rlike(r"[\r\n]")
     split_ok = no_terminators & col.rlike(EMAIL_SPLIT_PATTERN) & ~col.endswith(".")
     user_ok = (F.length(user) <= 64) & user.rlike(EMAIL_USER_PATTERN)
+    sym_ok = (F.length(domain) <= 253) & domain.rlike(EMAIL_DOMAIN_PATTERN)
+    if check_tld:
+        from .tld import ALL_TLDS
+
+        last_label = F.lower(F.substring_index(domain, ".", -1))
+        # isin over the frozen list compiles to a native InSet — no UDF.
+        sym_ok = sym_ok & (
+            ~domain.contains(".") | last_label.isin(*sorted(ALL_TLDS))
+        )
     dom_ok = (
         F.when(domain.startswith("["), domain.rlike(EMAIL_IP_DOMAIN_PATTERN))
-        .otherwise((F.length(domain) <= 253) & domain.rlike(EMAIL_DOMAIN_PATTERN))
+        .otherwise(sym_ok)
     )
     return split_ok & user_ok & dom_ok
 
@@ -160,11 +175,12 @@ def phone_rule_sql(expr: str) -> str:
     return f"CASE WHEN length({only}) < 5 THEN '' ELSE {only} END"
 
 
-def email_is_valid_sql(expr: str) -> str:
+def email_is_valid_sql(expr: str, check_tld: bool = False) -> str:
     """DuckDB twin of email_is_valid — same shared pattern strings.
 
     regexp_matches is partial-match (RE2 PartialMatch); every pattern is
-    ^..$-anchored so semantics equal rlike/re.match here.
+    ^..$-anchored so semantics equal rlike/re.match here. ``check_tld``
+    mirrors the Spark/pyoracle flag via the same frozen snapshot.
     """
     user = f"regexp_extract({expr}, '^(.+)@', 1)"
     dom = f"regexp_extract({expr}, '@([^@]*)$', 1)"
@@ -172,12 +188,21 @@ def email_is_valid_sql(expr: str) -> str:
     user_p = EMAIL_USER_PATTERN.replace("'", "''")
     dom_p = EMAIL_DOMAIN_PATTERN.replace("'", "''")
     ip_p = EMAIL_IP_DOMAIN_PATTERN.replace("'", "''")
+    sym_ok = f"length({dom}) <= 253 AND regexp_matches({dom}, '{dom_p}')"
+    if check_tld:
+        from .tld import tld_sql_in_list
+
+        last = f"lower(regexp_extract({dom}, '([^.]*)$', 1))"
+        sym_ok = (
+            f"{sym_ok} AND (NOT contains({dom}, '.')"
+            f" OR {last} IN {tld_sql_in_list()})"
+        )
     return (
         f"(NOT regexp_matches({expr}, '[\\r\\n]')"
         f" AND regexp_matches({expr}, '{split_p}') AND NOT suffix({expr}, '.')"
         f" AND length({user}) <= 64 AND regexp_matches({user}, '{user_p}')"
         f" AND CASE WHEN prefix({dom}, '[') THEN regexp_matches({dom}, '{ip_p}')"
-        f" ELSE length({dom}) <= 253 AND regexp_matches({dom}, '{dom_p}') END)"
+        f" ELSE {sym_ok} END)"
     )
 
 

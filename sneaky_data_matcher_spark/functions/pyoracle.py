@@ -133,7 +133,7 @@ EMAIL_IP_DOMAIN_RE = re.compile(EMAIL_IP_DOMAIN_PATTERN)
 EMAIL_SPLIT_RE = re.compile(EMAIL_SPLIT_PATTERN)
 
 
-def email_is_valid(s: str) -> bool:
+def email_is_valid(s: str, check_tld: bool = False) -> bool:
     # Line-terminator guard (shared across all three twins): Python/Java
     # regex let $ match BEFORE a final \n while RE2 does not, and Java
     # matches() requires the full region anyway — commons-validator rejects
@@ -149,7 +149,15 @@ def email_is_valid(s: str) -> bool:
         return False
     if domain.startswith("["):
         return EMAIL_IP_DOMAIN_RE.match(domain) is not None
-    return len(domain) <= 253 and EMAIL_DOMAIN_RE.match(domain) is not None
+    if len(domain) > 253 or EMAIL_DOMAIN_RE.match(domain) is None:
+        return False
+    if check_tld and "." in domain:
+        # DomainValidator final-label check against the frozen public IANA
+        # snapshot (functions/tld.py); single-label hosts pass (allowLocal).
+        from .tld import is_known_tld
+
+        return is_known_tld(domain.rsplit(".", 1)[-1])
+    return True
 
 
 def email_rule(result: str) -> str:

@@ -117,6 +117,13 @@ def _contract_partitions(edges: DataFrame) -> DataFrame:
         codes, uniques = pd.factorize(pd.concat([u, v], ignore_index=True))
         n = len(uniques)
         cu, cv = codes[: len(u)], codes[len(u):]
+        # factorize maps nulls to code -1, which would silently index
+        # parent[-1] (the LAST unique) and merge unrelated components.
+        # A null endpoint edge is meaningless; drop the edge — exactly
+        # what the join-based CC path does implicitly (ADVICE r3).
+        ok = (cu >= 0) & (cv >= 0)
+        if not ok.all():
+            cu, cv = cu[ok], cv[ok]
         parent = np.arange(n, dtype=np.int64)
 
         def find(x: int) -> int:

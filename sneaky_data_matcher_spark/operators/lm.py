@@ -13,8 +13,9 @@ collected to the driver.
 
 Determinism: each doc-token term c·ln(p) is computed in doubles (identical
 left-to-right arithmetic in any engine), rounded to 9 decimals, and summed
-as DECIMAL — order-independent exact addition — then the mean is rounded to
-6. Same stability trick as events_windowed's decimal sums.
+as DECIMAL — order-independent exact addition — then the mean is the
+UNROUNDED double quotient of two exactly-representable operands. Same
+stability trick as events_windowed's decimal sums.
 """
 
 from __future__ import annotations
@@ -74,9 +75,13 @@ def unigram_logprob_scores(
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_tokens"),
-            # cast the exact decimal sum to double BEFORE dividing so both
-            # engines perform the same double/long division
-            F.round(F.sum("term").cast("double") / F.sum("c"), 6).alias("mean_logprob"),
+            # cast the exact decimal sum to double BEFORE dividing, and do
+            # NOT round the quotient: the decimal sum's scaled integer and
+            # the token count are both < 2^53, so decimal->double conversion
+            # and the single IEEE division are bit-identical in any engine.
+            # A fixed-decimal round of the quotient is what broke parity in
+            # r3 (HALF_UP vs half-even on exact 6dp ties — VERDICT r3 #2).
+            (F.sum("term").cast("double") / F.sum("c").cast("double")).alias("mean_logprob"),
         )
     )
 

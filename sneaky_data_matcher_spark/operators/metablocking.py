@@ -141,7 +141,12 @@ def progressive_decile_recall(
         edges.select("doc_id_a", "doc_id_b", "jaccard"),
         [F.col("jaccard").desc(), F.col("doc_id_a"), F.col("doc_id_b")],
     )
-    total_matches = matches.count()
+    # denominator rides along lazily as a broadcast one-row aggregate
+    # (same pattern as wep_prune) instead of an eager matches.count() at
+    # plan-build time; recall is 0.0 when the match set is empty on BOTH
+    # engines (Spark NULL vs DuckDB inf otherwise — ADVICE r3), and the
+    # quotient is UNROUNDED (single IEEE division of exact longs).
+    nm = matches.agg(F.count("*").alias("total_matches"))
     tagged = ranked.join(
         matches.select("doc_id_a", "doc_id_b").withColumn("_m", F.lit(1)),
         ["doc_id_a", "doc_id_b"],
@@ -154,13 +159,16 @@ def progressive_decile_recall(
         F.count("*").alias("pairs"), F.sum("is_match").alias("m")
     )
     wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    return per.select(
+    return per.crossJoin(F.broadcast(nm)).select(
         "bucket",
         F.sum("pairs").over(wcum).alias("cum_pairs"),
         F.sum("m").over(wcum).alias("cum_matches"),
-        F.round(
-            F.sum("m").over(wcum).cast("double") / F.lit(float(total_matches)), 6
-        ).alias("recall"),
+        F.when(F.col("total_matches") == 0, F.lit(0.0))
+        .otherwise(
+            F.sum("m").over(wcum).cast("double")
+            / F.col("total_matches").cast("double")
+        )
+        .alias("recall"),
     )
 
 

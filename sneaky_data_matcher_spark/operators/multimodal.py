@@ -641,6 +641,49 @@ def _fake_decode(payload: bytes, kind: str) -> list[float]:
     return [round(a / 100003.0, 6) for a in acc]
 
 
+try:  # optional real-codec seam (VERDICT r3 #6): Pillow if the deploy
+    # environment ships it; this sandbox does not, and nothing here
+    # requires it — the stdlib WAV/BMP/PNG/AVI decoders stay primary.
+    from PIL import Image as _PILImage  # type: ignore
+except Exception:  # pragma: no cover — absent in the sandbox
+    _PILImage = None
+
+# magics Pillow can decode that the stdlib decoders above cannot
+_PIL_MAGICS = (b"\xff\xd8\xff",)  # JPEG/JFIF
+
+
+def _decode_image_via_pillow(payload: bytes) -> list[float]:
+    """Featurize a compressed image (JPEG, …) through Pillow into the SAME
+    17-dim vector as _decode_bmp — dims, channel means, luminance
+    mean/extremes, 8-bin luminance histogram, all with the identical
+    integer luma formula — so downstream consumers (pHash near-dup, ANN
+    over features) are codec-agnostic."""
+    import io as _io
+
+    img = _PILImage.open(_io.BytesIO(payload)).convert("RGB")
+    w, h = img.size
+    rs = gs = bs = 0
+    lums: list[int] = []
+    for r, g, b in img.getdata():  # top-down pixel order, same as BMP path
+        rs, gs, bs = rs + r, gs + g, bs + b
+        lums.append((r * 299 + g * 587 + b * 114) // 1000)
+    npx = w * h
+    hist = [0] * 8
+    for lum in lums:
+        hist[lum * 8 // 256] += 1
+    feats = [
+        w / 1024.0,
+        h / 1024.0,
+        rs / npx / 255.0,
+        gs / npx / 255.0,
+        bs / npx / 255.0,
+        sum(lums) / npx / 255.0,
+        max(lums) / 255.0,
+        min(lums) / 255.0,
+    ] + [c / npx for c in hist]
+    return [_q6(f) for f in feats]
+
+
 def _decode_one(payload: bytes, kind: str, strict: bool) -> list[float]:
     """Dispatch on payload magic: real WAV/BMP decoders when the bytes are
     genuinely decodable, `_fake_decode` otherwise. strict=True raises only
@@ -656,17 +699,24 @@ def _decode_one(payload: bytes, kind: str, strict: bool) -> list[float]:
                 return _decode_bmp(payload)
             if payload[:8] == b"\x89PNG\r\n\x1a\n":
                 return _decode_png(payload)
-        except (ValueError, IndexError, struct.error, zlib.error):
+            if _PILImage is not None and any(
+                payload[: len(m)] == m for m in _PIL_MAGICS
+            ):
+                return _decode_image_via_pillow(payload)
+        except (ValueError, IndexError, struct.error, zlib.error, OSError):
             # opaque pseudo-bytes can collide with a magic prefix (e.g. a
             # 16-byte sha2 payload starting 0x42 0x4D); a failed header
-            # parse is "not decodable", not an error — fall through
+            # parse is "not decodable", not an error — fall through.
+            # OSError covers Pillow's UnidentifiedImageError on truncated
+            # JPEG bytes (stdlib decoders never raise it from bytes).
             if strict:
                 raise
     if strict:
         raise NotImplementedError(
             f"no decoder for kind={kind!r} payload (WAV/PCM-16, 24-bit "
             "BMP, 8-bit RGB PNG, and uncompressed RIFF/AVI decode "
-            "natively; mp3/jpeg/h264 need codec libs — the marked seam)"
+            "natively; JPEG decodes when Pillow is installed — absent "
+            "here; mp3/h264 need codec libs — the marked seam)"
         )
     return _fake_decode(payload, kind)
 

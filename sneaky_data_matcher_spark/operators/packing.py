@@ -111,10 +111,16 @@ def pack_chunks(
 def packing_stats(chunks: DataFrame, cap: int) -> DataFrame:
     """Per-chunk packing diagnostics over a pack_chunks frame: docs per
     chunk, fill tokens, and fill ratio. One hash-agg, map-side combinable."""
+    # fill_ratio is deliberately UNROUNDED: fill_tokens and cap are exact
+    # integers < 2^53, so the single IEEE double division is bit-identical
+    # in any engine (and exact when cap is a power of two). Rounding to a
+    # fixed decimal place is what breaks cross-engine parity — HALF_UP
+    # (Spark BigDecimal) vs round-half-even (C double) disagree on exact
+    # ties like k/512 landing on a 7th-digit 5 (VERDICT r3 #1).
     return chunks.groupBy("chunk_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("toks_in_chunk").alias("fill_tokens"),
-        F.round(F.sum("toks_in_chunk") / cap, 6).alias("fill_ratio"),
+        (F.sum("toks_in_chunk").cast("double") / F.lit(float(cap))).alias("fill_ratio"),
     )
 
 

@@ -116,7 +116,9 @@ def score_pairs_fused(
     The cheap terms (token jaccard + media agreement) bound the full
     score from above by cheap + w_jw + w_lev; any pair whose bound is
     below the threshold (minus a 1e-9 ulp guard) cannot match, so the
-    edit-distance kernels are skipped for it via a short-circuiting CASE.
+    edit-distance work is skipped for it: the native levenshtein via a
+    short-circuiting CASE, the extracted Arrow jw kernel via NULL-masked
+    arguments (ArrowEvalPython runs for every row; see inline comment).
     89% of candidate pairs prune at threshold 0.85 -> the stage runs 3.7x
     faster with a PROVABLY identical match set and identical clusters
     (pytest-asserted).
@@ -159,11 +161,22 @@ def score_pairs_fused(
     # pruning strictly conservative against float-order ulp noise, so the
     # match set is bit-identical to full evaluation
     prunable = cheap + F.lit(w["jw"] + w["lev"]) < F.lit(band_threshold - 1e-9)
-    # ONE CASE branch evaluating both kernels only on survivors (codegen
-    # short-circuits per row); splitting jw/lev into separate whens would
-    # re-evaluate the prune predicate but not the kernels — keep it fused
+    # The two kernels are skipped differently (verified in the formatted
+    # plan — PLANS.md "banded scoring"):
+    #   - levenshtein is a native codegen expression, so the CASE below
+    #     genuinely short-circuits it per pruned row;
+    #   - jaro_winkler is a pandas UDF: Catalyst EXTRACTS it into an
+    #     ArrowEvalPython node that runs for EVERY row regardless of the
+    #     CASE (conditional short-circuit does not reach extracted UDFs).
+    #     So the UDF's *arguments* are masked to NULL on pruned rows —
+    #     the batch kernel fillna's them to "" and jw("","") is O(1), so
+    #     the edit-distance work is skipped there too, in one pass with
+    #     no filter-split/union re-shuffle.
+    jw_masked = jaro_winkler(
+        F.when(~prunable, F.col("pfx_a")), F.when(~prunable, F.col("pfx_b"))
+    )
     return base.withColumn(
-        "jw", F.when(~prunable, jw_c)
+        "jw", F.when(~prunable, jw_masked)
     ).withColumn(
         "lev_ratio", F.when(~prunable, lev_c)
     ).select(

@@ -133,6 +133,47 @@ def test_email_three_way_agreement(spark):
     assert spark_got == py_got == duck_got
 
 
+# DomainValidator TLD-mode cases (r4, VERDICT r3 #8): expected verdicts per
+# EmailValidator.getInstance(true, true) semantics over the frozen snapshot.
+EMAIL_TLD_CASES = [
+    ("user@example.com", True),          # known gTLD
+    ("user@example.de", True),           # known ccTLD
+    ("user@EXAMPLE.CO.UK", True),        # case-insensitive, multi-label cc
+    ("user@example.app", True),          # new-gTLD in snapshot
+    ("user@example.zzzznotatld", False), # structurally fine, unknown TLD
+    ("user@example.notreal", False),
+    ("user@localhost", True),            # single label -> allowLocal
+    ("user@[192.168.0.1]", True),        # IP literal exempt from TLD check
+    ("user@example.arpa", True),         # infrastructure TLD
+    ("user@bad_label.com", False),       # structural failure still rejects
+]
+
+
+def test_email_tld_three_way_agreement(spark):
+    """check_tld=True: Spark InSet, DuckDB IN-list, pyoracle set — all on
+    the same frozen snapshot — must agree, and match the expected
+    commons-validator(true,true) verdicts."""
+    import duckdb
+
+    cases = [v for v, _ in EMAIL_TLD_CASES]
+    df = spark.createDataFrame([(v,) for v in cases], "v string")
+    spark_got = [
+        bool(r["ok"])
+        for r in df.select(
+            C.email_is_valid(F.col("v"), check_tld=True).alias("ok")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    sql = C.email_is_valid_sql("s", check_tld=True)
+    duck_got = [
+        bool(con.sql(f"SELECT {sql} AS v FROM (SELECT ? AS s)", params=[v]).fetchone()[0])
+        for v in cases
+    ]
+    py_got = [O.email_is_valid(v, check_tld=True) for v in cases]
+    assert spark_got == py_got == duck_got
+    assert py_got == [e for _, e in EMAIL_TLD_CASES]
+
+
 @given(st.lists(st.text(
     # printable ASCII plus \t\n\r: line terminators are exactly where
     # Python-$ vs RE2-$ semantics diverge (ADVICE r2) — keep them in the

@@ -349,3 +349,41 @@ def test_audio_fingerprint_near_dup(spark):
         ).collect()
     }
     assert ("a", "a2") in pairs
+
+
+# ---------------------------------------------------------------------------
+# Optional Pillow JPEG seam (r4, VERDICT r3 #6)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_without_pillow_falls_through():
+    """In this sandbox Pillow is absent: a JPEG-magic payload must hit the
+    documented seam — strict raises NotImplementedError, non-strict gets
+    the deterministic fake features. (If Pillow IS installed the payload
+    is truncated garbage, so strict still raises — via the decode error.)"""
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    feats = M._decode_one(jpeg_ish, "image", strict=False)
+    assert len(feats) == M._FEAT_DIM
+    with pytest.raises((NotImplementedError, OSError, ValueError)):
+        M._decode_one(jpeg_ish, "image", strict=True)
+
+
+@pytest.mark.skipif(
+    M._PILImage is None, reason="Pillow not installed (expected in sandbox)"
+)
+def test_jpeg_decode_via_pillow_matches_bmp_feature_shape():
+    """With Pillow present, a real JPEG decodes into the SAME 17-dim
+    feature layout as the stdlib BMP path; on a solid-color image (JPEG
+    round-trips solids near-losslessly) the channel means agree with the
+    known color to within quantization tolerance."""
+    import io as _io
+
+    img = M._PILImage.new("RGB", (16, 8), (200, 100, 50))
+    buf = _io.BytesIO()
+    img.save(buf, format="JPEG", quality=95)
+    feats = M._decode_one(buf.getvalue(), "image", strict=True)
+    assert len(feats) == M._FEAT_DIM
+    w, h = feats[0] * 1024.0, feats[1] * 1024.0
+    assert (round(w), round(h)) == (16, 8)
+    for got, want in zip(feats[2:5], (200 / 255, 100 / 255, 50 / 255)):
+        assert abs(got - want) < 0.03

@@ -2,8 +2,11 @@
 
 Runs every __spark_entry__.queries() entry at sf0.01 and compares against
 its oracle_sql() twin in DuckDB: row count, column names, and an
-order-insensitive value hash over columns sorted by name (floats first
-rounded to 9 significant-ish decimals to mirror stable hashing).
+order-insensitive value hash over columns sorted by name. Floats are
+hashed at FULL precision (repr of the exact double) — strictly at least
+as strict as any driver-side hash, so local green implies driver green.
+(r3 lesson: a 9-decimal pre-round here let two tie-rounding bugs through
+the local gate that the driver then failed — VERDICT r3 "What's wrong".)
 
 Usage: python tools/oracle_check.py [name ...]
 """
@@ -31,7 +34,7 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return repr(round(v, 9))
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
@@ -63,13 +66,16 @@ def main(only: list[str]) -> int:
     qs, osql = E.queries(), E.oracle_sql()
     names = only or list(qs)
     failures = 0
+    import time as _time
     for name in names:
+        t0 = _time.perf_counter()
         try:
             sdf = qs[name](spark, SF_DIR)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
             if name not in osql:
-                print(f"{name:28s} rows={len(srows):6d}  (rows-only, no oracle)")
+                dt = _time.perf_counter() - t0
+                print(f"{name:28s} rows={len(srows):6d}  (rows-only, no oracle)  t={dt:.1f}s")
                 continue
             odf = con.sql(osql[name])
             ocols = list(odf.columns)
@@ -91,11 +97,12 @@ def main(only: list[str]) -> int:
                         print("   spark-only:", x[:160])
                     for x in list(oo - ss)[:3]:
                         print("   duck-only: ", x[:160])
+            dt = _time.perf_counter() - t0
             if problems:
                 failures += 1
-                print(f"{name:28s} FAIL  {'; '.join(problems)}")
+                print(f"{name:28s} FAIL  {'; '.join(problems)}  t={dt:.1f}s")
             else:
-                print(f"{name:28s} OK    rows={len(srows)}")
+                print(f"{name:28s} OK    rows={len(srows)}  t={dt:.1f}s")
         except Exception as exc:  # noqa: BLE001
             failures += 1
             print(f"{name:28s} ERROR {type(exc).__name__}: {exc}")
