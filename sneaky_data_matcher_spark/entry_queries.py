@@ -3456,6 +3456,58 @@ def orc_partitioned_roundtrip_q(spark, sf_dir):
     return out
 
 
+# S1 driver-level certification (r4): database-unload CSV dialect round
+# trip. Synthesizes a MySQL-style TSV (tab separator, backslash escapes,
+# \N null marker, cells salted with embedded tabs/backslashes) from the
+# customer table ENTIRELY with native expressions, writes it as text,
+# re-ingests it through sniff_csv_format + read_csv_auto's backslash
+# path (sources/csvio.py _read_backslash_csv), and returns the parsed
+# frame. The oracle recomputes the same synthesis directly from customer
+# — so a sniff error, an escape bug, or a null-marker miss all surface
+# as value mismatches. (CsvUtil.java:120-122 MYSQL/POSTGRESQL_TEXT.)
+_CSV_SALT_SQL = (
+    "CASE WHEN c_custkey % 4 = 0 THEN NULL "
+    "WHEN c_custkey % 4 = 1 THEN c_name || ' a\tb' "
+    "WHEN c_custkey % 4 = 2 THEN c_name || ' x\\y' "
+    "ELSE c_name END"
+)
+
+
+@_q(
+    "csv_unload_roundtrip",
+    "SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, "
+    f"{_CSV_SALT_SQL} AS name FROM customer",
+)
+def csv_unload_roundtrip_q(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from .sources.csvio import read_csv_auto
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey") % 4
+    salted = (
+        F.when(k == 0, F.lit(None).cast("string"))
+        .when(k == 1, F.concat(F.col("c_name"), F.lit(" a\tb")))
+        .when(k == 2, F.concat(F.col("c_name"), F.lit(" x\\y")))
+        .otherwise(F.col("c_name"))
+    )
+    esc = F.regexp_replace(salted, r"([\\\t])", r"\\$1")
+    line = F.concat_ws(
+        "\t", F.col("c_custkey").cast("string"), F.coalesce(esc, F.lit("\\N"))
+    )
+    path = tempfile.mkdtemp(prefix="smsp_csvrt_")
+    header = spark.createDataFrame([("c_custkey\tname",)], "value string")
+    # coalesce(1): header must be line 1 of the single written file (the
+    # reader takes the first text line as the header; tiny parity fixture)
+    header.unionAll(cust.select(line.alias("value"))).coalesce(1).write.mode(
+        "overwrite"
+    ).text(path)
+    out = read_csv_auto(spark, path).localCheckpoint(eager=True)
+    shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Edit-distance join (r3, operators/editjoin.py): all customer-name pairs
 # within levenshtein <= 2 (names differ in digit positions — a dense,

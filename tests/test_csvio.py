@@ -153,3 +153,70 @@ def test_escape_roundtrip_property(spark, tmp_path):
     csvio.export_csv(wide, out)
     back = csvio.read_csv_auto(spark, out + "/*.csv")
     assert {tuple(r) for r in back.collect()} == set(data)
+
+
+def test_mysql_unload_null_marker(spark, tmp_path):
+    r"""MYSQL / POSTGRESQL_TEXT unload dialect (CsvUtil.java:120-122):
+    tab-separated, backslash escapes, \N means SQL NULL. The sniffer must
+    map \N cells to real nulls, not the two-character string."""
+    p = _write(
+        str(tmp_path / "f.tsv"),
+        "id\tname\tcity\n1\talice\t\\N\n2\t\\N\tparis\n3\tbob\tlyon\n",
+    )
+    fmt = csvio.sniff_csv_format(spark, p)
+    assert fmt["sep"] == "\t" and fmt["nullValue"] == "\\N"
+    df = csvio.read_csv_auto(spark, p)
+    rows = {r["id"]: (r["name"], r["city"]) for r in df.collect()}
+    assert rows["1"] == ("alice", None)
+    assert rows["2"] == (None, "paris")
+    assert rows["3"] == ("bob", "lyon")
+
+
+def test_literal_backslash_n_without_backslash_dialect_stays_string(spark, tmp_path):
+    """No-backslash-evidence files never get the null mapping: a comma
+    file whose cells happen to contain the text \\N keeps it as data...
+    (evidence-gated — plain files keep exact byte semantics)."""
+    p = _write(
+        str(tmp_path / "f.csv"),
+        "id,name\n1,alice\n2,bob\n",
+    )
+    fmt = csvio.sniff_csv_format(spark, p)
+    assert "nullValue" not in fmt
+
+
+def test_tdf_padded_cells_trimmed(spark, tmp_path):
+    """TDF dialect (ignore surrounding spaces): padded tab cells trim on
+    read when the sample shows padding."""
+    p = _write(
+        str(tmp_path / "f.tsv"),
+        "id\tname\n1\t alice \n2\t bob\n",
+    )
+    fmt = csvio.sniff_csv_format(spark, p)
+    assert fmt["ignoreSpaces"] is True
+    df = csvio.read_csv_auto(spark, p)
+    got = {r["id"]: r["name"] for r in df.collect()}
+    assert got == {"1": "alice", "2": "bob"}
+
+
+def test_informix_pipe_backslash(spark, tmp_path):
+    r"""INFORMIX_UNLOAD: pipe-separated with backslash escapes. The
+    sniffer detects the dialect from unquoted escape evidence; cell-level
+    unescaping is exercised through quoted cells (Spark's univocity
+    parser applies the escape char inside quotes — a bare unquoted ``\|``
+    is a documented reader limitation, same note as COVERAGE.md S1)."""
+    # row 2's UNQUOTED escaped pipe is the dialect evidence: under the
+    # RFC candidate it splits into 4 columns (inconsistent with the
+    # 3-column header) so only the backslash dialect parses the sample
+    # consistently — exactly how the reference's variant sweep lands on
+    # INFORMIX_UNLOAD. Cell-level unescape is asserted on the QUOTED
+    # row 1; row 2's unquoted form is the documented univocity
+    # limitation (escape applies inside quotes).
+    p = _write(
+        str(tmp_path / "f.unl"),
+        'id|name|notes\n1|alice|"pipe \\| inside"\n2|bob|plain \\| path\n',
+    )
+    fmt = csvio.sniff_csv_format(spark, p)
+    assert fmt["sep"] == "|" and fmt["escape"] == "\\"
+    df = csvio.read_csv_auto(spark, p)
+    got = {r["id"]: r["notes"] for r in df.collect()}
+    assert got["1"] == "pipe | inside"
