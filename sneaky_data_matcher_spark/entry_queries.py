@@ -165,14 +165,17 @@ def email_validate(spark, sf_dir):
 # against the compiled-in IANA TLD arrays; this query exercises the frozen
 # public snapshot (functions/tld.py) on: known gTLD, known ccTLD (incl.
 # uppercase — matching is case-insensitive), UNKNOWN TLD (rejected),
-# single-label hostname (allowLocal passes without a TLD), [IP] literal
-# (exempt), and a multi-label ccTLD chain (.co.uk).
+# single-label hostname (allowLocal passes without a TLD), [IPv4] and
+# [IPv6] literals (exempt — valid and malformed-compression cases), and
+# a multi-label ccTLD chain (.co.uk).
 _EMAIL_TLD_EXPR_SQL = (
-    "CASE WHEN c_custkey % 6 = 0 THEN lower(replace(c_name, ' ', '.')) || '@example.com' "
-    "WHEN c_custkey % 6 = 1 THEN lower(replace(c_name, ' ', '.')) || '@example.zzzznotatld' "
-    "WHEN c_custkey % 6 = 2 THEN lower(replace(c_name, ' ', '.')) || '@example.co.uk' "
-    "WHEN c_custkey % 6 = 3 THEN lower(replace(c_name, ' ', '.')) || '@localhost' "
-    "WHEN c_custkey % 6 = 4 THEN lower(replace(c_name, ' ', '.')) || '@EXAMPLE.DE' "
+    "CASE WHEN c_custkey % 8 = 0 THEN lower(replace(c_name, ' ', '.')) || '@example.com' "
+    "WHEN c_custkey % 8 = 1 THEN lower(replace(c_name, ' ', '.')) || '@example.zzzznotatld' "
+    "WHEN c_custkey % 8 = 2 THEN lower(replace(c_name, ' ', '.')) || '@example.co.uk' "
+    "WHEN c_custkey % 8 = 3 THEN lower(replace(c_name, ' ', '.')) || '@localhost' "
+    "WHEN c_custkey % 8 = 4 THEN lower(replace(c_name, ' ', '.')) || '@EXAMPLE.DE' "
+    "WHEN c_custkey % 8 = 5 THEN lower(replace(c_name, ' ', '.')) || '@[2001:db8::' || CAST(c_custkey % 9 + 1 AS VARCHAR) || ']' "
+    "WHEN c_custkey % 8 = 6 THEN lower(replace(c_name, ' ', '.')) || '@[1::2::' || CAST(c_custkey % 9 + 1 AS VARCHAR) || ']' "
     "ELSE lower(replace(c_name, ' ', '.')) || '@[10.0.0.' || CAST(c_custkey % 256 AS VARCHAR) || ']' END"
 )
 
@@ -185,13 +188,17 @@ _EMAIL_TLD_EXPR_SQL = (
 def email_validate_tld(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     base = F.lower(F.regexp_replace("c_name", " ", "."))
-    k = F.col("c_custkey") % 6
+    k = F.col("c_custkey") % 8
     email = (
         F.when(k == 0, F.concat(base, F.lit("@example.com")))
         .when(k == 1, F.concat(base, F.lit("@example.zzzznotatld")))
         .when(k == 2, F.concat(base, F.lit("@example.co.uk")))
         .when(k == 3, F.concat(base, F.lit("@localhost")))
         .when(k == 4, F.concat(base, F.lit("@EXAMPLE.DE")))
+        .when(k == 5, F.concat(base, F.lit("@[2001:db8::"),
+                               (F.col("c_custkey") % 9 + 1).cast("string"), F.lit("]")))
+        .when(k == 6, F.concat(base, F.lit("@[1::2::"),
+                               (F.col("c_custkey") % 9 + 1).cast("string"), F.lit("]")))
         .otherwise(F.concat(base, F.lit("@[10.0.0."),
                             (F.col("c_custkey") % 256).cast("string"), F.lit("]")))
     )

@@ -111,9 +111,14 @@ def phone_rule(result: str) -> str:
 #     <= 253 chars: (label.)+toplabel with alpha-leading toplabel, or a
 #     single alnum label (allowLocal hostname)
 # Remaining deltas (documented, not load-bearing for the blocking key):
-# no IANA TLD-list membership check (commons rejects user@foo.notarealtld;
-# we accept any alpha-leading top label), no IDN punycoding (non-ASCII
-# domains rejected here), no bracketed IPv6 literals (rejected here).
+# the IANA TLD-list membership check is opt-in (check_tld=True, frozen
+# snapshot in functions/tld.py — r4); no IDN punycoding (non-ASCII
+# domains rejected here). Bracketed IP literals cover IPv4 AND (r4)
+# structural IPv6 — commons' EmailValidator strips the brackets and runs
+# InetAddressValidator.isValid, which accepts bare "[2001:db8::1]" (no
+# RFC-5321 "IPv6:" tag); the IPv6 grammar below covers full, ::-
+# compressed, and IPv4-embedded forms with alternation-only constructs
+# that Java regex, RE2, and Python re parse identically.
 # Whitespace/control classes are pinned to explicit ASCII ranges so the
 # Spark (Java regex), DuckDB (RE2), and Python twins agree byte-for-byte.
 # Raw pattern strings are shared verbatim with the Spark (Java regex) and
@@ -124,7 +129,23 @@ _EMAIL_LABEL = r"[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
 _EMAIL_TOP_LABEL = r"[A-Za-z](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
 EMAIL_DOMAIN_PATTERN = rf"^(?:{_EMAIL_LABEL}\.)+{_EMAIL_TOP_LABEL}$|^{_EMAIL_LABEL}$"
 _IPV4_OCTET = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
-EMAIL_IP_DOMAIN_PATTERN = rf"^\[{_IPV4_OCTET}(?:\.{_IPV4_OCTET}){{3}}\]$"
+_IPV4 = rf"{_IPV4_OCTET}(?:\.{_IPV4_OCTET}){{3}}"
+_H16 = r"[0-9A-Fa-f]{1,4}"
+_IPV6 = (
+    rf"(?:(?:{_H16}:){{7}}{_H16}"          # full 8-group form
+    rf"|(?:{_H16}:){{1,7}}:"               # trailing ::
+    rf"|(?:{_H16}:){{1,6}}:{_H16}"         # h::h
+    rf"|(?:{_H16}:){{1,5}}(?::{_H16}){{1,2}}"
+    rf"|(?:{_H16}:){{1,4}}(?::{_H16}){{1,3}}"
+    rf"|(?:{_H16}:){{1,3}}(?::{_H16}){{1,4}}"
+    rf"|(?:{_H16}:){{1,2}}(?::{_H16}){{1,5}}"
+    rf"|{_H16}:(?::{_H16}){{1,6}}"
+    rf"|:(?:(?::{_H16}){{1,7}}|:)"         # leading :: (incl. bare ::)
+    rf"|(?:{_H16}:){{6}}{_IPV4}"           # full form, IPv4 tail
+    rf"|(?:{_H16}:){{1,4}}:{_IPV4}"        # compressed, IPv4 tail
+    rf"|::(?:[Ff]{{4}}(?::0{{1,4}})?:)?{_IPV4})"  # ::ffff:a.b.c.d mapped
+)
+EMAIL_IP_DOMAIN_PATTERN = rf"^\[(?:{_IPV4}|{_IPV6})\]$"
 # ^(.+)@(\S+)$ with Java-\s as explicit ASCII class; greedy (.+) -> last @.
 EMAIL_SPLIT_PATTERN = r"^(.+)@([^ \t\n\x0B\f\r]+)$"
 EMAIL_USER_RE = re.compile(EMAIL_USER_PATTERN)

@@ -100,6 +100,15 @@ EMAIL_CASES = [
     ("user@example.com\n", False),       # trailing \n: Java matches() rejects
     ("user@example.com\r\n", False),
     ("us\ner@example.com", False),
+    # bracketed IPv6 literals (r4): commons strips brackets and runs
+    # InetAddressValidator.isValid, which takes bare IPv6 (no IPv6: tag)
+    ("user@[2001:db8::1]", True),
+    ("user@[::1]", True),
+    ("user@[::ffff:192.168.0.1]", True),  # IPv4-mapped
+    ("user@[1:2:3:4:5:6:7:8]", True),
+    ("user@[:::1]", False),               # malformed compression
+    ("user@[1::2::3]", False),            # two double-colons
+    ("user@[IPv6:2001:db8::1]", False),   # RFC-5321 tag: commons rejects
 ]
 
 
