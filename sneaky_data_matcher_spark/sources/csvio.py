@@ -117,7 +117,14 @@ def sniff_csv_format(spark: SparkSession, path: str, sample_lines: int = 20) -> 
     null_pat = _re.compile(rf"(^|{sep_re})\\N({sep_re}|$)")
     if has_backslash and any(null_pat.search(ln) for ln in sample[1 if header else 0:]):
         out["nullValue"] = "\\N"
-    if best_cols > 1 and any(c != c.strip() and c.strip() for c in cells):
+    # TDF padding is SPACES around cells in a QUOTE dialect; never fire
+    # for backslash dialects (escaped whitespace there is cell content,
+    # e.g. a MySQL unload of a value ending in \t) and never strip tabs.
+    if (
+        best_esc == '"'
+        and best_cols > 1
+        and any(c != c.strip(" ") and c.strip(" ") for c in cells)
+    ):
         out["ignoreSpaces"] = True
     return out
 
@@ -138,13 +145,14 @@ def read_csv_auto(spark: SparkSession, path: str, **overrides) -> DataFrame:
     fmt = sniff_csv_format(spark, path)
     fmt.update(overrides)
     if fmt.get("escape") == "\\":
+        # trim never applies here: TDF (the only trimming dialect) is a
+        # quote dialect, and surrounding whitespace in an unload is data
         return _read_backslash_csv(
             spark,
             path,
             sep=fmt["sep"],
             header=bool(fmt["header"]),
             null_value=fmt.get("nullValue"),
-            trim=bool(fmt.get("ignoreSpaces")),
         )
     r = (
         spark.read.option("sep", fmt["sep"])
