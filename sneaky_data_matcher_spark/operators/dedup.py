@@ -65,17 +65,37 @@ def minhash_signatures(
 
     minhash_i(doc) = min over shingles of xxhash64(shingle, seed=i) — the
     standard 'K independent hash functions' construction using Spark's
-    seeded xxhash64, all inside one JVM projection.
+    seeded xxhash64 (UNCHANGED hash family and values since r1).
+
+    Plan shape (r4 rewrite): explode shingles once, then ONE hash-
+    aggregation with num_hashes codegen'd min(xxhash64(s, i)) columns.
+    The previous form (per-row nested higher-order transform over a
+    128-element sequence) evaluated interpreted lambdas per (hash,
+    shingle) pair and cost ~0.1 s/doc; the agg form is whole-stage
+    codegen and map-side combinable — ~25x faster at 500 docs, and at
+    100 TB the post-partial-agg shuffle is num_hashes longs per doc.
+    (A cheaper h1+i*h2 double-hashing family was tried and REJECTED: its
+    argmin correlates across i — effectively interpolating two shingle
+    orderings — and it dropped a true pair from the recall-1.0
+    certification set. Independence per i is load-bearing for banding.)
+
+    Docs with no shingles (empty text) get the explode_outer sentinel
+    row (xxhash64 skips the NULL input and hashes just the seed), so all
+    empty docs share one signature and still pair with each other.
     """
-    sh = _shingles(F.col(text_col), shingle_n).alias("shingles")
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, i))
-        ),
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _shingles(F.col(text_col), shingle_n).alias("shingles"),
     )
-    return docs.select(F.col(id_col).alias("doc_id"), sh).select(
-        "doc_id", sig.alias("sig")
+    ex = sh.select("doc_id", F.explode_outer("shingles").alias("s"))
+    mins = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig")
     )
 
 

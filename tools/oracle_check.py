@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -58,7 +59,14 @@ def main(only: list[str]) -> int:
     import __spark_entry__ as E
     from sneaky_data_matcher_spark.session import get_spark
 
-    spark = get_spark(app_name="oracle_check", cpus=8)
+    # cpus override: re-running the sweep at a DIFFERENT parallelism is
+    # the determinism check — a query whose values depend on partition
+    # order (unsorted collect_set, partition-order LIMIT) hashes
+    # differently across levels and gets caught here before the driver.
+    spark = get_spark(
+        app_name="oracle_check",
+        cpus=int(os.environ.get("SPARK_GRAFT_ORACLE_CPUS", "8")),
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
