@@ -6577,12 +6577,9 @@ def name_match_features_q(spark, sf_dir):
     t = cust.select(
         "c_custkey", _name_raw_col().alias("name_a"), name_b.alias("name_b")
     )
-    return t.select(
-        "c_custkey",
-        "name_a",
-        "name_b",
-        N.name_match_level(F.col("name_a"), F.col("name_b")).alias("match_level"),
-    )
+    # staged form: the one-shot Column inlines the parse tree ~4x/side and
+    # costs ~70 s of build+plan at this size (names.attach_name_match_level)
+    return N.attach_name_match_level(t, "name_a", "name_b", "match_level")
 
 
 # Truth discovery (operators/fusion.py): 4 sources claim a segment value

@@ -21,7 +21,7 @@ the standard heuristic's documented limitation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # classic English nickname -> formal map (the high-frequency subset used
@@ -283,6 +283,60 @@ def name_match_level(a: Column, b: Column) -> Column:
         .when(la.isNotNull() & (la == lb), F.lit(2))
         .when(fa.isNotNull() & (fa == fb), F.lit(1))
         .otherwise(F.lit(0))
+    )
+
+
+def _canonical_from_parts(first_folded: Column, last: Column) -> Column:
+    """canonical_name, given already-staged (nickname-folded first, last)."""
+    return F.when(
+        first_folded.isNotNull() & last.isNotNull(),
+        F.concat(first_folded, F.lit(" "), last),
+    ).otherwise(F.coalesce(last, first_folded))
+
+
+def attach_name_match_level(
+    df: DataFrame, a: str, b: str, out: str = "match_level"
+) -> DataFrame:
+    """Staged frame-level form of name_match_level — use this on any
+    real-size frame.
+
+    The one-shot Column form inlines parse_person_name's tree ~4x per
+    side (two struct-field reads + canonical_name's internal re-parse),
+    and the expansion is multiplicative through _tokens_no_suffix's
+    self-references: measured at 1,500 rows, 45 s of py4j expression
+    construction + 23 s of Catalyst analysis/optimization of an ~8 MB
+    plan, vs ~13 s of actual execution. Staging each subtree as a named
+    column builds it ONCE; CollapseProject keeps multi-referenced
+    non-cheap expressions in their own projection (Spark 3.3+ default),
+    so the optimized plan stays linear in the logic size."""
+    stage = df.withColumn("__nm_pa", parse_person_name(F.col(a))).withColumn(
+        "__nm_pb", parse_person_name(F.col(b))
+    )
+    stage = stage.select(
+        "*",
+        _nickname_case(F.col("__nm_pa.first")).alias("__nm_fa"),
+        _nickname_case(F.col("__nm_pb.first")).alias("__nm_fb"),
+        F.col("__nm_pa.last").alias("__nm_la"),
+        F.col("__nm_pb.last").alias("__nm_lb"),
+    )
+    fa, fb = F.col("__nm_fa"), F.col("__nm_fb")
+    la, lb = F.col("__nm_la"), F.col("__nm_lb")
+    ca = _canonical_from_parts(fa, la)
+    cb = _canonical_from_parts(fb, lb)
+    init = (
+        fa.isNotNull()
+        & fb.isNotNull()
+        & (F.substring(fa, 1, 1) == F.substring(fb, 1, 1))
+    )
+    level = (
+        F.when(ca.isNotNull() & (ca == cb), F.lit(4))
+        .when(la.isNotNull() & (la == lb) & init, F.lit(3))
+        .when(la.isNotNull() & (la == lb), F.lit(2))
+        .when(fa.isNotNull() & (fa == fb), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return stage.withColumn(out, level).drop(
+        "__nm_pa", "__nm_pb", "__nm_fa", "__nm_fb", "__nm_la", "__nm_lb"
     )
 
 
