@@ -1077,7 +1077,7 @@ def pack_chunks_q(spark, sf_dir):
     "  FROM c WHERE n > 0), "
     "x AS (SELECT doc_id, chunk_id, "
     "  least((chunk_id + 1) * 512, s + n) - greatest(chunk_id * 512, s) AS toks_in_chunk FROM e) "
-    "SELECT chunk_id, COUNT(*) AS n_docs, SUM(toks_in_chunk) AS fill_tokens, "
+    "SELECT chunk_id, COUNT(*) AS n_docs, CAST(SUM(toks_in_chunk) AS BIGINT) AS fill_tokens, "
     "  CAST(SUM(toks_in_chunk) AS DOUBLE) / 512 AS fill_ratio "
     "FROM x GROUP BY chunk_id",
 )
@@ -1140,7 +1140,7 @@ def chunk_overlapping_q(spark, sf_dir):
     "tot AS (SELECT SUM(n) AS N, COUNT(*) AS V FROM cnt), "
     "terms AS (SELECT d.doc_id, d.c, CAST(round(d.c * ln((cn.n + 1) / CAST(t.N + t.V AS DOUBLE)), 9) "
     "  AS DECIMAL(28,10)) AS term FROM dt d JOIN cnt cn USING (tok) CROSS JOIN tot t) "
-    "SELECT doc_id, SUM(c) AS n_tokens, "
+    "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, "
     "  CAST(SUM(term) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS mean_logprob "
     "FROM terms GROUP BY doc_id",
 )
@@ -2274,10 +2274,10 @@ def er_cluster_stats_q(spark, sf_dir):
     "blocking_census",
     f"WITH {_ER_KEYS_CTE}, "
     "census AS (SELECT pass, block_key, count(*) AS sz FROM er_keys GROUP BY pass, block_key) "
-    "SELECT pass, count(*) AS n_blocks, sum(sz) AS n_keys, max(sz) AS max_block, "
-    "sum((sz * (sz - 1)) // 2) AS pair_mass, "
+    "SELECT pass, count(*) AS n_blocks, CAST(sum(sz) AS BIGINT) AS n_keys, max(sz) AS max_block, "
+    "CAST(sum((sz * (sz - 1)) // 2) AS BIGINT) AS pair_mass, "
     "count(CASE WHEN sz > 50 THEN 1 END) AS hot_blocks, "
-    "coalesce(sum(CASE WHEN sz > 50 THEN (sz * (sz - 1)) // 2 END), 0) AS hot_pair_mass "
+    "CAST(coalesce(sum(CASE WHEN sz > 50 THEN (sz * (sz - 1)) // 2 END), 0) AS BIGINT) AS hot_pair_mass "
     "FROM census GROUP BY pass",
 )
 def blocking_census_q(spark, sf_dir):
@@ -2764,7 +2764,11 @@ def orders_quartiles_q(spark, sf_dir):
 
 @_q(
     "orders_monthly",
-    "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start, "
+    # month_start rendered as yyyy-MM-dd VARCHAR on BOTH engines: the
+    # driver collects the oracle via pandas .df(), which renders DATE as
+    # Timestamp('... 00:00:00') while Spark dates render 'yyyy-MM-dd' —
+    # same latent-hash-mismatch class as the HUGEINT twins (VERDICT r4).
+    "SELECT strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start, "
     "CAST(year(o_orderdate) AS BIGINT) AS y, "
     "CAST(month(o_orderdate) AS BIGINT) AS m, "
     "CAST(max(day(o_orderdate)) AS BIGINT) AS last_day_seen, "
@@ -2776,7 +2780,9 @@ def orders_monthly_q(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return (
         o.groupBy(
-            F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
             F.year("o_orderdate").cast("long").alias("y"),
             F.month("o_orderdate").cast("long").alias("m"),
         )
@@ -3828,7 +3834,7 @@ _MIX_EPOCHS = 2.0  # allow up to 2 epochs of any stratum
 
 @_q(
     "mixing_plan",
-    "WITH c AS (SELECT lang, sum(n_chars) AS toks FROM documents GROUP BY lang), "
+    "WITH c AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS toks FROM documents GROUP BY lang), "
     "k AS (SELECT count(*) AS n_langs FROM c), "
     # binding stratum: T = min over langs of (toks * epochs * n_langs)
     "t AS (SELECT min(toks * CAST(2.0 AS DOUBLE) * n_langs) AS budget FROM c, k) "
@@ -4581,7 +4587,9 @@ def bloom_prune_join_q(spark, sf_dir):
     "  AS day FROM span), "
     "j AS (SELECT g.user_id, g.day, p.v FROM grid g LEFT JOIN p "
     "  ON g.user_id = p.user_id AND g.day = p.day) "
-    "SELECT user_id, day, "
+    # day as VARCHAR on both engines (pandas-DATE rendering hazard; see
+    # orders_monthly note)
+    "SELECT user_id, strftime(day, '%Y-%m-%d') AS day, "
     "round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day "
     "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_filled, "
     "v IS NULL AS is_gap FROM j",
@@ -4608,7 +4616,7 @@ def gapfill_daily_q(spark, sf_dir):
     )
     return j.select(
         "user_id",
-        "day",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.round(F.last("v", ignorenulls=True).over(w), 6).alias("value_filled"),
         F.col("v").isNull().alias("is_gap"),
     )
@@ -5093,7 +5101,7 @@ def hll_merge_langs_q(spark, sf_dir):
     )
     + ", ip AS (SELECT a.r, sum(a.cnt * b.cnt) AS ip FROM ska a "
     "JOIN skb b ON a.r = b.r AND a.col = b.col GROUP BY a.r), "
-    "est AS (SELECT CAST(4 AS INT) AS d, CAST(1024 AS INT) AS w, min(ip) AS est FROM ip), "
+    "est AS (SELECT CAST(4 AS INT) AS d, CAST(1024 AS INT) AS w, CAST(min(ip) AS BIGINT) AS est FROM ip), "
     "tru AS (SELECT count(*) AS true_n FROM orders o JOIN customer c "
     "  ON o.o_custkey = c.c_custkey WHERE c.c_mktsegment = 'BUILDING') "
     "SELECT d, w, est, true_n FROM est, tru",
@@ -5477,7 +5485,9 @@ _MV_CH_CTE = (
     "  WHERE o_orderkey IN (SELECT o_orderkey FROM ch) "
     "  UNION SELECT DISTINCT CAST(o_orderdate AS DATE) FROM applied "
     "  WHERE o_orderkey IN (SELECT o_orderkey FROM ch)) "
-    "SELECT CAST(o_orderdate AS DATE) AS day, "
+    # day as VARCHAR on both engines (pandas-DATE rendering hazard; see
+    # orders_monthly note)
+    "SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day, "
     "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, "
     "count(*) AS n_orders, "
     "CAST(o_orderdate AS DATE) IN (SELECT day FROM aff) AS recomputed "
@@ -5543,7 +5553,12 @@ def mv_incremental_q(spark, sf_dir):
     passthrough = old_mv.join(aff, "day", "left_anti").select(
         "day", "revenue", "n_orders", F.lit(False).alias("recomputed")
     )
-    return passthrough.unionByName(recomputed)
+    return passthrough.unionByName(recomputed).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "revenue",
+        "n_orders",
+        "recomputed",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5677,7 +5692,11 @@ _DOB_B_SQL = (
 
 @_q(
     "dob_match_features",
-    "SELECT c_custkey, dob_a, dob_b, "
+    # dob_a/dob_b as VARCHAR on both engines (pandas-DATE rendering
+    # hazard; see orders_monthly note). match_level still compares the
+    # underlying dates.
+    "SELECT c_custkey, strftime(dob_a, '%Y-%m-%d') AS dob_a, "
+    "strftime(dob_b, '%Y-%m-%d') AS dob_b, "
     f"{__import__('sneaky_data_matcher_spark.functions.dates', fromlist=['x']).date_match_sql('dob_a', 'dob_b')} AS match_level "
     f"FROM (SELECT c_custkey, dob_a, {_DOB_B_SQL} AS dob_b "
     f"FROM (SELECT c_custkey, {_DOB_A_SQL} AS dob_a FROM customer))",
@@ -5706,8 +5725,8 @@ def dob_match_features_q(spark, sf_dir):
     t = t.withColumn("dob_b", b)
     return t.select(
         "c_custkey",
-        "dob_a",
-        "dob_b",
+        F.date_format("dob_a", "yyyy-MM-dd").alias("dob_a"),
+        F.date_format("dob_b", "yyyy-MM-dd").alias("dob_b"),
         D.date_match_level(F.col("dob_a"), F.col("dob_b")).alias("match_level"),
     )
 
@@ -7106,7 +7125,7 @@ _CHURN_TAIL_SQL = (
     "psize AS (SELECT entity_id, count(*) AS prev_size FROM p GROUP BY entity_id), "
     "spread AS (SELECT entity_id, count(DISTINCT cluster_id) AS n_cur_clusters FROM ov GROUP BY entity_id), "
     "percl AS (SELECT cluster_id, count(DISTINCT entity_id) AS n_prev_entities, "
-    "  sum(overlap_n) AS n_carried FROM ov GROUP BY cluster_id), "
+    "  CAST(sum(overlap_n) AS BIGINT) AS n_carried FROM ov GROUP BY cluster_id), "
     "csize AS (SELECT cluster_id, count(*) AS n_members FROM c GROUP BY cluster_id), "
     "single AS (SELECT ov.cluster_id, ov.overlap_n, psize.prev_size, spread.n_cur_clusters "
     "  FROM ov JOIN percl ON ov.cluster_id = percl.cluster_id AND percl.n_prev_entities = 1 "
@@ -8222,13 +8241,13 @@ _SA_SEQ_CTE = (
     "  FROM sa_m m JOIN sa_seq a ON m.doc_id_a = a.doc_id "
     "  JOIN sa_seq b ON m.doc_id_b = b.doc_id), "
     "sa_ov AS (SELECT doc_id_a, doc_id_b, ka, kb, "
-    "  coalesce(list_sum(list_transform(list_distinct(ka), "
-    "    kk -> least(len(list_filter(ka, x -> x = kk)), len(list_filter(kb, x -> x = kk))))), 0) AS n_common "
+    "  CAST(coalesce(list_sum(list_transform(list_distinct(ka), "
+    "    kk -> least(len(list_filter(ka, x -> x = kk)), len(list_filter(kb, x -> x = kk))))), 0) AS BIGINT) AS n_common "
     "  FROM sa_j) "
     "SELECT doc_id_a, doc_id_b, len(ka) AS n_spans_a, len(kb) AS n_spans_b, n_common, "
     "round(CAST(n_common AS DOUBLE) / (len(ka) + len(kb) - n_common), 6) AS span_jaccard, "
-    "coalesce(list_sum(list_transform(range(1, least(len(ka), len(kb)) + 1), "
-    "  i -> CASE WHEN ka[1:CAST(i AS INT)] = kb[1:CAST(i AS INT)] THEN 1 ELSE 0 END)), 0) AS prefix_len, "
+    "CAST(coalesce(list_sum(list_transform(range(1, least(len(ka), len(kb)) + 1), "
+    "  i -> CASE WHEN ka[1:CAST(i AS INT)] = kb[1:CAST(i AS INT)] THEN 1 ELSE 0 END)), 0) AS BIGINT) AS prefix_len, "
     "list_filter(ka, x -> x NOT LIKE 'text:%') = list_filter(kb, x -> x NOT LIKE 'text:%') AS media_seq_equal "
     "FROM sa_ov",
 )

@@ -562,8 +562,8 @@ def repeated_kgram_stats_sql(
         repeated_kgram_spans_sql(k, min_count, canon_rel, id_col, text_col)
         + ", kgsizes AS (SELECT doc_id, len(toks) AS n_toks FROM kgtoks "
         f"WHERE len(toks) >= {k}), "
-        "kgper AS (SELECT doc_id, sum(span_end - span_start + 1) AS dup_tokens "
-        "FROM dup_spans GROUP BY doc_id), "
+        "kgper AS (SELECT doc_id, CAST(sum(span_end - span_start + 1) AS BIGINT) "
+        "AS dup_tokens FROM dup_spans GROUP BY doc_id), "
         "dup_stats AS (SELECT s.doc_id, s.n_toks, "
         "coalesce(p.dup_tokens, 0) AS dup_tokens, "
         "round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / s.n_toks, 6) AS dup_ratio "

@@ -79,8 +79,10 @@ def unigram_logprob_scores(
             # NOT round the quotient: the decimal sum's scaled integer and
             # the token count are both < 2^53, so decimal->double conversion
             # and the single IEEE division are bit-identical in any engine.
-            # A fixed-decimal round of the quotient is what broke parity in
-            # r3 (HALF_UP vs half-even on exact 6dp ties — VERDICT r3 #2).
+            # (Hygiene, not the r2-r4 driver-red cause: those hash failures
+            # were the oracle's un-CAST SUM(c) returning DuckDB HUGEINT,
+            # float64-coerced by pandas .df() on the driver's collection
+            # path — fixed by CAST AS BIGINT in the twin; VERDICT r4 #1.)
             (F.sum("term").cast("double") / F.sum("c").cast("double")).alias("mean_logprob"),
         )
     )

@@ -113,10 +113,14 @@ def packing_stats(chunks: DataFrame, cap: int) -> DataFrame:
     chunk, fill tokens, and fill ratio. One hash-agg, map-side combinable."""
     # fill_ratio is deliberately UNROUNDED: fill_tokens and cap are exact
     # integers < 2^53, so the single IEEE double division is bit-identical
-    # in any engine (and exact when cap is a power of two). Rounding to a
-    # fixed decimal place is what breaks cross-engine parity — HALF_UP
-    # (Spark BigDecimal) vs round-half-even (C double) disagree on exact
-    # ties like k/512 landing on a 7th-digit 5 (VERDICT r3 #1).
+    # in any engine (and exact when cap is a power of two). Fixed-decimal
+    # rounding of such quotients is avoided as hygiene — HALF_UP (Spark
+    # BigDecimal) vs round-half-even (C double) CAN disagree on exact
+    # decimal ties. NOTE (r4 forensics): this hygiene was NOT the cause of
+    # the r2-r4 driver hash failures on this query; those were the
+    # oracle's un-CAST SUM returning DuckDB HUGEINT, which pandas .df()
+    # coerces to float64 ("512.0" vs Spark's "512"). Fixed by CAST(... AS
+    # BIGINT) in the oracle twin — see VERDICT r4 "What's wrong" #1.
     return chunks.groupBy("chunk_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("toks_in_chunk").alias("fill_tokens"),

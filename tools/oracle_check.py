@@ -5,10 +5,20 @@ its oracle_sql() twin in DuckDB: row count, column names, and an
 order-insensitive value hash over columns sorted by name. Floats are
 hashed at FULL precision (repr of the exact double) — strictly at least
 as strict as any driver-side hash, so local green implies driver green.
-(r3 lesson: a 9-decimal pre-round here let two tie-rounding bugs through
-the local gate that the driver then failed — VERDICT r3 "What's wrong".)
 
-Usage: python tools/oracle_check.py [name ...]
+The DuckDB side is collected via `con.sql(sql).df()` — the DRIVER's
+collection path — not `fetchall()`. The difference is load-bearing
+(VERDICT r4 forensics): pandas coerces DuckDB HUGEINT (e.g. any
+un-CAST `SUM(BIGINT)`) to float64, rendering `512` as `512.0`, while
+fetchall() hands back exact Python ints. Three rounds of driver-red /
+local-green on packing_stats + lm_logprob were exactly this type-path
+divergence — never a value or rounding bug. Going through .df() here
+makes the local gate fail the same way the driver would. A registry
+type gate (`--typegate`, also run at the start of every full sweep)
+binds every oracle in DuckDB and fails on HUGEINT/UHUGEINT output
+columns so the class can't reappear.
+
+Usage: python tools/oracle_check.py [--typegate] [name ...]
 """
 
 from __future__ import annotations
@@ -28,6 +38,11 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def _norm_cell(v):
+    # numpy scalars (the .df() path yields np.int64 / np.float64 /
+    # np.bool_) → Python scalars first: repr(np.float64(x)) is
+    # "np.float64(x)" under numpy 2, which would poison the hash.
+    if type(v).__module__ == "numpy" and hasattr(v, "item"):
+        v = v.item()
     if v is None:
         return "\x00NULL"
     if isinstance(v, bool):
@@ -53,11 +68,45 @@ def value_hash(rows, colnames) -> str:
     return h.hexdigest()
 
 
+def typegate(con, oracle_sql: dict) -> int:
+    """Bind every oracle in DuckDB (no execution) and fail on any
+    HUGEINT/UHUGEINT output column — pandas coerces those to float64 on
+    the driver's .df() collection path, which hash-mismatches Spark's
+    long (VERDICT r4). Returns the number of offending oracles."""
+    bad = 0
+    for name, sql in oracle_sql.items():
+        try:
+            rel = con.sql(sql)
+            huge = [
+                (c, str(t))
+                for c, t in zip(rel.columns, rel.types)
+                if str(t) in ("HUGEINT", "UHUGEINT")
+            ]
+        except Exception as exc:  # noqa: BLE001
+            bad += 1
+            print(f"TYPEGATE {name:28s} BIND-ERROR {type(exc).__name__}: {exc}")
+            continue
+        if huge:
+            bad += 1
+            print(f"TYPEGATE {name:28s} FAIL {huge} — CAST the sum to BIGINT")
+    return bad
+
+
 def main(only: list[str]) -> int:
     import duckdb
 
     import __spark_entry__ as E
     from sneaky_data_matcher_spark.session import get_spark
+
+    typegate_only = "--typegate" in only
+    only = [n for n in only if n != "--typegate"]
+    if typegate_only:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        bad = typegate(con, E.oracle_sql())
+        print(f"typegate: {bad} offending oracle(s)")
+        return 1 if bad else 0
 
     # cpus override: re-running the sweep at a DIFFERENT parallelism is
     # the determinism check — a query whose values depend on partition
@@ -74,6 +123,10 @@ def main(only: list[str]) -> int:
     qs, osql = E.queries(), E.oracle_sql()
     names = only or list(qs)
     failures = 0
+    if not only:
+        # full sweep: run the registry type gate first so a HUGEINT
+        # regression fails loudly even before any query executes
+        failures += typegate(con, osql)
     import time as _time
     for name in names:
         t0 = _time.perf_counter()
@@ -85,9 +138,11 @@ def main(only: list[str]) -> int:
                 dt = _time.perf_counter() - t0
                 print(f"{name:28s} rows={len(srows):6d}  (rows-only, no oracle)  t={dt:.1f}s")
                 continue
-            odf = con.sql(osql[name])
-            ocols = list(odf.columns)
-            orows = odf.fetchall()
+            # .df() (pandas), NOT fetchall(): the driver's type path —
+            # see module docstring.
+            opdf = con.sql(osql[name]).df()
+            ocols = list(opdf.columns)
+            orows = list(opdf.itertuples(index=False, name=None))
             problems = []
             if sorted(scols) != sorted(ocols):
                 problems.append(f"cols spark={scols} duck={ocols}")
