@@ -115,13 +115,33 @@ def sniff_csv_format(spark: SparkSession, path: str, sample_lines: int = 20) -> 
     # \N is only visible pre-parse, delimiter-adjacent or line-terminal.
     sep_re = _re.escape(best_sep)
     null_pat = _re.compile(rf"(^|{sep_re})\\N({sep_re}|$)")
-    if has_backslash and any(null_pat.search(ln) for ln in sample[1 if header else 0:]):
-        out["nullValue"] = "\\N"
-    # TDF padding is SPACES around cells in a QUOTE dialect; never fire
-    # for backslash dialects (escaped whitespace there is cell content,
-    # e.g. a MySQL unload of a value ending in \t) and never strip tabs.
+    # \N → NULL only when the file is credibly an unload (ADVICE r4 #2 —
+    # the reference applies nullString only under the MYSQL /
+    # POSTGRESQL_TEXT formats, CsvUtil.java:120-122): either the
+    # backslash dialect actually WON the sweep, or EVERY backslash in
+    # the sample is itself a whole-cell \N marker (the pure-\N unload,
+    # which ties with RFC because it contains no other escapes). A
+    # quote-dialect file with a stray backslash elsewhere plus a literal
+    # "\N" cell keeps the 2-char string — that backslash is data
+    # evidence against the unload reading.
+    data_sample = sample[1 if header else 0:]
+    if any(null_pat.search(ln) for ln in data_sample):
+        null_sub = _re.compile(rf"(^|{sep_re})\\N(?={sep_re}|$)")
+        only_marker_backslashes = not any(
+            "\\" in null_sub.sub(r"\1", ln) for ln in sample
+        )
+        if best_esc == "\\" or only_marker_backslashes:
+            out["nullValue"] = "\\N"
+    # TDF padding is SPACES around cells in the TAB-delimited quote
+    # dialect ONLY: commons' variant sweep tries CSVFormat.DEFAULT (no
+    # trim) before TDF (CsvUtil.java:121), so a padded COMMA file keeps
+    # its spaces there — firing on any quote dialect silently trimmed
+    # data bytes from ordinary '1, alice' CSVs (ADVICE r4 #1, medium).
+    # Never fire for backslash dialects (escaped whitespace there is
+    # cell content) and never strip tabs.
     if (
-        best_esc == '"'
+        best_sep == "\t"
+        and best_esc == '"'
         and best_cols > 1
         and any(c != c.strip(" ") and c.strip(" ") for c in cells)
     ):
@@ -153,6 +173,7 @@ def read_csv_auto(spark: SparkSession, path: str, **overrides) -> DataFrame:
             sep=fmt["sep"],
             header=bool(fmt["header"]),
             null_value=fmt.get("nullValue"),
+            on_overflow=fmt.get("on_overflow", "truncate"),
         )
     r = (
         spark.read.option("sep", fmt["sep"])
@@ -166,6 +187,15 @@ def read_csv_auto(spark: SparkSession, path: str, **overrides) -> DataFrame:
         r = r.option("ignoreLeadingWhiteSpace", "true").option(
             "ignoreTrailingWhiteSpace", "true"
         )
+    # Embedded newlines inside quoted cells (real database exports have
+    # them — CsvUtil.java's commons parsers handle them natively): opt-in
+    # via multiLine=True because it makes each FILE non-splittable — one
+    # task per file instead of one per 128 MB split. Correct at 100 TB
+    # only when the export is already many files; for single-blob exports
+    # prefer re-export without embedded newlines. Off by default: the
+    # newline-splittable fast path keeps full scan parallelism.
+    if fmt.get("multiLine"):
+        r = r.option("multiLine", "true")
     return r.csv(path)
 
 
@@ -176,6 +206,7 @@ def _read_backslash_csv(
     header: bool,
     null_value: str | None = None,
     trim: bool = False,
+    on_overflow: str = "truncate",
 ) -> DataFrame:
     """Commons-csv-compatible reader for backslash-escape dialects
     (CsvUtil.java variants MYSQL / INFORMIX_UNLOAD / POSTGRESQL_TEXT):
@@ -187,7 +218,14 @@ def _read_backslash_csv(
     trade every splittable 100 TB CSV ingest makes); each Arrow batch of
     lines is parsed by the C csv module in one call, so the Python cost
     is per-batch, not per-row. Column count is fixed by the header (or
-    first line), matching the reference's header-driven CSVParser."""
+    first line), matching the reference's header-driven CSVParser.
+
+    The header is dropped exactly ONCE — the first line of partition 0
+    (file offset 0); data lines byte-identical to the header are kept,
+    as commons-csv keeps them (ADVICE r4 #3). Rows with MORE cells than
+    the header: `on_overflow='truncate'` (default) drops the extras —
+    the same semantics as Spark's own PERMISSIVE CSV reader — while
+    `'error'` raises on the first such line for strict parity audits."""
     import csv as _csv
     from typing import Iterator
 
@@ -219,22 +257,40 @@ def _read_backslash_csv(
     #     with escapechar applies \X -> X inside and outside quotes,
     #     exactly commons-csv's escape-any-char behavior.
     SENT_BS, SENT_SEP = "\x00", "\x01"
+    if on_overflow not in ("truncate", "error"):
+        raise ValueError(f"on_overflow must be 'truncate' or 'error', got {on_overflow!r}")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        # Drop the header ONLY at its physical position: first line of
+        # partition 0 (the text source reads partition 0 from file offset
+        # 0 in order). A global `ln != head_line` filter also dropped
+        # every DATA line byte-identical to the header — silent loss.
+        tc = TaskContext.get()
+        drop_header = header and tc is not None and tc.partitionId() == 0
         for pdf in batches:
-            lines = [
-                ln
-                for ln in pdf["value"].tolist()
-                if ln != "" and ln != head_line
-            ]
+            lines = [ln for ln in pdf["value"].tolist() if ln != ""]
+            if drop_header and lines and lines[0] == head_line:
+                lines = lines[1:]
+            if lines:
+                drop_header = False  # only the first non-empty line ever
             out: list[list[str | None]] = []
+
+            def _fit(raw: list) -> list:
+                if len(raw) > ncols and on_overflow == "error":
+                    raise ValueError(
+                        f"row has {len(raw)} cells, header has {ncols}: {raw[:6]}..."
+                    )
+                return (list(raw) + [None] * ncols)[:ncols]
+
             if null_value is not None:
                 ser = pd.Series(lines, dtype=object)
                 ser = ser.str.replace("\\\\", SENT_BS, regex=False)
                 ser = ser.str.replace("\\" + sep, SENT_SEP, regex=False)
                 for raw in ser.str.split(sep).tolist():
                     cells: list[str | None] = []
-                    for c in (raw + [None] * ncols)[:ncols]:
+                    for c in _fit(raw):
                         # raw cell comparison: \N survives sentinel
                         # substitution untouched (N is neither \\ nor \sep)
                         if c is None or c == null_value:
@@ -255,7 +311,7 @@ def _read_backslash_csv(
                 for cells_raw in rows:
                     cells = [
                         (c.strip() if trim and isinstance(c, str) else c)
-                        for c in (list(cells_raw) + [None] * ncols)[:ncols]
+                        for c in _fit(cells_raw)
                     ]
                     out.append(cells)
             yield pd.DataFrame(out, columns=names, dtype=object)

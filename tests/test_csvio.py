@@ -274,3 +274,110 @@ def test_unload_roundtrip_property(spark, tmp_path_factory, rows):
     )
     got = [(r["a"], r["b"]) for r in df.collect()]
     assert sorted(got, key=repr) == sorted(want, key=repr), fmt
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r4 fixes: trim gating, nullValue gating, header-once, overflow
+# ---------------------------------------------------------------------------
+
+
+def test_padded_comma_file_keeps_spaces(spark, tmp_path):
+    """ADVICE r4 #1 (medium): commons tries DEFAULT (no trim) before TDF,
+    so a padded COMMA file keeps its spaces — the trim heuristic is
+    tab-dialect-only."""
+    p = _write(
+        str(tmp_path / "pad.csv"),
+        "id,name\n1, alice\n2, bob\n",
+    )
+    fmt = csvio.sniff_csv_format(spark, p)
+    assert "ignoreSpaces" not in fmt
+    rows = {r["id"]: r["name"] for r in csvio.read_csv_auto(spark, p).collect()}
+    assert rows["1"] == " alice" and rows["2"] == " bob"
+
+
+def test_padded_tab_file_trims(spark, tmp_path):
+    """TDF (tab-delimited) padding still trims."""
+    p = _write(
+        str(tmp_path / "pad.tsv"),
+        "id\tname\n1\t alice \n2\t bob\n",
+    )
+    fmt = csvio.sniff_csv_format(spark, p)
+    assert fmt.get("ignoreSpaces") is True
+    rows = {r["id"]: r["name"] for r in csvio.read_csv_auto(spark, p).collect()}
+    assert rows["1"] == "alice" and rows["2"] == "bob"
+
+
+def test_rfc_file_with_stray_backslash_keeps_literal_null_marker(spark, tmp_path):
+    """ADVICE r4 #2: a quote-dialect comma file containing a backslash
+    elsewhere plus a literal \\N cell keeps the 2-char string — the extra
+    backslash is evidence AGAINST the unload reading."""
+    p = _write(
+        str(tmp_path / "stray.csv"),
+        'id,name,note\n1,"a\\b",\\N\n2,carol,fine\n',
+    )
+    fmt = csvio.sniff_csv_format(spark, p)
+    assert "nullValue" not in fmt
+    rows = {r["id"]: r["note"] for r in csvio.read_csv_auto(spark, p).collect()}
+    assert rows["1"] == "\\N"
+
+
+def test_pure_unload_null_marker_still_maps(spark, tmp_path):
+    """The pure-\\N unload (no other escapes — ties with RFC) still maps
+    \\N to NULL: every backslash in the sample is a whole-cell marker."""
+    p = _write(
+        str(tmp_path / "pure.tsv"),
+        "id\tname\n1\t\\N\n2\tbob\n",
+    )
+    fmt = csvio.sniff_csv_format(spark, p)
+    assert fmt.get("nullValue") == "\\N"
+    rows = {r["id"]: r["name"] for r in csvio.read_csv_auto(spark, p).collect()}
+    assert rows["1"] is None and rows["2"] == "bob"
+
+
+def test_backslash_path_keeps_data_line_identical_to_header(spark, tmp_path):
+    """ADVICE r4 #3a: a DATA line byte-identical to the header is kept
+    (commons-csv keeps such records); only the physical first line is
+    dropped."""
+    p = _write(
+        str(tmp_path / "dup.tsv"),
+        "a\tb\n1\tx\\\\y\na\tb\n2\tz\n",
+    )
+    df = csvio.read_csv_auto(spark, p, sep="\t", header=True, escape="\\")
+    got = sorted([(r["a"], r["b"]) for r in df.collect()])
+    assert got == [("1", "x\\y"), ("2", "z"), ("a", "b")]
+
+
+def test_backslash_path_overflow_error_mode(spark, tmp_path):
+    """ADVICE r4 #3b: on_overflow='error' surfaces rows wider than the
+    header instead of silently truncating (truncate, the default, matches
+    Spark's own PERMISSIVE CSV semantics)."""
+    import pytest as _pytest
+
+    p = _write(
+        str(tmp_path / "wide.tsv"),
+        "a\tb\n1\tx\\\\1\n2\ty\textra\n",
+    )
+    df = csvio.read_csv_auto(
+        spark, p, sep="\t", header=True, escape="\\", on_overflow="error"
+    )
+    with _pytest.raises(Exception, match="3 cells, header has 2"):
+        df.collect()
+    ok = csvio.read_csv_auto(spark, p, sep="\t", header=True, escape="\\")
+    got = sorted([(r["a"], r["b"]) for r in ok.collect()])
+    assert got == [("1", "x\\1"), ("2", "y")]
+
+
+def test_multiline_quoted_newlines_roundtrip(spark, tmp_path):
+    """VERDICT r4 #6: quoted cells containing embedded newlines read back
+    correctly under the flagged multiLine fallback (off by default — it
+    makes files non-splittable; the test writes RFC doubled-quote cells
+    exactly as export_csv would)."""
+    p = _write(
+        str(tmp_path / "ml.csv"),
+        'id,note\n1,"line one\nline two"\n2,"say ""hi""\nbye"\n3,plain\n',
+    )
+    df = csvio.read_csv_auto(spark, p, sep=",", header=True, multiLine=True)
+    rows = {r["id"]: r["note"] for r in df.collect()}
+    assert rows["1"] == "line one\nline two"
+    assert rows["2"] == 'say "hi"\nbye'
+    assert rows["3"] == "plain"
