@@ -5843,12 +5843,13 @@ def er_one_to_one_q(spark, sf_dir):
 # tolerant AND per-token typo tolerant (mean best-JW partner, symmetrized).
 # Spark runs the Arrow-batched DuckDB list-lambda kernel; the twin runs the
 # same expression — bit-identical. The comparator is ~94x a flat jw
-# (BENCH.md), so the certified set is a DETERMINISTIC 1-in-8 pair sample
+# (BENCH.md), so the certified set is a DETERMINISTIC 1-in-32 pair sample
 # (exact int64 residue, same arithmetic both engines) — r4, VERDICT r3 #5:
 # keeps the driver's per-query wall sub-minute at sf0.01 (was 151 s over
 # all 39,492 pairs; the DuckDB twin alone is ~13 ms/pair) while still
-# certifying ~1.2k pairs bit-for-bit. 1-in-32 here, 1-in-8 for the
-# cheaper soft-TFIDF below.
+# certifying ~1.2k pairs bit-for-bit. 1-in-32 here; the cheaper
+# soft-TFIDF below uses a 1-in-8 sample of the same residue family
+# (ADVICE r4 #5: the rates differ — this comment previously said both).
 @_q(
     "monge_elkan_pairs",
     # NOTE: built on _ER_PAIRS_CTE, not _ER_SCORED_CTE — the MATERIALIZED
@@ -6043,10 +6044,12 @@ def er_repaired_clusters_q(spark, sf_dir):
 
 # Soft TF-IDF (Cohen-Ravikumar-Fienberg 2003) on the ER candidate pairs:
 # idf-weighted cosine with Jaro-Winkler soft token matching (>0.9).
-# Certified set is the same deterministic 1-in-8 pair sample as
-# monge_elkan_pairs (r4, VERDICT r3 #5 — driver wall at sf0.01 was 54 s
-# over all pairs); idf weights still come from the FULL corpus (st_sets
-# reads canon), so sampling pairs changes nothing about the vectors.
+# Certified set is a deterministic 1-in-8 pair sample — same residue
+# family as monge_elkan_pairs but a DIFFERENT rate (monge-elkan samples
+# 1-in-32; this kernel is ~4x cheaper — ADVICE r4 #5). r4, VERDICT r3
+# #5: driver wall at sf0.01 was 54 s over all pairs. idf weights still
+# come from the FULL corpus (st_sets reads canon), so sampling pairs
+# changes nothing about the vectors.
 @_q(
     "soft_tfidf_pairs",
     f"WITH {_ER_PAIRS_CTE}, "

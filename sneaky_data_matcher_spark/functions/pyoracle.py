@@ -142,7 +142,20 @@ _IPV6 = (
     rf"|{_H16}:(?::{_H16}){{1,6}}"
     rf"|:(?:(?::{_H16}){{1,7}}|:)"         # leading :: (incl. bare ::)
     rf"|(?:{_H16}:){{6}}{_IPV4}"           # full form, IPv4 tail
-    rf"|(?:{_H16}:){{1,4}}:{_IPV4}"        # compressed, IPv4 tail
+    # Compressed IPv4-tail pyramid (ADVICE r4 #4): A::B:IPv4 with A
+    # leading and B intermediate h16 groups needs A+B <= 5 (IPv4 counts
+    # as 2 of the 8 groups, and '::' must stand for >= 1 zero group —
+    # the constraint commons InetAddressValidator enforces by octet
+    # count). Enumerated per A so no alternative overmatches; the old
+    # single '(H16:){1,4}:IPv4' line missed A=5 ('1:2:3:4:5::1.2.3.4'),
+    # every B>=1 form ('1::3:1.2.3.4'), and leading-:: forms with
+    # intermediate groups ('::2:3:4:1.2.3.4').
+    rf"|(?:{_H16}:){{5}}:{_IPV4}"          # A=5, B=0
+    rf"|(?:{_H16}:){{4}}(?::{_H16}){{0,1}}:{_IPV4}"  # A=4, B<=1
+    rf"|(?:{_H16}:){{3}}(?::{_H16}){{0,2}}:{_IPV4}"  # A=3, B<=2
+    rf"|(?:{_H16}:){{2}}(?::{_H16}){{0,3}}:{_IPV4}"  # A=2, B<=3
+    rf"|{_H16}:(?::{_H16}){{0,4}}:{_IPV4}"           # A=1, B<=4
+    rf"|:(?::{_H16}){{0,5}}:{_IPV4}"                 # A=0 (leading ::), B<=5
     rf"|::(?:[Ff]{{4}}(?::0{{1,4}})?:)?{_IPV4})"  # ::ffff:a.b.c.d mapped
 )
 EMAIL_IP_DOMAIN_PATTERN = rf"^\[(?:{_IPV4}|{_IPV6})\]$"

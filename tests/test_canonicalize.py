@@ -109,6 +109,15 @@ EMAIL_CASES = [
     ("user@[:::1]", False),               # malformed compression
     ("user@[1::2::3]", False),            # two double-colons
     ("user@[IPv6:2001:db8::1]", False),   # RFC-5321 tag: commons rejects
+    # compressed IPv4-tail pyramid (ADVICE r4 #4): forms the old grammar
+    # missed but commons InetAddressValidator accepts
+    ("user@[1:2:3:4:5::1.2.3.4]", True),   # A=5 leading groups
+    ("user@[::2:3:4:1.2.3.4]", True),      # leading :: + intermediate groups
+    ("user@[1::3:1.2.3.4]", True),         # B>=1 intermediate
+    ("user@[1:2::4:5:1.2.3.4]", True),
+    ("user@[1:2:3:4:5:6::1.2.3.4]", False),  # 8 groups + compression
+    ("user@[1:2:3:4:5::6:1.2.3.4]", False),  # A+B=6 > 5
+    ("user@[::2:3:4:5:6:7:1.2.3.4]", False),
 ]
 
 
