@@ -2130,8 +2130,15 @@ _ASOF_SPAN_S = 189216000  # ~6 years
     f"{_ASOF_EPOCH_1995_US} + ((epoch_us(ts) // 1000000) * 48271 % {_ASOF_SPAN_S}) * 1000000) AS probe_ts FROM events), "
     "ords AS (SELECT * FROM (SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice, "
     "  row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn FROM orders) WHERE rn = 1) "
-    "SELECT p.event_id, p.user_id, o.o_orderdate AS asof_o_orderdate, "
-    "o.o_orderkey AS asof_o_orderkey, o.o_totalprice AS asof_o_totalprice "
+    # no-match rows carry NULLs: under the driver's pandas .df()
+    # collection a NULL coerces the BIGINT key column to float64 ("1.0"
+    # vs Spark "1") and a NULL timestamp to NaT — the r5 type-path class.
+    # Render the timestamp as VARCHAR (NULL survives in object dtype)
+    # and sentinel the numerics; identical on the Spark side.
+    "SELECT p.event_id, p.user_id, "
+    "strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS asof_o_orderdate, "
+    "coalesce(o.o_orderkey, -1) AS asof_o_orderkey, "
+    "coalesce(o.o_totalprice, -1.0) AS asof_o_totalprice "
     "FROM probe p ASOF LEFT JOIN ords o "
     "ON p.user_id = o.user_id AND p.probe_ts >= o.o_orderdate",
 )
@@ -2164,9 +2171,19 @@ def asof_join_orders_q(spark, sf_dir):
             "o_totalprice",
         )
     )
-    return asof_join(
+    j = asof_join(
         probe, ords, "user_id", "probe_ts", "o_orderdate", tiebreak="o_orderkey"
     ).drop("probe_ts")
+    # mirror the oracle's NULL handling (see the SQL note above)
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("asof_o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            "asof_o_orderdate"
+        ),
+        F.coalesce("asof_o_orderkey", F.lit(-1)).alias("asof_o_orderkey"),
+        F.coalesce("asof_o_totalprice", F.lit(-1.0)).alias("asof_o_totalprice"),
+    )
 
 
 @_q(
@@ -2713,13 +2730,38 @@ _PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegmen
 _PROFILE_NUMERIC = {"c_custkey", "c_nationkey", "c_acctbal"}
 
 
+# metric-not-applicable NULLs → NaN sentinels in the registry projection
+# only (the operator keeps NULL semantics): a NULL in a DOUBLE column
+# renders "nan" ≠ "NULL" under the driver's pandas .df() collection (the
+# r5 type-path class); NaN renders "nan" on BOTH engines and collides
+# with no real metric value.
+_PROFILE_NAN_WRAP = (
+    'SELECT "column", n_rows, n_null, n_distinct, '
+    "coalesce(min_num, CAST('nan' AS DOUBLE)) AS min_num, "
+    "coalesce(max_num, CAST('nan' AS DOUBLE)) AS max_num, "
+    "coalesce(avg_len, CAST('nan' AS DOUBLE)) AS avg_len FROM ({inner})"
+)
+
+
 @_q(
     "profile_customer",
-    _profiling.profile_sql("customer", _PROFILE_COLS, _PROFILE_NUMERIC),
+    _PROFILE_NAN_WRAP.format(
+        inner=_profiling.profile_sql("customer", _PROFILE_COLS, _PROFILE_NUMERIC)
+    ),
 )
 def profile_customer_q(spark, sf_dir):
-    return _profiling.profile(
+    prof = _profiling.profile(
         spark.read.parquet(f"{sf_dir}/customer.parquet"), _PROFILE_COLS
+    )
+    nan = F.lit(float("nan"))
+    return prof.select(
+        "column",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        F.coalesce("min_num", nan).alias("min_num"),
+        F.coalesce("max_num", nan).alias("max_num"),
+        F.coalesce("avg_len", nan).alias("avg_len"),
     )
 
 
@@ -2929,16 +2971,44 @@ _SCD2_CTE = (
 )
 
 
+# valid_to is NULL on current rows — under the driver's pandas .df()
+# collection a NULL timestamp becomes NaT ("NaT" ≠ "NULL", the r5
+# type-path class). Registry projections render both interval bounds as
+# microsecond VARCHAR on BOTH engines; NULL survives (object dtype).
+_SCD2_TS_FMT_SQL = "%Y-%m-%d %H:%M:%S.%f"
+_SCD2_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_SCD2_STR_SELECT = (
+    "SELECT entity, attr_value, version, "
+    f"strftime(valid_from, '{_SCD2_TS_FMT_SQL}') AS valid_from, "
+    f"strftime(valid_to, '{_SCD2_TS_FMT_SQL}') AS valid_to, "
+    "n_events, is_current FROM scd2"
+)
+
+
+def _scd2_stringify(dim):
+    return dim.select(
+        "entity",
+        "attr_value",
+        "version",
+        F.date_format("valid_from", _SCD2_TS_FMT_SPARK).alias("valid_from"),
+        F.date_format("valid_to", _SCD2_TS_FMT_SPARK).alias("valid_to"),
+        "n_events",
+        "is_current",
+    )
+
+
 @_q(
     "scd2_intervals",
-    f"WITH {_SCD2_CTE} SELECT * FROM scd2",
+    f"WITH {_SCD2_CTE} {_SCD2_STR_SELECT}",
 )
 def scd2_intervals_q(spark, sf_dir):
     from .operators import scd
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return scd.scd2_assemble(
-        ev, "user_id", "event_type", ts_col="ts", tiebreak_col="event_id"
+    return _scd2_stringify(
+        scd.scd2_assemble(
+            ev, "user_id", "event_type", ts_col="ts", tiebreak_col="event_id"
+        )
     )
 
 
@@ -2947,7 +3017,7 @@ _SCD2_AT = "2024-06-15 00:00:00"
 
 @_q(
     "scd2_snapshot",
-    f"WITH {_SCD2_CTE} SELECT * FROM scd2 "
+    f"WITH {_SCD2_CTE} {_SCD2_STR_SELECT} "
     f"WHERE valid_from <= TIMESTAMP '{_SCD2_AT}' "
     f"AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_SCD2_AT}')",
 )
@@ -2958,7 +3028,7 @@ def scd2_snapshot_q(spark, sf_dir):
     dim = scd.scd2_assemble(
         ev, "user_id", "event_type", ts_col="ts", tiebreak_col="event_id"
     )
-    return scd.scd2_snapshot(dim, _SCD2_AT)
+    return _scd2_stringify(scd.scd2_snapshot(dim, _SCD2_AT))
 
 
 # ---------------------------------------------------------------------------
@@ -3431,10 +3501,13 @@ def event_anomalies_q(spark, sf_dir):
     f"WITH {_SESS_CTE}, "
     "ev2 AS (SELECT sa.user_id, sa.session_no, sa.ts, e.event_type "
     "  FROM sa JOIN events e USING (event_id)) "
+    # funnel timestamps are NULL for sessions without the event — render
+    # as microsecond VARCHAR on both engines so the driver's pandas .df()
+    # path keeps NULL as NULL instead of NaT (the r5 type-path class)
     "SELECT user_id, CAST(session_no AS BIGINT) AS session_no, "
     "count(*) AS n_events, "
-    "min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup, "
-    "max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase, "
+    f"strftime(min(CASE WHEN event_type = 'signup' THEN ts END), '{_SCD2_TS_FMT_SQL}') AS first_signup, "
+    f"strftime(max(CASE WHEN event_type = 'purchase' THEN ts END), '{_SCD2_TS_FMT_SQL}') AS last_purchase, "
     "coalesce(max(CASE WHEN event_type = 'purchase' THEN ts END) "
     "  >= min(CASE WHEN event_type = 'signup' THEN ts END), FALSE) AS converted "
     "FROM ev2 GROUP BY user_id, session_no",
@@ -3450,8 +3523,8 @@ def session_funnel_q(spark, sf_dir):
         "user_id", F.col("session_no").cast("long").alias("session_no")
     ).agg(
         F.count("*").alias("n_events"),
-        s_ts.alias("first_signup"),
-        p_ts.alias("last_purchase"),
+        F.date_format(s_ts, _SCD2_TS_FMT_SPARK).alias("first_signup"),
+        F.date_format(p_ts, _SCD2_TS_FMT_SPARK).alias("last_purchase"),
         F.coalesce(p_ts >= s_ts, F.lit(False)).alias("converted"),
     )
 
@@ -4973,7 +5046,12 @@ _SNAPDIFF_CH_CTE = (
     "  WHEN old_o_totalprice IS NOT DISTINCT FROM new_o_totalprice "
     "   AND old_o_orderstatus IS NOT DISTINCT FROM new_o_orderstatus THEN 'unchanged' "
     "  ELSE 'changed' END AS status, "
-    "old_o_totalprice, new_o_totalprice, old_o_orderstatus, new_o_orderstatus "
+    # added/deleted rows carry NULL prices — NaN sentinels keep the
+    # driver's pandas .df() float64 column from rendering "nan" against
+    # Spark's NULL (r5 type-path class); no real price is NaN
+    "coalesce(old_o_totalprice, CAST('nan' AS DOUBLE)) AS old_o_totalprice, "
+    "coalesce(new_o_totalprice, CAST('nan' AS DOUBLE)) AS new_o_totalprice, "
+    "old_o_orderstatus, new_o_orderstatus "
     "FROM o FULL OUTER JOIN n USING (o_orderkey)",
 )
 def snapshot_diff_q(spark, sf_dir):
@@ -5006,8 +5084,16 @@ def snapshot_diff_q(spark, sf_dir):
         "o_orderstatus",
     )
     applied = cdc_apply(base, c1.unionByName(c2).unionByName(c3), key="o_orderkey")
+    nan = F.lit(float("nan"))
     return snapshot_diff(
         base, applied, "o_orderkey", ["o_totalprice", "o_orderstatus"]
+    ).select(
+        "o_orderkey",
+        "status",
+        F.coalesce("old_o_totalprice", nan).alias("old_o_totalprice"),
+        F.coalesce("new_o_totalprice", nan).alias("new_o_totalprice"),
+        "old_o_orderstatus",
+        "new_o_orderstatus",
     )
 
 
@@ -5617,8 +5703,13 @@ def mv_incremental_q(spark, sf_dir):
 
 @_q(
     "schema_evolution",
+    # the v1-generation rows have NULL quality — a NULL in a BIGINT
+    # column coerces the driver's pandas .df() column to float64 ("42.0"
+    # vs Spark "42", the r5 type-path class); -1 sentinel keeps int64
+    # (n_chars >= 0, no collision). NULL lang is safe: VARCHAR → object
+    # dtype preserves None.
     "SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang, "
-    "CAST(NULL AS BIGINT) AS quality FROM documents WHERE doc_id % 2 = 0 "
+    "CAST(-1 AS BIGINT) AS quality FROM documents WHERE doc_id % 2 = 0 "
     "UNION ALL SELECT doc_id, text, lang, n_chars AS quality "
     "FROM documents WHERE doc_id % 2 = 1",
 )
@@ -5637,7 +5728,13 @@ def schema_evolution_q(spark, sf_dir):
     merged = spark.read.option("mergeSchema", "true").parquet(
         f"{root}/gen=1", f"{root}/gen=2"
     )
-    return merged.select("doc_id", "text", "lang", "quality")
+    # -1 sentinel for merge-filled NULLs, mirroring the oracle (SQL note)
+    return merged.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.coalesce("quality", F.lit(-1)).cast("long").alias("quality"),
+    )
 
 
 def _export(name: str):
