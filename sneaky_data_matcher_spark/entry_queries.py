@@ -7926,8 +7926,12 @@ _TIMELINE_SQL = (
     "  FROM hist WINDOW w AS (PARTITION BY doc_id ORDER BY run_id)), "
     "il AS (SELECT doc_id, entity_id, run_id, "
     "  CAST(sum(ni) OVER (PARTITION BY doc_id ORDER BY run_id) AS BIGINT) AS island FROM fl) "
+    # open spans (alive at the latest run) use -1 instead of NULL: a NULL
+    # in an integer column coerces the driver's pandas .df() column to
+    # float64 ("2.0" vs Spark "2" — the r5 type-path class); run ids are
+    # >= 1 so -1 is collision-free. Mirrored on the Spark side.
     "SELECT doc_id, min(entity_id) AS entity_id, min(run_id) AS run_from, "
-    "CASE WHEN max(run_id) = 3 THEN NULL ELSE max(run_id) END AS run_to "
+    "CASE WHEN max(run_id) = 3 THEN -1 ELSE max(run_id) END AS run_to "
     "FROM il GROUP BY doc_id, island"
 )
 
@@ -7952,8 +7956,12 @@ def er_entity_timeline_q(spark, sf_dir):
         ).select("doc_id", "entity_id")
 
     r3 = _cached(spark, sf_dir, "er_timeline_r3", build_r3)
-    return entity_ids.entity_timeline(
+    tl = entity_ids.entity_timeline(
         [(1, r1.select("doc_id", "entity_id")), (2, r2), (3, r3)]
+    )
+    # -1 sentinel for open spans, mirroring the oracle (SQL note above)
+    return tl.withColumn(
+        "run_to", F.coalesce("run_to", F.lit(-1)).cast("int")
     )
 
 

@@ -643,13 +643,49 @@ def _fake_decode(payload: bytes, kind: str) -> list[float]:
 
 try:  # optional real-codec seam (VERDICT r3 #6): Pillow if the deploy
     # environment ships it; this sandbox does not, and nothing here
-    # requires it — the stdlib WAV/BMP/PNG/AVI decoders stay primary.
+    # requires it — the stdlib WAV/BMP/PNG/AVI decoders stay primary,
+    # and baseline JPEG now decodes natively (operators/jpegcodec.py);
+    # Pillow remains the fallback for NON-baseline JPEG (progressive,
+    # arithmetic-coded) and other compressed formats.
     from PIL import Image as _PILImage  # type: ignore
 except Exception:  # pragma: no cover — absent in the sandbox
     _PILImage = None
 
 # magics Pillow can decode that the stdlib decoders above cannot
 _PIL_MAGICS = (b"\xff\xd8\xff",)  # JPEG/JFIF
+
+
+def _decode_jpeg_native(payload: bytes) -> list[float]:
+    """Baseline JPEG via the stdlib+numpy codec (operators/jpegcodec.py),
+    featurized into the SAME layout as _decode_bmp — dims, channel means,
+    luminance mean/extremes, 8-bin luminance histogram, identical integer
+    luma formula — so downstream consumers are codec-agnostic."""
+    from .jpegcodec import decode_jpeg_rgb
+
+    w, h, rgb = decode_jpeg_rgb(payload)
+    arr = rgb.reshape(-1, 3).astype("int64")
+    npx = w * h
+    rs = int(arr[:, 0].sum())
+    gs = int(arr[:, 1].sum())
+    bs = int(arr[:, 2].sum())
+    lums = (arr[:, 0] * 299 + arr[:, 1] * 587 + arr[:, 2] * 114) // 1000
+    hist = [0] * 8
+    import numpy as _np
+
+    binned = _np.bincount((lums * 8 // 256).astype("int64"), minlength=8)
+    for i in range(8):
+        hist[i] = int(binned[i])
+    feats = [
+        w / 1024.0,
+        h / 1024.0,
+        rs / npx / 255.0,
+        gs / npx / 255.0,
+        bs / npx / 255.0,
+        int(lums.sum()) / npx / 255.0,
+        int(lums.max()) / 255.0,
+        int(lums.min()) / 255.0,
+    ] + [c / npx for c in hist]
+    return [_q6(f) for f in feats]
 
 
 def _decode_image_via_pillow(payload: bytes) -> list[float]:
@@ -699,6 +735,17 @@ def _decode_one(payload: bytes, kind: str, strict: bool) -> list[float]:
                 return _decode_bmp(payload)
             if payload[:8] == b"\x89PNG\r\n\x1a\n":
                 return _decode_png(payload)
+            if payload[:3] == b"\xff\xd8\xff":
+                from .jpegcodec import UnsupportedJPEG
+
+                try:
+                    return _decode_jpeg_native(payload)
+                except UnsupportedJPEG:
+                    # progressive / arithmetic-coded: the optional-Pillow
+                    # seam (absent → falls through to fake/strict-raise)
+                    if _PILImage is not None:
+                        return _decode_image_via_pillow(payload)
+                    raise
             if _PILImage is not None and any(
                 payload[: len(m)] == m for m in _PIL_MAGICS
             ):
@@ -714,9 +761,10 @@ def _decode_one(payload: bytes, kind: str, strict: bool) -> list[float]:
     if strict:
         raise NotImplementedError(
             f"no decoder for kind={kind!r} payload (WAV/PCM-16, 24-bit "
-            "BMP, 8-bit RGB PNG, and uncompressed RIFF/AVI decode "
-            "natively; JPEG decodes when Pillow is installed — absent "
-            "here; mp3/h264 need codec libs — the marked seam)"
+            "BMP, 8-bit RGB PNG, uncompressed RIFF/AVI, and baseline "
+            "JPEG decode natively; progressive JPEG decodes when Pillow "
+            "is installed — absent here; mp3/h264 need codec libs — the "
+            "marked seam)"
         )
     return _fake_decode(payload, kind)
 

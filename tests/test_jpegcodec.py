@@ -1,0 +1,143 @@
+"""Baseline JPEG codec (operators/jpegcodec.py) — correctness without any
+external codec: the DCT is checked against the textbook double-sum
+definition (ground truth independent of the matrix construction), the
+solid-color closed form is asserted equal to the real codec output, and
+lossy round trips are bounded by PSNR.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from sneaky_data_matcher_spark.operators import jpegcodec as J
+
+
+def _dct2_textbook(block: np.ndarray) -> np.ndarray:
+    """T.81 A.3.3 FDCT by direct double summation — the ground truth the
+    matrix path must match (catches any scale/transpose slip that a
+    matrix round trip would cancel)."""
+    out = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / math.sqrt(2) if u == 0 else 1.0
+            cv = 1 / math.sqrt(2) if v == 0 else 1.0
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        block[y, x]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[v, u] = 0.25 * cu * cv * s
+    return out
+
+
+def test_dct_matrix_matches_textbook_definition():
+    rng = np.random.RandomState(7)
+    blk = rng.randint(-128, 128, size=(8, 8)).astype(np.float64)
+    got = J._C @ blk @ J._C.T
+    want = _dct2_textbook(blk)
+    assert np.abs(got - want).max() < 1e-9
+
+
+def test_dct_roundtrip_identity():
+    rng = np.random.RandomState(11)
+    blk = rng.randint(-128, 128, size=(8, 8)).astype(np.float64)
+    back = J._C.T @ (J._C @ blk @ J._C.T) @ J._C
+    assert np.abs(back - blk).max() < 1e-9
+
+
+def test_huffman_tables_are_valid_prefix_codes():
+    for bits, vals in (J._DC_LUMA, J._AC_LUMA, J._DC_CHROMA, J._AC_CHROMA):
+        assert sum(bits) == len(vals)
+        codes = J._build_codes(bits, vals)
+        # canonical codes at each length must fit in `length` bits and be
+        # strictly increasing when left-aligned (prefix-free)
+        aligned = sorted((c << (16 - ln), ln, c) for c, ln in codes.values())
+        for (a1, l1, c1), (a2, l2, c2) in zip(aligned, aligned[1:]):
+            assert a1 < a2
+            # no code is a prefix of the next
+            assert (a2 >> (16 - l1)) != c1
+        for c, ln in codes.values():
+            assert c < (1 << ln)
+
+
+@pytest.mark.parametrize("quality", [50, 75, 95])
+@pytest.mark.parametrize("color", [(200, 100, 50), (0, 0, 0), (255, 255, 255), (12, 200, 99)])
+def test_solid_color_closed_form_matches_codec(quality, color):
+    """decode(encode(solid)) == the cosine-free closed form, pixel-exact —
+    the property the driver query's SQL twin relies on."""
+    r, g, b = color
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = r, g, b
+    payload = J.encode_jpeg(img, quality=quality)
+    w, h, rgb = J.decode_jpeg_rgb(payload)
+    assert (w, h) == (16, 16)
+    want = J.solid_roundtrip_rgb(r, g, b, quality=quality)
+    got = {tuple(px) for px in rgb.reshape(-1, 3)}
+    assert got == {want}, (got, want, color, quality)
+
+
+def test_gradient_roundtrip_psnr():
+    """Lossy but faithful: a smooth gradient survives q75 with PSNR well
+    above 30 dB; q95 beats q50."""
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (xx * 255 // max(w - 1, 1)),
+            (yy * 255 // max(h - 1, 1)),
+            ((xx + yy) * 255 // (w + h - 2)),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+    def psnr(quality):
+        _, _, back = J.decode_jpeg_rgb(J.encode_jpeg(img, quality=quality))
+        mse = np.mean((back.astype(float) - img.astype(float)) ** 2)
+        return 10 * math.log10(255**2 / mse)
+
+    p50, p75, p95 = psnr(50), psnr(75), psnr(95)
+    assert p75 > 30.0, p75
+    assert p95 > p50, (p95, p50)
+
+
+def test_nonmultiple_of_8_dimensions():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(13, 21, 3)).astype(np.uint8)
+    w, h, back = J.decode_jpeg_rgb(J.encode_jpeg(img, quality=90))
+    assert (w, h) == (21, 13)
+    assert back.shape == (13, 21, 3)
+    mse = np.mean((back.astype(float) - img.astype(float)) ** 2)
+    assert mse < 600  # noise is the worst case for JPEG; bounded, not tiny
+
+
+def test_header_probe_reads_encoder_output():
+    """The existing marker-walking header probe (multimodal._probe_header)
+    parses real encoder output — dims from the SOF0 segment."""
+    from sneaky_data_matcher_spark.operators import multimodal as M
+
+    img = np.zeros((8, 24, 3), dtype=np.uint8)
+    payload = J.encode_jpeg(img)
+    assert M.probe_image_header(payload) == ("jpeg", 24, 8)
+
+
+def test_progressive_rejected_as_unsupported():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    payload = bytearray(J.encode_jpeg(img))
+    # rewrite SOF0 (0xC0) marker to SOF2 (progressive)
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(J.UnsupportedJPEG):
+        J.decode_jpeg_rgb(bytes(payload))
+
+
+def test_truncated_stream_raises():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    payload = J.encode_jpeg(img)
+    with pytest.raises(Exception):
+        J.decode_jpeg_rgb(payload[: len(payload) // 3])
