@@ -1519,6 +1519,67 @@ def media_decode_png(spark, sf_dir):
     )
 
 
+# JPEG decode (r5): a REAL lossy DCT codec round trip — stdlib+numpy
+# baseline encoder + general baseline decoder (operators/jpegcodec.py),
+# Annex-K tables, Huffman entropy coding, byte stuffing. The fixture
+# images are SOLID colors (jpeg_params): a constant image has only DC
+# coefficients, so the decoded value per channel is the cosine-free
+# closed form solid_roundtrip_rgb — quantize round-half-even (DuckDB
+# round_even == np.round), dequantize, invert the DC-only IDCT, clamp —
+# which the oracle replicates term-for-term below (qy=8 / qc=9 are the
+# IJG-scaled Annex-K DC quants at quality 75). A bug anywhere in the
+# entropy coder, table emission, DCT scale, or color transform breaks
+# the hash.
+@_q(
+    "media_decode_jpeg",
+    f"WITH {_MEDIA_REFS_CTE}, "
+    f"jsd AS (SELECT media_ref, {_WAV_SEED} AS seed "
+    "  FROM (SELECT media_ref, sha256(media_ref) AS hh FROM refs WHERE kind = 'image')), "
+    "jpr AS (SELECT media_ref, 4 + seed % 12 AS w, 4 + (seed // 16) % 12 AS h, "
+    "  CAST((seed // 11) % 256 AS DOUBLE) AS r0, "
+    "  CAST((seed // 7) % 256 AS DOUBLE) AS g0, "
+    "  CAST(seed % 256 AS DOUBLE) AS b0 FROM jsd), "
+    "jyc AS (SELECT *, 0.299 * r0 + 0.587 * g0 + 0.114 * b0 AS y1, "
+    "  -0.168736 * r0 - 0.331264 * g0 + 0.5 * b0 + 128.0 AS cb1, "
+    "  0.5 * r0 - 0.418688 * g0 - 0.081312 * b0 + 128.0 AS cr1 FROM jpr), "
+    "jrt AS (SELECT *, "
+    "  round_even(8.0 * (y1 - 128.0) / 8.0, 0) * 8.0 / 8.0 + 128.0 AS y2, "
+    "  round_even(8.0 * (cb1 - 128.0) / 9.0, 0) * 9.0 / 8.0 + 128.0 AS cb2, "
+    "  round_even(8.0 * (cr1 - 128.0) / 9.0, 0) * 9.0 / 8.0 + 128.0 AS cr2 FROM jyc), "
+    "jrgb AS (SELECT media_ref, w, h, "
+    "  CAST(floor(least(255.0, greatest(0.0, y2 + 1.402 * (cr2 - 128.0))) + 0.5) AS BIGINT) AS r2, "
+    "  CAST(floor(least(255.0, greatest(0.0, y2 - 0.344136 * (cb2 - 128.0) - 0.714136 * (cr2 - 128.0))) + 0.5) AS BIGINT) AS g2, "
+    "  CAST(floor(least(255.0, greatest(0.0, y2 + 1.772 * (cb2 - 128.0))) + 0.5) AS BIGINT) AS b2 FROM jrt), "
+    "jlm AS (SELECT *, (r2 * 299 + g2 * 587 + b2 * 114) // 1000 AS lum FROM jrgb) "
+    "SELECT media_ref, CAST(idx AS INT) AS idx, floor((CASE idx "
+    "  WHEN 0 THEN w / 1024.0 "
+    "  WHEN 1 THEN h / 1024.0 "
+    "  WHEN 2 THEN CAST(r2 AS DOUBLE) / 255.0 "
+    "  WHEN 3 THEN CAST(g2 AS DOUBLE) / 255.0 "
+    "  WHEN 4 THEN CAST(b2 AS DOUBLE) / 255.0 "
+    "  WHEN 5 THEN CAST(lum AS DOUBLE) / 255.0 "
+    "  WHEN 6 THEN CAST(lum AS DOUBLE) / 255.0 "
+    "  WHEN 7 THEN CAST(lum AS DOUBLE) / 255.0 "
+    "  ELSE CASE WHEN lum * 8 // 256 = idx - 8 THEN 1.0 ELSE 0.0 END "
+    "END) * 1000000) / 1000000 AS value "
+    "FROM (SELECT *, unnest(range(16)) AS idx FROM jlm)",
+)
+def media_decode_jpeg(spark, sf_dir):
+    from .operators.multimodal import extract_features, synth_real_media_table
+
+    m = synth_real_media_table(_media(spark, sf_dir), image_format="jpeg").where(
+        F.col("kind") == "image"
+    )
+    feats = extract_features(m, strict=True)  # real DCT decode or die
+    return feats.select(
+        "media_ref", F.posexplode("feature").alias("idx", "value")
+    ).select(
+        "media_ref",
+        "idx",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+
+
 # AVI video decode (r3): synth emits a structurally-valid RIFF/AVI (hdrl +
 # movi with uncompressed bottom-up BGR24 '00db' frames), _decode_avi parses
 # it, and the twin recomputes every feature from the generative per-frame

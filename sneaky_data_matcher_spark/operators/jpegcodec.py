@@ -305,10 +305,19 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 75) -> bytes:
                     blk[ys:, :xs] = blk[ys - 1, :xs]
                 if xs < 8:
                     blk[:, xs:] = blk[:, xs - 1:xs]
-                f = _C @ (blk - 128.0) @ _C.T
+                shifted = blk - 128.0
+                f = _C @ shifted @ _C.T
                 # orthonormal DCT → spec scale: spec DC = 8·mean·…; the
                 # orthonormal transform already matches the T.81 scale
-                # (a(0)²·Σ = 1/8·Σ over 64 samples ⇒ DC = 8·mean shift)
+                # (a(0)²·Σ = 1/8·Σ over 64 samples ⇒ DC = 8·mean shift).
+                # DC recomputed as Σ/8 (mathematically identical; the
+                # matrix product's ~1e-12 error can flip np.round at an
+                # exact half-integer tie, e.g. a solid color whose luma
+                # lands on .5 — for a flat block the Σ of equal doubles
+                # and the ÷8 are both exact IEEE, so the tie rounds
+                # half-even deterministically, matching
+                # solid_roundtrip_rgb):
+                f[0, 0] = shifted.sum() / 8.0
                 coefs = np.round(f / quants[ci].reshape(8, 8)).astype(np.int64)
                 dc, ac = tabs[ci]
                 preds[ci] = _encode_block(
@@ -531,10 +540,21 @@ def _decode_scan(
                             size = rs & 15
                             coefs[k] = _extend(br.read_bits(size), size)
                             k += 1
-                        blk = np.zeros((8, 8))
-                        for i, z in enumerate(zz):
-                            blk[z // 8, z % 8] = coefs[i]
-                        f = _C.T @ (blk * q) @ _C + 128.0
+                        if not coefs[1:].any():
+                            # DC-only block (flat region): IDCT is a
+                            # constant qdc·q/8 — computed exactly (int
+                            # product, power-of-two divide) instead of
+                            # through the matrix product's float noise;
+                            # also the hot path for flat image areas
+                            f = np.full(
+                                (8, 8),
+                                int(coefs[0]) * int(q[0, 0]) / 8.0 + 128.0,
+                            )
+                        else:
+                            blk = np.zeros((8, 8))
+                            for i, z in enumerate(zz):
+                                blk[z // 8, z % 8] = coefs[i]
+                            f = _C.T @ (blk * q) @ _C + 128.0
                         py = (my * comp["v"] + by) * 8
                         px = (mx * comp["h"] + bx) * 8
                         planes[comp["id"]][py:py + 8, px:px + 8] = f

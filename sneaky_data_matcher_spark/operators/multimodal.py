@@ -557,19 +557,56 @@ def _decode_png(payload: bytes) -> list[float]:
     return [_q6(f) for f in feats]
 
 
+JPEG_QUALITY = 75
+
+
+def jpeg_params(media_ref: str) -> tuple[int, int, int, int, int, int]:
+    """(seed, w, h, r, g, b) of the synthetic SOLID-COLOR JPEG for a
+    media_ref. Solid on purpose: JPEG is lossy, but a constant image has
+    only DC coefficients, so decode(encode(solid)) is the cosine-free
+    closed form `jpegcodec.solid_roundtrip_rgb` — exactly replicable in
+    the DuckDB oracle (per-pixel formulas like the BMP/PNG twins' would
+    pick up quantization error no SQL twin could reproduce)."""
+    seed = _media_seed(media_ref)
+    return (
+        seed,
+        4 + seed % 12,
+        4 + (seed // 16) % 12,
+        (seed // 11) % 256,
+        (seed // 7) % 256,
+        seed % 256,
+    )
+
+
+def _jpeg_bytes(media_ref: str) -> bytes:
+    import numpy as np
+
+    from .jpegcodec import encode_jpeg
+
+    _, w, h, r, g, b = jpeg_params(media_ref)
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = r, g, b
+    return encode_jpeg(img, quality=JPEG_QUALITY)
+
+
 def synth_real_media_table(media: DataFrame, image_format: str = "bmp") -> DataFrame:
     """Replace the opaque pseudo-byte payloads with GENUINE WAV (audio) /
-    BMP-or-PNG (image) bytes, deterministic per media_ref; meta is updated
-    to the real dims/rate/duration. image_format: 'bmp' (default,
-    uncompressed), 'png' (zlib-compressed), or 'mixed' (PNG for even
-    seeds, BMP for odd — both containers in one table, decoder dispatches
-    on magic). mapInPandas: byte assembly is per-row Python by necessity
+    BMP-or-PNG-or-JPEG (image) bytes, deterministic per media_ref; meta is
+    updated to the real dims/rate/duration. image_format: 'bmp' (default,
+    uncompressed), 'png' (zlib-compressed), 'jpeg' (lossy DCT — solid
+    colors, see jpeg_params), or 'mixed' (PNG for even seeds, BMP for odd
+    — both containers in one table, decoder dispatches on magic).
+    mapInPandas: byte assembly is per-row Python by necessity
     (struct packing), but runs Arrow-batched and only over the media DIM
     table (distinct refs), never over the corpus."""
-    if image_format not in ("bmp", "png", "mixed"):
-        raise ValueError(f"image_format must be bmp|png|mixed, got {image_format!r}")
+    if image_format not in ("bmp", "png", "jpeg", "mixed"):
+        raise ValueError(
+            f"image_format must be bmp|png|jpeg|mixed, got {image_format!r}"
+        )
 
     def _image_bytes(ref: str) -> bytes:
+        if image_format == "jpeg":
+            return _jpeg_bytes(ref)
         if image_format == "png" or (
             image_format == "mixed" and _media_seed(ref) % 2 == 0
         ):

@@ -141,3 +141,28 @@ def test_truncated_stream_raises():
     payload = J.encode_jpeg(img)
     with pytest.raises(Exception):
         J.decode_jpeg_rgb(payload[: len(payload) // 3])
+
+
+def test_quality75_dc_quants_match_oracle_constants():
+    """The media_decode_jpeg DuckDB twin hardcodes qy=8 / qc=9 (IJG-scaled
+    Annex-K DC quants at the fixture quality): a quality or table change
+    must fail here before it silently breaks the driver hash."""
+    from sneaky_data_matcher_spark.operators.multimodal import JPEG_QUALITY
+
+    assert JPEG_QUALITY == 75
+    assert int(J._scaled_quant(J.QUANT_LUMA, 75)[0]) == 8
+    assert int(J._scaled_quant(J.QUANT_CHROMA, 75)[0]) == 9
+
+
+def test_solid_fixture_refs_match_closed_form():
+    """Every fixture media_ref's decoded solid color equals the closed
+    form — the exact property the driver oracle hashes (incl. refs whose
+    luma lands on a half-integer quantization tie)."""
+    from sneaky_data_matcher_spark.operators import multimodal as M
+
+    for i in range(40):
+        ref = f"t:{i:04d}-x"
+        _, w, h, r, g, b = M.jpeg_params(ref)
+        _, _, rgb = J.decode_jpeg_rgb(M._jpeg_bytes(ref))
+        got = {tuple(px) for px in rgb.reshape(-1, 3)}
+        assert got == {J.solid_roundtrip_rgb(r, g, b, M.JPEG_QUALITY)}, ref
