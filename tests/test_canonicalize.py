@@ -411,3 +411,17 @@ def test_email_idn_tld_mode(spark):
     ]
     want = [O.email_is_valid(v, check_tld=True) for v in cases]
     assert got == want == [True, False]
+
+
+def test_email_idn_udf_argument_is_masked(spark):
+    """Plan audit (the r4 masking rule): ArrowEvalPython evaluates for
+    every row regardless of CASE short-circuits, so the punycode kernel's
+    ARGUMENT must carry the non-ASCII mask — NULL in, O(1) out for the
+    ASCII majority. The executed plan must show the CASE INSIDE the
+    ArrowEvalPython argument list."""
+    df = spark.createDataFrame([("a@b.com",)], "v string")
+    out = df.select(C.email_is_valid(F.col("v")).alias("ok"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    arrow_lines = [l for l in plan.splitlines() if "ArrowEvalPython" in l]
+    assert len(arrow_lines) == 1, plan
+    assert "CASE WHEN" in arrow_lines[0] and "RLIKE" in arrow_lines[0], arrow_lines[0]
