@@ -1519,6 +1519,28 @@ def media_decode_png(spark, sf_dir):
     )
 
 
+# GIF decode (r5): the LZW compressed container, same pixel formula as
+# BMP/PNG — the oracle SQL is the BMP twin verbatim (container
+# independence is the certificate, exactly like PNG): palette build,
+# variable-width LSB-first LZW, sub-block reassembly, and the decoder's
+# inverse all have to be byte-correct for the hash to match.
+@_q("media_decode_gif", _PNG_DECODE_SQL)
+def media_decode_gif(spark, sf_dir):
+    from .operators.multimodal import extract_features, synth_real_media_table
+
+    m = synth_real_media_table(_media(spark, sf_dir), image_format="gif").where(
+        F.col("kind") == "image"
+    )
+    feats = extract_features(m, strict=True)  # real LZW decode or die
+    return feats.select(
+        "media_ref", F.posexplode("feature").alias("idx", "value")
+    ).select(
+        "media_ref",
+        "idx",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+
+
 # JPEG decode (r5): a REAL lossy DCT codec round trip — stdlib+numpy
 # baseline encoder + general baseline decoder (operators/jpegcodec.py),
 # Annex-K tables, Huffman entropy coding, byte stuffing. The fixture

@@ -557,6 +557,220 @@ def _decode_png(payload: bytes) -> list[float]:
     return [_q6(f) for f in feats]
 
 
+# ---------------------------------------------------------------------------
+# GIF (r5): a REAL LZW codec, stdlib-only — completing the lossless
+# compressed-container family (PNG=DEFLATE, GIF=LZW). The encoder builds
+# a palette from the image's distinct colors (synthetic images have
+# npx <= 225 distinct colors, under GIF's 256-entry limit), LZW-packs the
+# index stream with variable-width codes (LSB-first, clear/EOI, width
+# growth to 12 bits, clear-on-full reset), and chunks it into <=255-byte
+# sub-blocks; the decoder reverses all of it including the KwKwK case.
+# Pixels follow the SAME generative formula as BMP/PNG, so the existing
+# SQL pixel oracle certifies this compressed round trip too.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # GIF packs LSB-first
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    seq: tuple[int, ...] = ()
+    for idx in indices:
+        cand = seq + (idx,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq])
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code > 4095:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        seq = (idx,)
+    if seq:
+        emit(table[seq])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def read_code(size: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < size:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << size) - 1)
+        acc >>= size
+        nbits -= size
+        return v
+
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    code_size = min_code_size + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    while len(out) < n_pixels:
+        code = read_code(code_size)
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError(f"bad GIF LZW code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            # deferred-clear streams stop growing at 4096 — mirror that
+            table.append(prev + (entry[0],))
+            # width grows when the NEXT code to assign no longer fits
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("GIF pixel stream short")
+    return out[:n_pixels]
+
+
+def _gif_bytes(media_ref: str) -> bytes:
+    """Valid GIF89a with a real LZW-compressed index stream and a
+    per-image palette; deterministic pixels (same formula as BMP/PNG)."""
+    seed, w, h = bmp_params(media_ref)
+    pixels = [_bmp_pixel(seed, p) for p in range(w * h)]
+    palette: list[tuple[int, int, int]] = []
+    lookup: dict[tuple[int, int, int], int] = {}
+    indices = []
+    for px in pixels:
+        if px not in lookup:
+            lookup[px] = len(palette)
+            palette.append(px)
+        indices.append(lookup[px])
+    if len(palette) > 256:  # impossible for the synthetic formula, guard anyway
+        raise ValueError("GIF encoder: > 256 distinct colors")
+    size_bits = max(1, (len(palette) - 1).bit_length())
+    gct_n = 1 << size_bits
+    min_code_size = max(2, size_bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (7 << 4) | (size_bits - 1), 0, 0])
+    for i in range(gct_n):
+        out += bytes(palette[i]) if i < len(palette) else b"\x00\x00\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(min_code_size)
+    lzw = _gif_lzw_encode(indices, min_code_size)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i:i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> list[float]:
+    """Parse a GIF87a/89a single-image stream for real: logical screen +
+    color tables, extension-block skipping, sub-block reassembly, LZW
+    decompression — then featurize identically to `_decode_bmp`."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 1 << ((packed & 7) + 1)
+        gct = [tuple(payload[pos + 3 * i:pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            raise ValueError("GIF has no image descriptor")
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        left, top, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+        ipacked = payload[pos + 9]
+        pos += 10
+        ct = gct
+        if ipacked & 0x80:  # local color table
+            n = 1 << ((ipacked & 7) + 1)
+            ct = [tuple(payload[pos + 3 * i:pos + 3 * i + 3]) for i in range(n)]
+            pos += 3 * n
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        if ct is None:
+            raise ValueError("GIF image has no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            lzw += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        indices = _gif_lzw_decode(bytes(lzw), min_code_size, w * h)
+        rs = gs = bs = 0
+        lums: list[int] = []
+        for idx in indices:
+            r, g, b2 = ct[idx]
+            rs, gs, bs = rs + r, gs + g, bs + b2
+            lums.append((r * 299 + g * 587 + b2 * 114) // 1000)
+        npx = w * h
+        hist = [0] * 8
+        for lum in lums:
+            hist[lum * 8 // 256] += 1
+        feats = [
+            w / 1024.0,
+            h / 1024.0,
+            rs / npx / 255.0,
+            gs / npx / 255.0,
+            bs / npx / 255.0,
+            sum(lums) / npx / 255.0,
+            max(lums) / 255.0,
+            min(lums) / 255.0,
+        ] + [c / npx for c in hist]
+        return [_q6(f) for f in feats]
+    raise ValueError("GIF truncated before image data")
+
+
 JPEG_QUALITY = 75
 
 
@@ -599,14 +813,16 @@ def synth_real_media_table(media: DataFrame, image_format: str = "bmp") -> DataF
     mapInPandas: byte assembly is per-row Python by necessity
     (struct packing), but runs Arrow-batched and only over the media DIM
     table (distinct refs), never over the corpus."""
-    if image_format not in ("bmp", "png", "jpeg", "mixed"):
+    if image_format not in ("bmp", "png", "gif", "jpeg", "mixed"):
         raise ValueError(
-            f"image_format must be bmp|png|jpeg|mixed, got {image_format!r}"
+            f"image_format must be bmp|png|gif|jpeg|mixed, got {image_format!r}"
         )
 
     def _image_bytes(ref: str) -> bytes:
         if image_format == "jpeg":
             return _jpeg_bytes(ref)
+        if image_format == "gif":
+            return _gif_bytes(ref)
         if image_format == "png" or (
             image_format == "mixed" and _media_seed(ref) % 2 == 0
         ):
@@ -772,6 +988,8 @@ def _decode_one(payload: bytes, kind: str, strict: bool) -> list[float]:
                 return _decode_bmp(payload)
             if payload[:8] == b"\x89PNG\r\n\x1a\n":
                 return _decode_png(payload)
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                return _decode_gif(payload)
             if payload[:3] == b"\xff\xd8\xff":
                 from .jpegcodec import UnsupportedJPEG
 

@@ -1,0 +1,77 @@
+"""GIF LZW codec (operators/multimodal.py _gif_bytes/_decode_gif) —
+lossless, so decoded features must equal the BMP decoder's on the same
+generative pixels; the LZW layer is additionally exercised directly
+(KwKwK, width growth to 12 bits, clear-on-full, sub-block reassembly).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sneaky_data_matcher_spark.operators import multimodal as M
+
+
+def test_gif_features_equal_bmp_features():
+    """Container independence: GIF(LZW) and BMP decode to identical
+    features for the same media_ref (same generative pixel formula) —
+    the property that lets the existing SQL pixel oracle certify GIF."""
+    for i in range(25):
+        ref = f"g:{i:04d}-x"
+        gif_feats = M._decode_one(M._gif_bytes(ref), "image", strict=True)
+        bmp_feats = M._decode_one(M._bmp_bytes(ref), "image", strict=True)
+        assert gif_feats == bmp_feats, ref
+
+
+def test_lzw_kwkwk_case():
+    """A run of identical symbols forces code == len(table) immediately
+    (the KwKwK special case) — must round-trip."""
+    for run in (2, 3, 10, 100):
+        idx = [0] * run
+        enc = M._gif_lzw_encode(idx, 2)
+        assert M._gif_lzw_decode(enc, 2, run) == idx
+
+
+def test_lzw_width_growth_and_reset():
+    """A long non-repeating-ish stream drives the code width up (past 9
+    bits needs > 256 table entries) and, at > 4095 entries, the encoder
+    emits a mid-stream CLEAR — decoder must follow both."""
+    # Lehmer-ish deterministic pseudo-random indices over a 256-symbol
+    # alphabet; 60k symbols ≈ tens of thousands of dict entries → resets
+    idx = [(i * 48271 + 11) % 256 for i in range(60000)]
+    enc = M._gif_lzw_encode(idx, 8)
+    assert M._gif_lzw_decode(enc, 8, len(idx)) == idx
+
+
+def test_lzw_small_alphabet_roundtrip():
+    idx = [i % 3 for i in range(997)]
+    enc = M._gif_lzw_encode(idx, 2)
+    assert M._gif_lzw_decode(enc, 2, len(idx)) == idx
+
+
+def test_gif_subblock_chunking():
+    """Payload LZW data longer than 255 bytes must split into multiple
+    sub-blocks and reassemble — use the largest synthetic image."""
+    # find a ref with a big image (w, h near 15) so the LZW stream is long
+    for i in range(200):
+        ref = f"big:{i}"
+        _, w, h = M.bmp_params(ref)
+        if w * h > 180:
+            payload = M._gif_bytes(ref)
+            feats = M._decode_one(payload, "image", strict=True)
+            assert feats[0] == pytest.approx(w / 1024.0, abs=1e-6)
+            return
+    pytest.fail("no large synthetic image found")
+
+
+def test_gif_truncation_raises():
+    payload = M._gif_bytes("t:1")
+    with pytest.raises((ValueError, IndexError)):
+        M._decode_gif(payload[: len(payload) // 2])
+
+
+def test_gif_header_probe_fixture_is_not_decodable():
+    """The header-probe pseudo-GIF (header bytes only, no image data)
+    must raise under strict decode — it has no image descriptor."""
+    hdr = M._gif_header_bytes(10, 10)
+    with pytest.raises((ValueError, IndexError)):
+        M._decode_gif(hdr)
