@@ -34,11 +34,16 @@ def test_gapfill_locf_semantics(spark):
     by_user: dict[int, list] = {}
     for r in out:
         by_user.setdefault(r["user_id"], []).append(r)
+    from datetime import date
+
     for user, rows in by_user.items():
+        # day is rendered as a 'yyyy-MM-dd' string since r5 (pandas-DATE
+        # driver-hash hazard; see the registry query) — parse it back
         rows.sort(key=lambda r: r["day"])
-        # contiguous daily grid
         for a, b in zip(rows, rows[1:]):
-            assert b["day"] - a["day"] == timedelta(days=1)
+            da = date.fromisoformat(a["day"])
+            db = date.fromisoformat(b["day"])
+            assert db - da == timedelta(days=1)
         # first row is always an observation; fills never null after it
         assert rows[0]["is_gap"] is False
         last = None

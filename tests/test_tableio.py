@@ -82,6 +82,9 @@ def test_schema_evolution_merge_fills_nulls(spark):
     assert len(rows) == 500
     for r in rows:
         if r["doc_id"] % 2 == 0:
-            assert r["lang"] is None and r["quality"] is None  # v1 generation
+            # v1 generation: merge-filled NULL lang; quality carries the
+            # -1 sentinel since r5 (NULL-in-BIGINT pandas-coercion
+            # driver-hash hazard; see the registry query)
+            assert r["lang"] is None and r["quality"] == -1
         else:
-            assert r["lang"] is not None and r["quality"] is not None
+            assert r["lang"] is not None and r["quality"] >= 0
