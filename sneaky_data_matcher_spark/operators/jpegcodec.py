@@ -253,76 +253,132 @@ def _marker(tag: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, tag, len(payload) + 2) + payload
 
 
-def encode_jpeg(rgb: np.ndarray, quality: int = 75) -> bytes:
-    """Encode an (h, w, 3) uint8 array as baseline JFIF (4:4:4, single
-    interleaved scan, Annex-K Huffman tables, IJG-scaled Annex-K quant)."""
+def _pad_edge(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate `plane` up to (ph, pw)."""
+    h, w = plane.shape
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def encode_jpeg(
+    rgb: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "444",
+    gray: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 array as baseline JFIF (single
+    interleaved scan, Annex-K Huffman tables, IJG-scaled Annex-K quant).
+
+    Options exercise every decoder branch: `subsampling` '444' (default)
+    or '420' (Y at 2×2, box-averaged chroma); `gray=True` emits a
+    1-component luma-only frame; `restart_interval=n` emits DRI + RSTn
+    markers every n MCUs (DC predictors reset, stream byte-aligned)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be 444|420, got {subsampling!r}")
     rgb = np.asarray(rgb, dtype=np.float64)
     h, w = rgb.shape[0], rgb.shape[1]
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     # JFIF YCbCr
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
     qy = _scaled_quant(QUANT_LUMA, quality)
     qc = _scaled_quant(QUANT_CHROMA, quality)
+    dc_l, ac_l = _build_codes(*_DC_LUMA), _build_codes(*_AC_LUMA)
+    dc_c, ac_c = _build_codes(*_DC_CHROMA), _build_codes(*_AC_CHROMA)
+
+    # components: (cid, h_samp, v_samp, plane, quant, dc_codes, ac_codes, tq, td_ta)
+    if gray:
+        comps = [(1, 1, 1, y, qy, dc_l, ac_l, 0, 0x00)]
+    else:
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "420":
+            # box-average 2×2 (pad to even first)
+            def down2(p: np.ndarray) -> np.ndarray:
+                pe = _pad_edge(p, (p.shape[0] + 1) // 2 * 2, (p.shape[1] + 1) // 2 * 2)
+                return (pe[0::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 0::2] + pe[1::2, 1::2]) / 4.0
+
+            comps = [
+                (1, 2, 2, y, qy, dc_l, ac_l, 0, 0x00),
+                (2, 1, 1, down2(cb), qc, dc_c, ac_c, 1, 0x11),
+                (3, 1, 1, down2(cr), qc, dc_c, ac_c, 1, 0x11),
+            ]
+        else:
+            comps = [
+                (1, 1, 1, y, qy, dc_l, ac_l, 0, 0x00),
+                (2, 1, 1, cb, qc, dc_c, ac_c, 1, 0x11),
+                (3, 1, 1, cr, qc, dc_c, ac_c, 1, 0x11),
+            ]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = [
+        _pad_edge(c[3], mcuy * c[2] * 8, mcux * c[1] * 8) for c in comps
+    ]
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for tid, q in ((0, qy), (1, qc)):
-        out += _marker(0xDB, bytes([tid]) + bytes(int(q[z]) for z in ZIGZAG))
-    # SOF0: 8-bit, 3 components, all 1×1 sampling
-    sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, tq])
+    out += _marker(0xDB, bytes([0]) + bytes(int(qy[z]) for z in ZIGZAG))
+    if not gray:
+        out += _marker(0xDB, bytes([1]) + bytes(int(qc[z]) for z in ZIGZAG))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs, _, _, _, _, tq, _ in comps:
+        sof += bytes([cid, (hs << 4) | vs, tq])
     out += _marker(0xC0, sof)
-    for tc_th, (bits, vals) in (
-        (0x00, _DC_LUMA), (0x10, _AC_LUMA), (0x01, _DC_CHROMA), (0x11, _AC_CHROMA)
-    ):
+    tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if not gray:
+        tables += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    for tc_th, (bits, vals) in tables:
         out += _marker(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
-    sos = bytes([3]) + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])
+    if restart_interval:
+        out += _marker(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(comps)])
+    for cid, *_rest, td_ta in comps:
+        sos += bytes([cid, td_ta])
+    sos += bytes([0, 63, 0])
     out += _marker(0xDA, sos)
 
-    dc_l = _build_codes(*_DC_LUMA)
-    ac_l = _build_codes(*_AC_LUMA)
-    dc_c = _build_codes(*_DC_CHROMA)
-    ac_c = _build_codes(*_AC_CHROMA)
     bw = _BitWriter()
-    preds = [0, 0, 0]
-    planes = (y, cb, cr)
-    tabs = ((dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c))
-    quants = (qy, qc, qc)
+    preds = [0] * len(comps)
     zz = np.array(ZIGZAG)
-    for by in range(0, (h + 7) // 8 * 8, 8):
-        for bx in range(0, (w + 7) // 8 * 8, 8):
-            for ci in range(3):
-                plane = planes[ci]
-                blk = np.empty((8, 8))
-                ys = min(by + 8, h) - by
-                xs = min(bx + 8, w) - bx
-                blk[:ys, :xs] = plane[by:by + ys, bx:bx + xs]
-                # edge replication for partial blocks
-                if ys < 8:
-                    blk[ys:, :xs] = blk[ys - 1, :xs]
-                if xs < 8:
-                    blk[:, xs:] = blk[:, xs - 1:xs]
-                shifted = blk - 128.0
-                f = _C @ shifted @ _C.T
-                # orthonormal DCT → spec scale: spec DC = 8·mean·…; the
-                # orthonormal transform already matches the T.81 scale
-                # (a(0)²·Σ = 1/8·Σ over 64 samples ⇒ DC = 8·mean shift).
-                # DC recomputed as Σ/8 (mathematically identical; the
-                # matrix product's ~1e-12 error can flip np.round at an
-                # exact half-integer tie, e.g. a solid color whose luma
-                # lands on .5 — for a flat block the Σ of equal doubles
-                # and the ÷8 are both exact IEEE, so the tie rounds
-                # half-even deterministically, matching
-                # solid_roundtrip_rgb):
-                f[0, 0] = shifted.sum() / 8.0
-                coefs = np.round(f / quants[ci].reshape(8, 8)).astype(np.int64)
-                dc, ac = tabs[ci]
-                preds[ci] = _encode_block(
-                    bw, coefs.flatten()[zz], preds[ci], dc, ac
-                )
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                bw.flush()  # byte-align (1-fill) before the marker
+                out += bw.buf
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                preds = [0] * len(comps)
+            for ci, (cid, hs, vs, _, quant, dc, ac, _tq, _t) in enumerate(comps):
+                plane = padded[ci]
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        py = (my * vs + byi) * 8
+                        px = (mx * hs + bxi) * 8
+                        shifted = plane[py:py + 8, px:px + 8] - 128.0
+                        f = _C @ shifted @ _C.T
+                        # orthonormal DCT == the T.81 scale (a(0)²·Σ =
+                        # Σ/8 ⇒ DC = 8·mean shift). DC recomputed as Σ/8
+                        # (mathematically identical; the matrix product's
+                        # ~1e-12 error can flip np.round at an exact
+                        # half-integer tie, e.g. a solid color whose luma
+                        # lands on .5 — for a flat block the Σ of equal
+                        # doubles and the ÷8 are both exact IEEE, so the
+                        # tie rounds half-even deterministically,
+                        # matching solid_roundtrip_rgb):
+                        f[0, 0] = shifted.sum() / 8.0
+                        coefs = np.round(f / quant.reshape(8, 8)).astype(np.int64)
+                        preds[ci] = _encode_block(
+                            bw, coefs.flatten()[zz], preds[ci], dc, ac
+                        )
+            mcu_count += 1
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI

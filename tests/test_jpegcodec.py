@@ -166,3 +166,86 @@ def test_solid_fixture_refs_match_closed_form():
         _, _, rgb = J.decode_jpeg_rgb(M._jpeg_bytes(ref))
         got = {tuple(px) for px in rgb.reshape(-1, 3)}
         assert got == {J.solid_roundtrip_rgb(r, g, b, M.JPEG_QUALITY)}, ref
+
+
+# ---------------------------------------------------------------------------
+# Decoder branch coverage: 4:2:0 subsampling, grayscale, restart markers
+# (the encoder options exist to exercise these general-decoder paths)
+# ---------------------------------------------------------------------------
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (xx * 255 // max(w - 1, 1)),
+            (yy * 255 // max(h - 1, 1)),
+            ((xx + yy) * 255 // max(w + h - 2, 1)),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 10 * math.log10(255**2 / mse)
+
+
+def test_420_subsampling_roundtrip():
+    """4:2:0: Y at 2×2 sampling, box-averaged chroma — decoder MCU
+    geometry, multi-block-per-MCU ordering, and chroma upsampling."""
+    img = _gradient(24, 40)
+    payload = J.encode_jpeg(img, quality=90, subsampling="420")
+    w, h, back = J.decode_jpeg_rgb(payload)
+    assert (w, h) == (40, 24)
+    assert _psnr(img, back) > 28.0  # chroma is quarter-res: a bit below 444
+
+
+def test_420_nonmultiple_of_16_dims():
+    img = _gradient(13, 21)  # MCU is 16×16 → partial MCUs both axes
+    w, h, back = J.decode_jpeg_rgb(J.encode_jpeg(img, quality=90, subsampling="420"))
+    assert (w, h) == (21, 13) and back.shape == (13, 21, 3)
+
+
+def test_grayscale_roundtrip():
+    """1-component scan: decoder's gray path replicates Y into RGB."""
+    img = _gradient(16, 24)
+    payload = J.encode_jpeg(img, quality=90, gray=True)
+    w, h, back = J.decode_jpeg_rgb(payload)
+    assert (w, h) == (24, 16)
+    # all three channels equal (replicated Y)
+    assert (back[..., 0] == back[..., 1]).all() and (back[..., 1] == back[..., 2]).all()
+    want_y = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+    assert np.abs(back[..., 0].astype(float) - want_y).mean() < 6.0
+
+
+def test_restart_markers_roundtrip():
+    """DRI/RSTn: predictors reset + byte-aligned resume every n MCUs."""
+    img = _gradient(24, 64)  # 3×8 = 24 MCUs at 4:4:4
+    for ri in (1, 2, 5):
+        payload = J.encode_jpeg(img, quality=90, restart_interval=ri)
+        assert b"\xff\xdd" in payload  # DRI emitted
+        assert any(bytes([0xFF, 0xD0 + n]) in payload for n in range(8))
+        w, h, back = J.decode_jpeg_rgb(payload)
+        assert (w, h) == (64, 24)
+        assert _psnr(img, back) > 30.0, ri
+
+
+def test_restart_markers_with_420():
+    img = _gradient(33, 47)
+    payload = J.encode_jpeg(img, quality=85, subsampling="420", restart_interval=2)
+    w, h, back = J.decode_jpeg_rgb(payload)
+    assert (w, h) == (47, 33)
+    assert _psnr(img, back) > 26.0
+
+
+def test_solid_closed_form_holds_under_420_and_restarts():
+    """Flat blocks stay flat through downsampling, so the solid-color
+    closed form holds for 4:2:0 and restart-interval streams too."""
+    img = np.zeros((32, 32, 3), dtype=np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 180, 90, 40
+    want = {J.solid_roundtrip_rgb(180, 90, 40, 75)}
+    for kwargs in ({"subsampling": "420"}, {"restart_interval": 1},
+                   {"subsampling": "420", "restart_interval": 1}):
+        _, _, rgb = J.decode_jpeg_rgb(J.encode_jpeg(img, quality=75, **kwargs))
+        assert {tuple(px) for px in rgb.reshape(-1, 3)} == want, kwargs
