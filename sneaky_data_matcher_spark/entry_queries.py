@@ -1541,6 +1541,34 @@ def media_decode_gif(spark, sf_dir):
     )
 
 
+# Mixed-container decode (r5): ALL FOUR image containers in ONE table
+# (bmp/png/gif/jpeg by seed % 4), one strict extract_features pass — the
+# certificate that per-payload magic DISPATCH works, not just each codec
+# in isolation. Oracle: lossless refs (seed % 4 <> 3) reuse the BMP
+# pixel-formula twin; jpeg refs (seed % 4 = 3) the solid closed form —
+# branched by recomputing the seed from sha256(media_ref) in the outer
+# WHERE (8 hex digits, same _WAV_SEED arithmetic).
+_MIXED4_SEED = _hex_int_sql("sha256(media_ref)", 1, 8)
+
+
+# oracle assigned AFTER the jpeg twin below (it composes both SQL strings)
+@_q("media_decode_mixed", None)
+def media_decode_mixed(spark, sf_dir):
+    from .operators.multimodal import extract_features, synth_real_media_table
+
+    m = synth_real_media_table(_media(spark, sf_dir), image_format="mixed4").where(
+        F.col("kind") == "image"
+    )
+    feats = extract_features(m, strict=True)  # every container or die
+    return feats.select(
+        "media_ref", F.posexplode("feature").alias("idx", "value")
+    ).select(
+        "media_ref",
+        "idx",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+
+
 # JPEG decode (r5): a REAL lossy DCT codec round trip — stdlib+numpy
 # baseline encoder + general baseline decoder (operators/jpegcodec.py),
 # Annex-K tables, Huffman entropy coding, byte stuffing. The fixture
@@ -1600,6 +1628,19 @@ def media_decode_jpeg(spark, sf_dir):
         "idx",
         F.round(F.col("value").cast("double"), 6).alias("value"),
     )
+
+
+# media_decode_mixed oracle (declared above): lossless branch = the BMP
+# pixel twin, jpeg branch = the solid closed-form twin, routed by the
+# seed recomputed from sha256(media_ref) — the same 4-way split
+# synth_real_media_table('mixed4') uses for the payload bytes.
+ORACLE_SQL["media_decode_mixed"] = (
+    f"SELECT * FROM ({ORACLE_SQL['media_decode_bmp']}) "
+    f"WHERE ({_MIXED4_SEED}) % 4 <> 3 "
+    "UNION ALL "
+    f"SELECT * FROM ({ORACLE_SQL['media_decode_jpeg']}) "
+    f"WHERE ({_MIXED4_SEED}) % 4 = 3"
+)
 
 
 # AVI video decode (r3): synth emits a structurally-valid RIFF/AVI (hdrl +

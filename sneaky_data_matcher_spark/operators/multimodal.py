@@ -813,12 +813,20 @@ def synth_real_media_table(media: DataFrame, image_format: str = "bmp") -> DataF
     mapInPandas: byte assembly is per-row Python by necessity
     (struct packing), but runs Arrow-batched and only over the media DIM
     table (distinct refs), never over the corpus."""
-    if image_format not in ("bmp", "png", "gif", "jpeg", "mixed"):
+    if image_format not in ("bmp", "png", "gif", "jpeg", "mixed", "mixed4"):
         raise ValueError(
-            f"image_format must be bmp|png|gif|jpeg|mixed, got {image_format!r}"
+            f"image_format must be bmp|png|gif|jpeg|mixed|mixed4, got {image_format!r}"
         )
 
     def _image_bytes(ref: str) -> bytes:
+        if image_format == "mixed4":
+            # all four containers in ONE table, chosen by seed — the
+            # decoder must dispatch per payload magic (r5 dispatch
+            # certificate; lossless refs keep the pixel formula, jpeg
+            # refs are solid colors per jpeg_params)
+            return (_bmp_bytes, _png_bytes, _gif_bytes, _jpeg_bytes)[
+                _media_seed(ref) % 4
+            ](ref)
         if image_format == "jpeg":
             return _jpeg_bytes(ref)
         if image_format == "gif":

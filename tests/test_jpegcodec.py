@@ -249,3 +249,45 @@ def test_solid_closed_form_holds_under_420_and_restarts():
                    {"subsampling": "420", "restart_interval": 1}):
         _, _, rgb = J.decode_jpeg_rgb(J.encode_jpeg(img, quality=75, **kwargs))
         assert {tuple(px) for px in rgb.reshape(-1, 3)} == want, kwargs
+
+
+def test_jpeg_property_random_images_bounded_error():
+    """Random images: every option combination decodes without error and
+    with bounded distortion (noise is JPEG's worst case — assert a loose
+    but real bound, and that dims always survive exactly)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=0, max_value=2**31 - 1),
+        st.sampled_from(["444", "420"]),
+        st.sampled_from([0, 1, 3]),
+        st.booleans(),
+    )
+    def prop(w, h, seed, sub, ri, gray):
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        payload = J.encode_jpeg(
+            img, quality=90, subsampling=sub, restart_interval=ri, gray=gray
+        )
+        ww, hh, back = J.decode_jpeg_rgb(payload)
+        assert (ww, hh) == (w, h) and back.shape == (h, w, 3)
+        if gray or sub == "420":
+            # gray drops chroma; 4:2:0 box-averages it (a 1×2 random
+            # image legitimately loses most chroma) — luma carries the
+            # comparable signal in both cases
+            want = (
+                0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+            )
+            got = (
+                0.299 * back[..., 0] + 0.587 * back[..., 1] + 0.114 * back[..., 2]
+            )
+            err = np.abs(got.astype(float) - want)
+        else:
+            err = np.abs(back.astype(float) - img.astype(float))
+        assert err.mean() < 40.0  # random noise at q90; loose but real
+
+    prop()
