@@ -8356,6 +8356,62 @@ def image_phash_q(spark, sf_dir):
     return image_ahash(m, strict=True)
 
 
+# Cross-container image dedup (r5): the SAME image stored twice — once
+# as uncompressed BMP, once as LZW GIF — must land in the same dup
+# bucket. Both payloads are really decoded (different codecs!) before
+# hashing, so a hash-equality pair per base ref certifies that the
+# perceptual hash is container-invariant END TO END — the real-world
+# "one photo saved in two formats" dedup a multimodal corpus needs. The
+# oracle computes each base ref's ahash once from the generative pixel
+# formula and expands to both suffixed container rows; any coincidental
+# cross-ref collisions are reproduced identically (same bit math).
+_XFMT_AHASH_CTE = (
+    f"{_MEDIA_REFS_CTE}, "
+    f"xf_sd AS (SELECT media_ref, {_WAV_SEED} AS seed "
+    "  FROM (SELECT media_ref, sha256(media_ref) AS hh FROM refs WHERE kind = 'image')), "
+    "xf_pr AS (SELECT media_ref, seed, 4 + seed % 12 AS w, 4 + (seed // 16) % 12 AS h FROM xf_sd), "
+    "xf_lm AS (SELECT media_ref, w, h, list_transform(range(0, w * h), "
+    "  p -> (((seed // 11 + 7 * p) % 256) * 299 + ((seed // 7 + 5 * p) % 256) * 587 "
+    "      + ((seed + 3 * p) % 256) * 114) // 1000) AS lum FROM xf_pr), "
+    "xf_sm AS (SELECT media_ref, list_transform(range(0, 64), "
+    "  k -> lum[CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1 AS INT)]) AS s FROM xf_lm), "
+    "xf_ah AS (SELECT media_ref, array_to_string(list_transform(s, "
+    "  x -> CASE WHEN 64 * x >= list_sum(s) THEN '1' ELSE '0' END), '') AS ahash FROM xf_sm), "
+    "xf_both AS (SELECT media_ref || '#bmp' AS mr, ahash FROM xf_ah "
+    "  UNION ALL SELECT media_ref || '#gif', ahash FROM xf_ah)"
+)
+
+
+@_q(
+    "media_cross_format_dup",
+    f"WITH {_XFMT_AHASH_CTE} "
+    "SELECT a.mr AS ref_a, b.mr AS ref_b, a.ahash AS ahash "
+    "FROM xf_both a JOIN xf_both b ON a.ahash = b.ahash AND a.mr < b.mr",
+)
+def media_cross_format_dup_q(spark, sf_dir):
+    from .operators.multimodal import image_ahash, synth_real_media_table
+
+    media = _media(spark, sf_dir)
+    bmp = (
+        synth_real_media_table(media, image_format="bmp")
+        .where(F.col("kind") == "image")
+        .withColumn("media_ref", F.concat("media_ref", F.lit("#bmp")))
+    )
+    gif = (
+        synth_real_media_table(media, image_format="gif")
+        .where(F.col("kind") == "image")
+        .withColumn("media_ref", F.concat("media_ref", F.lit("#gif")))
+    )
+    h = image_ahash(bmp.unionByName(gif), strict=True).select("media_ref", "ahash")
+    a = h.select(F.col("media_ref").alias("ref_a"), "ahash")
+    b = h.select(F.col("media_ref").alias("ref_b"), F.col("ahash").alias("ahash_b"))
+    return (
+        a.join(b, a["ahash"] == b["ahash_b"])
+        .where(F.col("ref_a") < F.col("ref_b"))
+        .select("ref_a", "ref_b", "ahash")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Audio fingerprint (operators/multimodal.py audio_fingerprint): 32-band
 # energy-envelope signature over REAL decoded PCM — the audio member of

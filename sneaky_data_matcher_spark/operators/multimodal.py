@@ -557,6 +557,140 @@ def _decode_png(payload: bytes) -> list[float]:
     return [_q6(f) for f in feats]
 
 
+def _image_rgb_lums(payload: bytes) -> tuple[int, int, list[int]]:
+    """(w, h, per-pixel luminance, top-down) for ANY supported image
+    container — the codec-agnostic pixel view the perceptual hash needs
+    (r5: same integer luma formula across BMP/PNG/GIF/JPEG, so hashes
+    are container-invariant end to end)."""
+    if payload[:2] == b"BM":
+        w, h, _, _, _, lums = _bmp_rgb_lums(payload)
+        return w, h, lums
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_lums(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_lums(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from .jpegcodec import decode_jpeg_rgb
+
+        w, h, rgb = decode_jpeg_rgb(payload)
+        arr = rgb.reshape(-1, 3).astype("int64")
+        lums = ((arr[:, 0] * 299 + arr[:, 1] * 587 + arr[:, 2] * 114) // 1000)
+        return w, h, [int(x) for x in lums]
+    raise ValueError("unsupported image container for pixel extraction")
+
+
+def _png_lums(payload: bytes) -> tuple[int, int, list[int]]:
+    """PNG (w, h, lums) via the full decoder's feature-independent core:
+    re-derives lums by running _decode_png's pixel walk. Kept simple by
+    reusing the featurizer path's invariants: _decode_png already raises
+    on anything unsupported."""
+    # decode once for validation, then re-walk pixels cheaply via the
+    # same chunk machinery (payload sizes here are tiny dim-table rows)
+    import io as _io  # noqa: F401 (symmetry with other helpers)
+
+    # reuse the BMP-formula twin property: rebuild via zlib directly
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w, h = 8, None, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        size = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            w, h = struct.unpack(">II", data[:8])
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    stream = zlib.decompress(bytes(idat))
+    bpp, rowlen = 3, 3 * w
+    if len(stream) != h * (rowlen + 1):
+        raise ValueError("PNG pixel stream length mismatch")
+    lums: list[int] = []
+    prior = bytes(rowlen)
+    for y in range(h):
+        t = stream[y * (rowlen + 1)]
+        fdata = stream[y * (rowlen + 1) + 1 : (y + 1) * (rowlen + 1)]
+        raw = bytearray(rowlen)
+        for i, f in enumerate(fdata):
+            a = raw[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if t == 0:
+                v = f
+            elif t == 1:
+                v = (f + a) & 255
+            elif t == 2:
+                v = (f + b) & 255
+            elif t == 3:
+                v = (f + (a + b) // 2) & 255
+            elif t == 4:
+                v = (f + _paeth(a, b, c)) & 255
+            else:
+                raise ValueError(f"bad PNG filter type {t}")
+            raw[i] = v
+        prior = bytes(raw)
+        for x in range(w):
+            r, g, b2 = raw[3 * x], raw[3 * x + 1], raw[3 * x + 2]
+            lums.append((r * 299 + g * 587 + b2 * 114) // 1000)
+    return w, h, lums
+
+
+def _gif_lums(payload: bytes) -> tuple[int, int, list[int]]:
+    """GIF (w, h, lums): palette + LZW walk (same parse as _decode_gif)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 1 << ((packed & 7) + 1)
+        gct = [tuple(payload[pos + 3 * i:pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:
+            raise ValueError("GIF has no image descriptor")
+        if b0 == 0x21:
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        _, _, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+        ipacked = payload[pos + 9]
+        pos += 10
+        ct = gct
+        if ipacked & 0x80:
+            n = 1 << ((ipacked & 7) + 1)
+            ct = [tuple(payload[pos + 3 * i:pos + 3 * i + 3]) for i in range(n)]
+            pos += 3 * n
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        if ct is None:
+            raise ValueError("GIF image has no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            lzw += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        indices = _gif_lzw_decode(bytes(lzw), min_code_size, w * h)
+        lums = [
+            (ct[i][0] * 299 + ct[i][1] * 587 + ct[i][2] * 114) // 1000
+            for i in indices
+        ]
+        return w, h, lums
+    raise ValueError("GIF truncated before image data")
+
+
 # ---------------------------------------------------------------------------
 # GIF (r5): a REAL LZW codec, stdlib-only — completing the lossless
 # compressed-container family (PNG=DEFLATE, GIF=LZW). The encoder builds
@@ -1242,10 +1376,13 @@ def ahash_bits(lums: list[int], w: int, h: int) -> str:
 
 
 def image_ahash(media: DataFrame, strict: bool = False) -> DataFrame:
-    """mapInPandas: 24-bit BMP payloads -> (media_ref, ahash). Non-BMP
-    kinds are skipped (PNG arrives as pixels via _decode_png's path in
-    extract_features; wire it here when needed). strict=True raises on
-    malformed payloads instead of dropping them."""
+    """mapInPandas: image payloads -> (media_ref, ahash). Container-
+    agnostic since r5: BMP, PNG, GIF, and baseline JPEG all decode to the
+    same integer-luma pixel view (_image_rgb_lums), so a photo stored in
+    two LOSSLESS formats hashes identically (a JPEG copy hashes within
+    the usual small Hamming radius — that's what the near-dup pairing's
+    max_hamming absorbs). strict=True raises on malformed payloads
+    instead of dropping them."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1257,8 +1394,8 @@ def image_ahash(media: DataFrame, strict: bool = False) -> DataFrame:
                 if kind != "image":
                     continue
                 try:
-                    w, h, _, _, _, lums = _bmp_rgb_lums(bytes(payload))
-                except ValueError:
+                    w, h, lums = _image_rgb_lums(bytes(payload))
+                except (ValueError, IndexError, struct.error, zlib.error):
                     if strict:
                         raise
                     continue

