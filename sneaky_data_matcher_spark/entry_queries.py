@@ -1630,6 +1630,46 @@ def media_decode_jpeg(spark, sf_dir):
     )
 
 
+# Streaming media decode (r5): the media DIM table arrives as a 2-batch
+# FILE STREAM and the SAME strict BMP decode featurizer runs inside
+# Structured Streaming (mapInPandas is a stateless streaming transform —
+# exactly how a 100 TB multimodal ingest decodes media as it lands).
+# The oracle is the batch BMP pixel twin VERBATIM: stream == batch is
+# the certificate, like the other stream_* queries.
+@_q("stream_media_decode", None)  # oracle assigned below (= bmp twin)
+def stream_media_decode_q(spark, sf_dir):
+    import tempfile
+
+    from .operators.multimodal import extract_features, synth_real_media_table
+    from .streaming.incremental import run_stream_to_memory
+
+    m = synth_real_media_table(_media(spark, sf_dir)).where(
+        F.col("kind") == "image"
+    )
+    d = tempfile.mkdtemp(prefix="smsp_media_stream_")
+    half = F.pmod(F.xxhash64("media_ref"), F.lit(2)) == 0
+    m.where(half).write.mode("overwrite").parquet(f"{d}/in/b0")
+    m.where(~half).write.mode("overwrite").parquet(f"{d}/in/b1")
+    schema = spark.read.parquet(f"{d}/in/b0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/in/*")
+    )
+    feats = extract_features(stream, strict=True)
+    out = run_stream_to_memory(spark, feats, "stream_media_decode_sink")
+    return out.select(
+        "media_ref", F.posexplode("feature").alias("idx", "value")
+    ).select(
+        "media_ref",
+        "idx",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+
+
+ORACLE_SQL["stream_media_decode"] = ORACLE_SQL["media_decode_bmp"]
+
+
 # media_decode_mixed oracle (declared above): lossless branch = the BMP
 # pixel twin, jpeg branch = the solid closed-form twin, routed by the
 # seed recomputed from sha256(media_ref) — the same 4-way split

@@ -69,26 +69,37 @@ def value_hash(rows, colnames) -> str:
 
 
 def typegate(con, oracle_sql: dict) -> int:
-    """Bind every oracle in DuckDB (no execution) and fail on any
-    HUGEINT/UHUGEINT output column — pandas coerces those to float64 on
-    the driver's .df() collection path, which hash-mismatches Spark's
-    long (VERDICT r4). Returns the number of offending oracles."""
+    """Bind every oracle in DuckDB (no execution) and fail on output
+    column types that the driver's pandas `.df()` collection renders
+    differently from Spark's collect() (VERDICT r4 / r5 forensics):
+
+    - HUGEINT/UHUGEINT (any un-CAST SUM(BIGINT)) → float64 ("512.0" vs
+      Spark long "512"); CAST the aggregate to BIGINT.
+    - DATE → pandas Timestamp str '... 00:00:00' vs Spark date
+      'yyyy-MM-dd'; render as strftime VARCHAR on BOTH engines.
+
+    NULLs in numeric/timestamp columns (NaN / int→float64 / NaT) are the
+    same class but not statically detectable — the full sweep's .df()
+    value-hash path catches those. Returns the number of offenders."""
     bad = 0
     for name, sql in oracle_sql.items():
         try:
             rel = con.sql(sql)
-            huge = [
+            offend = [
                 (c, str(t))
                 for c, t in zip(rel.columns, rel.types)
-                if str(t) in ("HUGEINT", "UHUGEINT")
+                if str(t) in ("HUGEINT", "UHUGEINT", "DATE")
             ]
         except Exception as exc:  # noqa: BLE001
             bad += 1
             print(f"TYPEGATE {name:28s} BIND-ERROR {type(exc).__name__}: {exc}")
             continue
-        if huge:
+        if offend:
             bad += 1
-            print(f"TYPEGATE {name:28s} FAIL {huge} — CAST the sum to BIGINT")
+            print(
+                f"TYPEGATE {name:28s} FAIL {offend} — CAST sums to BIGINT / "
+                "render dates as strftime VARCHAR (both engines)"
+            )
     return bad
 
 
