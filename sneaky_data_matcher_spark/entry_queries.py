@@ -1427,37 +1427,124 @@ def _media_decode_q(spark, sf_dir, kind: str):
 
 _WAV_SEED = _hex_int_sql("hh", 1, 8)
 
-@_q(
-    "media_decode_wav",
-    f"WITH {_MEDIA_REFS_CTE}, "
+# shared audio-twin pieces (r5 refactor): the formula-sample CTE chain
+# and the feature tail, parameterized by the samples relation so the
+# μ-law twin can interpose a lossy round-trip stage
+_WAV_SMP_CTE = (
+    f"{_MEDIA_REFS_CTE}, "
     f"sd AS (SELECT media_ref, {_WAV_SEED} AS seed "
     "  FROM (SELECT media_ref, sha256(media_ref) AS hh FROM refs WHERE kind = 'audio')), "
     "pr AS (SELECT media_ref, seed, 64 + seed % 192 AS n FROM sd), "
     "smp AS (SELECT media_ref, n, "
-    "  list_transform(range(0, n), i -> ((seed + i * 48271) % 65536) - 32768) AS s FROM pr), "
-    "ag AS (SELECT media_ref, n, s, list_sum(s) AS tot, "
-    "  list_sum(list_transform(s, x -> x * x)) AS ssq, "
-    "  len(list_filter(range(1, n), i -> (s[i] >= 0) <> (s[i + 1] >= 0))) AS zc, "
-    "  list_min(s) AS mn, list_max(s) AS mx FROM smp) "
-    # floor-quantized to 6 decimals, matching _q6 (round() tie semantics
-    # differ between engines — Python banker's vs DuckDB half-away)
-    "SELECT media_ref, CAST(idx AS INT) AS idx, floor((CASE idx "
-    "  WHEN 0 THEN 8000 / 48000.0 "
-    "  WHEN 1 THEN n / 65536.0 "
-    "  WHEN 2 THEN CAST(n AS DOUBLE) / 8000 "
-    "  WHEN 3 THEN CAST(tot AS DOUBLE) / n / 32768.0 "
-    "  WHEN 4 THEN sqrt(CAST(ssq AS DOUBLE) / n) / 32768.0 "
-    "  WHEN 5 THEN CAST(zc AS DOUBLE) / (n - 1) "
-    "  WHEN 6 THEN mn / 32768.0 "
-    "  WHEN 7 THEN mx / 32768.0 "
-    "  ELSE sqrt(CAST(list_sum(list_transform("
-    "    s[((idx - 8) * n // 8 + 1):((idx - 7) * n // 8)], x -> x * x)) AS DOUBLE) "
-    "    / ((idx - 7) * n // 8 - (idx - 8) * n // 8)) / 32768.0 "
-    "END) * 1000000) / 1000000 AS value "
-    "FROM (SELECT *, unnest(range(16)) AS idx FROM ag)",
+    "  list_transform(range(0, n), i -> ((seed + i * 48271) % 65536) - 32768) AS s FROM pr)"
+)
+
+
+def _wav_feats_sql(src: str) -> str:
+    """Feature tail over a (media_ref, n, s) relation — floor-quantized
+    to 6 decimals, matching _q6 (round() tie semantics differ between
+    engines — Python banker's vs DuckDB half-away)."""
+    return (
+        "ag AS (SELECT media_ref, n, s, list_sum(s) AS tot, "
+        "  list_sum(list_transform(s, x -> x * x)) AS ssq, "
+        "  len(list_filter(range(1, n), i -> (s[i] >= 0) <> (s[i + 1] >= 0))) AS zc, "
+        f"  list_min(s) AS mn, list_max(s) AS mx FROM {src}) "
+        "SELECT media_ref, CAST(idx AS INT) AS idx, floor((CASE idx "
+        "  WHEN 0 THEN 8000 / 48000.0 "
+        "  WHEN 1 THEN n / 65536.0 "
+        "  WHEN 2 THEN CAST(n AS DOUBLE) / 8000 "
+        "  WHEN 3 THEN CAST(tot AS DOUBLE) / n / 32768.0 "
+        "  WHEN 4 THEN sqrt(CAST(ssq AS DOUBLE) / n) / 32768.0 "
+        "  WHEN 5 THEN CAST(zc AS DOUBLE) / (n - 1) "
+        "  WHEN 6 THEN mn / 32768.0 "
+        "  WHEN 7 THEN mx / 32768.0 "
+        "  ELSE sqrt(CAST(list_sum(list_transform("
+        "    s[((idx - 8) * n // 8 + 1):((idx - 7) * n // 8)], x -> x * x)) AS DOUBLE) "
+        "    / ((idx - 7) * n // 8 - (idx - 8) * n // 8)) / 32768.0 "
+        "END) * 1000000) / 1000000 AS value "
+        "FROM (SELECT *, unnest(range(16)) AS idx FROM ag)"
+    )
+
+
+@_q(
+    "media_decode_wav",
+    f"WITH {_WAV_SMP_CTE}, {_wav_feats_sql('smp')}",
 )
 def media_decode_wav(spark, sf_dir):
     return _media_decode_q(spark, sf_dir, "audio")
+
+
+def _mulaw_rt_sql(var: str) -> str:
+    """decode(encode(x)) of G.711 μ-law as one integer SQL expression —
+    the cosine-free-closed-form move from the JPEG twin, applied to
+    audio: magnitude clip + bias, exponent by range CASE, mantissa by
+    integer div/mod, exact re-expansion (multimodal.mulaw_*_sample)."""
+    t = f"(least(abs({var}), 32635) + 132)"
+    branches = []
+    for e in range(7):
+        lim = 1 << (e + 8)
+        branches.append(
+            f"WHEN {t} < {lim} THEN "
+            f"((({t} // {1 << (e + 3)}) % 16) * 8 + 132) * {1 << e} - 132"
+        )
+    mag = (
+        "CASE "
+        + " ".join(branches)
+        + f" ELSE ((({t} // {1 << 10}) % 16) * 8 + 132) * 128 - 132 END"
+    )
+    return f"CASE WHEN {var} < 0 THEN -({mag}) ELSE ({mag}) END"
+
+
+# μ-law decode (r5): a REAL lossy AUDIO codec round trip — WAV format 7
+# (G.711), every 16-bit sample compressed to an 8-bit codeword and
+# re-expanded by the genuine decoder. The oracle passes the generative
+# samples through the exact integer closed form above, then the shared
+# feature tail — a wrong bias, exponent boundary, or complement breaks
+# the hash for every row.
+@_q(
+    "media_decode_mulaw",
+    f"WITH {_WAV_SMP_CTE}, "
+    "smp2 AS (SELECT media_ref, n, "
+    f"  list_transform(s, x -> {_mulaw_rt_sql('x')}) AS s FROM smp), "
+    f"{_wav_feats_sql('smp2')}",
+)
+def media_decode_mulaw(spark, sf_dir):
+    from .operators.multimodal import extract_features, synth_real_media_table
+
+    m = synth_real_media_table(_media(spark, sf_dir), audio_format="mulaw").where(
+        F.col("kind") == "audio"
+    )
+    feats = extract_features(m, strict=True)  # real G.711 decode or die
+    return feats.select(
+        "media_ref", F.posexplode("feature").alias("idx", "value")
+    ).select(
+        "media_ref",
+        "idx",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+
+
+# AIFF decode (r5): the big-endian PCM container (FORM/COMM/SSND, 80-bit
+# extended-float rate) — lossless, so the WAV twin certifies it verbatim
+# (container independence, like PNG/GIF vs BMP on the image side).
+@_q(
+    "media_decode_aiff",
+    f"WITH {_WAV_SMP_CTE}, {_wav_feats_sql('smp')}",
+)
+def media_decode_aiff(spark, sf_dir):
+    from .operators.multimodal import extract_features, synth_real_media_table
+
+    m = synth_real_media_table(_media(spark, sf_dir), audio_format="aiff").where(
+        F.col("kind") == "audio"
+    )
+    feats = extract_features(m, strict=True)  # real big-endian parse or die
+    return feats.select(
+        "media_ref", F.posexplode("feature").alias("idx", "value")
+    ).select(
+        "media_ref",
+        "idx",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
 
 
 @_q(
@@ -8480,6 +8567,59 @@ def audio_fingerprint_q(spark, sf_dir):
 
     m = _real_media(spark, sf_dir).where(F.col("kind") == "audio")
     return audio_fingerprint(m, strict=True)
+
+
+# Cross-container audio dedup (r5, the audio twin of
+# media_cross_format_dup): the SAME recording stored as little-endian
+# RIFF/WAVE and big-endian FORM/AIFF — two genuinely different parsers —
+# must fingerprint identically and pair by exact equality.
+_XFMT_AFP_CTE = (
+    f"{_MEDIA_REFS_CTE}, "
+    f"xa_sd AS (SELECT media_ref, {_WAV_SEED} AS seed "
+    "  FROM (SELECT media_ref, sha256(media_ref) AS hh FROM refs WHERE kind = 'audio')), "
+    "xa_pr AS (SELECT media_ref, seed, 64 + seed % 192 AS n FROM xa_sd), "
+    "xa_sm AS (SELECT media_ref, n, list_transform(range(0, n), "
+    "  i -> ((seed + i * 48271) % 65536) - 32768) AS s FROM xa_pr), "
+    "xa_en AS (SELECT media_ref, list_transform(range(0, 32), "
+    "  k -> list_sum(list_transform(range(k * n // 32, (k + 1) * n // 32), "
+    "    i -> CAST(s[CAST(i + 1 AS INT)] AS BIGINT) * s[CAST(i + 1 AS INT)]))) AS e FROM xa_sm), "
+    "xa_fp AS (SELECT media_ref, array_to_string(list_transform(e, "
+    "  x -> CASE WHEN 32 * x >= list_sum(e) THEN '1' ELSE '0' END), '') AS audio_fp FROM xa_en), "
+    "xa_both AS (SELECT media_ref || '#wav' AS mr, audio_fp FROM xa_fp "
+    "  UNION ALL SELECT media_ref || '#aiff', audio_fp FROM xa_fp)"
+)
+
+
+@_q(
+    "media_cross_format_audio_dup",
+    f"WITH {_XFMT_AFP_CTE} "
+    "SELECT a.mr AS ref_a, b.mr AS ref_b, a.audio_fp AS audio_fp "
+    "FROM xa_both a JOIN xa_both b ON a.audio_fp = b.audio_fp AND a.mr < b.mr",
+)
+def media_cross_format_audio_dup_q(spark, sf_dir):
+    from .operators.multimodal import audio_fingerprint, synth_real_media_table
+
+    media = _media(spark, sf_dir)
+    wav = (
+        synth_real_media_table(media, audio_format="wav")
+        .where(F.col("kind") == "audio")
+        .withColumn("media_ref", F.concat("media_ref", F.lit("#wav")))
+    )
+    aiff = (
+        synth_real_media_table(media, audio_format="aiff")
+        .where(F.col("kind") == "audio")
+        .withColumn("media_ref", F.concat("media_ref", F.lit("#aiff")))
+    )
+    h = audio_fingerprint(wav.unionByName(aiff), strict=True).select(
+        "media_ref", "audio_fp"
+    )
+    a = h.select(F.col("media_ref").alias("ref_a"), "audio_fp")
+    b = h.select(F.col("media_ref").alias("ref_b"), F.col("audio_fp").alias("fp_b"))
+    return (
+        a.join(b, a["audio_fp"] == b["fp_b"])
+        .where(F.col("ref_a") < F.col("ref_b"))
+        .select("ref_a", "ref_b", "audio_fp")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -123,6 +123,126 @@ def _wav_bytes(media_ref: str) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# G.711 μ-law (r5): a REAL lossy audio codec, pure integer math — the
+# audio sibling of the JPEG work. Encode compresses a 16-bit sample to 8
+# bits (sign + 3-bit exponent + 4-bit mantissa, bias 132, stored
+# complemented per spec); decode expands it back. decode(encode(s)) is a
+# closed-form integer function of s, so the SQL oracle replicates the
+# round trip term-for-term (no tables needed).
+# ---------------------------------------------------------------------------
+
+_MULAW_BIAS = 0x84  # 132
+_MULAW_CLIP = 32635
+
+
+def mulaw_encode_sample(s: int) -> int:
+    sign = 0x80 if s < 0 else 0
+    mag = min(-s if s < 0 else s, _MULAW_CLIP)
+    x = mag + _MULAW_BIAS
+    e = max(x.bit_length() - 8, 0)  # x in [132, 32767] → e in [0, 7]
+    mant = (x >> (e + 3)) & 0x0F
+    return ~(sign | (e << 4) | mant) & 0xFF
+
+
+def mulaw_decode_sample(u: int) -> int:
+    u = ~u & 0xFF
+    sign = u & 0x80
+    e = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + _MULAW_BIAS) << e) - _MULAW_BIAS
+    return -mag if sign else mag
+
+
+def _wav_mulaw_bytes(media_ref: str) -> bytes:
+    """Valid RIFF/WAVE, format 7 (G.711 μ-law), mono 8-bit codewords —
+    the SAME generative samples as _wav_bytes, lossily compressed."""
+    seed, n = wav_params(media_ref)
+    samples = [((seed + i * _SAMPLE_A) % 65536) - 32768 for i in range(n)]
+    codes = bytes(mulaw_encode_sample(s) for s in samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 7, 1, WAV_RATE, WAV_RATE, 1, 8)
+        + b"data"
+        + struct.pack("<I", n)
+        + codes
+    )
+
+
+# ---------------------------------------------------------------------------
+# AIFF (r5): the big-endian PCM container — same samples as the WAV,
+# different byte layout end to end (FORM/COMM/SSND chunks, 80-bit
+# extended-float sample rate). Lossless, so the WAV feature twin
+# certifies it verbatim (container independence, like PNG/GIF vs BMP).
+# ---------------------------------------------------------------------------
+
+
+def _f80_encode(rate: int) -> bytes:
+    """80-bit IEEE extended float (big-endian) for a positive integer."""
+    if rate <= 0:
+        raise ValueError("rate must be positive")
+    e = rate.bit_length() - 1
+    mant = rate << (63 - e)  # explicit-1 normalized 64-bit mantissa
+    return struct.pack(">H", 16383 + e) + struct.pack(">Q", mant)
+
+
+def _f80_decode(b: bytes) -> int:
+    (se,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:10])
+    e = (se & 0x7FFF) - 16383
+    return int(round(mant / (1 << 63) * (1 << e)))
+
+
+def _aiff_bytes(media_ref: str) -> bytes:
+    seed, n = wav_params(media_ref)
+    samples = [((seed + i * _SAMPLE_A) % 65536) - 32768 for i in range(n)]
+    comm = struct.pack(">hIh", 1, n, 16) + _f80_encode(WAV_RATE)
+    ssnd = struct.pack(">II", 0, 0) + struct.pack(f">{n}h", *samples)
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def _aiff_samples(payload: bytes) -> tuple[int, list[int]]:
+    """Parse FORM/AIFF (PCM mono 16-bit) into (rate, samples)."""
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError("not a FORM/AIFF payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from(">I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"COMM":
+            ch, _nf, bits = struct.unpack_from(">hIh", body)
+            if (ch, bits) != (1, 16):
+                raise ValueError(f"unsupported AIFF format {(ch, bits)}")
+            rate = _f80_decode(body[8:18])
+        elif cid == b"SSND":
+            off = struct.unpack_from(">I", body, 0)[0]
+            data = body[8 + off:]
+            samples = list(struct.unpack(f">{len(data) // 2}h", data[: len(data) // 2 * 2]))
+        pos += 8 + size + (size & 1)
+    if rate is None or samples is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    return rate, samples
+
+
+def _audio_samples(payload: bytes) -> tuple[int, list[int]]:
+    """(rate, 16-bit samples) for ANY supported audio container/codec —
+    the codec-agnostic sample view (WAV PCM-16, WAV μ-law, AIFF)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _wav_samples(payload)
+    if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+        return _aiff_samples(payload)
+    raise ValueError("unsupported audio container")
+
+
 def _bmp_pixel(seed: int, p: int) -> tuple[int, int, int]:
     """(r, g, b) of pixel index p = y*width + x (top-down)."""
     return (
@@ -302,28 +422,46 @@ def _wav_samples(payload: bytes) -> tuple[int, list[int]]:
     the featurizer and the audio fingerprint."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, rate, samples = 12, None, None
+    pos, rate, raw, fmt = 12, None, None, None
     while pos + 8 <= len(payload):
         cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt, ch, rate, _brate, _align, bits = struct.unpack_from("<HHIIHH", body)
-            if (fmt, ch, bits) != (1, 1, 16):
+            if (fmt, ch, bits) not in ((1, 1, 16), (7, 1, 8)):
                 raise ValueError(f"unsupported WAV format {(fmt, ch, bits)}")
         elif cid == b"data":
-            samples = list(struct.unpack(f"<{size // 2}h", body[: size // 2 * 2]))
+            raw = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if rate is None or samples is None:
+    if rate is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if fmt == 7:
+        # G.711 μ-law codewords → 16-bit samples (real lossy decode)
+        samples = [mulaw_decode_sample(b) for b in raw]
+    else:
+        samples = list(
+            struct.unpack(f"<{len(raw) // 2}h", raw[: len(raw) // 2 * 2])
+        )
     return rate, samples
 
 
 def _decode_wav(payload: bytes) -> list[float]:
-    """Featurize a PCM WAV: rate, length, duration, mean, RMS,
-    zero-crossing rate, min, max, and 8 segment RMS energies. Integer
-    sums + IEEE sqrt/div, rounded to 6 — exactly reproducible by the SQL
-    twin from the sample values."""
+    """Featurize a WAV (PCM-16 or μ-law): rate, length, duration, mean,
+    RMS, zero-crossing rate, min, max, and 8 segment RMS energies.
+    Integer sums + IEEE sqrt/div, rounded to 6 — exactly reproducible by
+    the SQL twin from the sample values."""
     rate, samples = _wav_samples(payload)
+    return _featurize_samples(rate, samples)
+
+
+def _decode_aiff(payload: bytes) -> list[float]:
+    """Featurize an AIFF identically to the WAV path — the features
+    depend only on (rate, samples), never the container."""
+    rate, samples = _aiff_samples(payload)
+    return _featurize_samples(rate, samples)
+
+
+def _featurize_samples(rate: int, samples: list[int]) -> list[float]:
     n = len(samples)
     if n == 0:
         return [0.0] * _FEAT_DIM
@@ -937,7 +1075,9 @@ def _jpeg_bytes(media_ref: str) -> bytes:
     return encode_jpeg(img, quality=JPEG_QUALITY)
 
 
-def synth_real_media_table(media: DataFrame, image_format: str = "bmp") -> DataFrame:
+def synth_real_media_table(
+    media: DataFrame, image_format: str = "bmp", audio_format: str = "wav"
+) -> DataFrame:
     """Replace the opaque pseudo-byte payloads with GENUINE WAV (audio) /
     BMP-or-PNG-or-JPEG (image) bytes, deterministic per media_ref; meta is
     updated to the real dims/rate/duration. image_format: 'bmp' (default,
@@ -951,6 +1091,15 @@ def synth_real_media_table(media: DataFrame, image_format: str = "bmp") -> DataF
         raise ValueError(
             f"image_format must be bmp|png|gif|jpeg|mixed|mixed4, got {image_format!r}"
         )
+    if audio_format not in ("wav", "mulaw", "aiff"):
+        raise ValueError(f"audio_format must be wav|mulaw|aiff, got {audio_format!r}")
+
+    def _audio_bytes(ref: str) -> bytes:
+        if audio_format == "mulaw":
+            return _wav_mulaw_bytes(ref)
+        if audio_format == "aiff":
+            return _aiff_bytes(ref)
+        return _wav_bytes(ref)
 
     def _image_bytes(ref: str) -> bytes:
         if image_format == "mixed4":
@@ -979,7 +1128,7 @@ def synth_real_media_table(media: DataFrame, image_format: str = "bmp") -> DataF
             ):
                 if kind == "audio":
                     _, n = wav_params(ref)
-                    payloads.append(_wav_bytes(ref))
+                    payloads.append(_audio_bytes(ref))
                     metas.append(
                         {
                             "width": None,
@@ -1124,6 +1273,8 @@ def _decode_one(payload: bytes, kind: str, strict: bool) -> list[float]:
         try:
             if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                 return _decode_wav(payload)
+            if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+                return _decode_aiff(payload)
             if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
                 return _decode_avi(payload)
             if payload[:2] == b"BM":
@@ -1466,8 +1617,10 @@ def audio_fingerprint(media: DataFrame, strict: bool = False) -> DataFrame:
                 if kind != "audio":
                     continue
                 try:
-                    _rate, samples = _wav_samples(bytes(payload))
-                except ValueError:
+                    # container/codec-agnostic since r5 (WAV PCM-16,
+                    # WAV μ-law, AIFF): the fingerprint sees samples only
+                    _rate, samples = _audio_samples(bytes(payload))
+                except (ValueError, IndexError, struct.error):
                     if strict:
                         raise
                     continue
